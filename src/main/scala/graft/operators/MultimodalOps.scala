@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed partition-parallel.
+  *
+  * The real decode libraries (image/audio codecs) are not present in this
+  * environment, so `decodeStub` is a clearly-marked deterministic fake —
+  * but everything Spark-side is real and load-bearing: BinaryType schema,
+  * batch shape (`mapPartitions` over iterators, never a driver collect),
+  * and metadata extraction that stays inside codegen where possible.
+  *
+  * At 100 TB: binary payloads ride in Parquet binary columns; decode is a
+  * narrow per-partition map (no shuffle); only the extracted small
+  * metadata/features ever enter a wide stage.
+  */
+object MultimodalOps {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = true)
+  ))
+
+  /** Attach a binary payload column derived from a string column —
+    * stand-in for reading real media bytes; encoding is exact and
+    * engine-portable (UTF-8).
+    */
+  def withBinaryPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** Codegen-level metadata over the payload: byte length + content hash.
+    * This is the "cheap pass" that should run at scan speed.
+    */
+  def payloadMeta(df: DataFrame): DataFrame =
+    df.withColumn("byte_len", length(col("payload")))
+      .withColumn("content_md5", md5(col("payload")))
+
+  /** STUB — deterministic fake media decode. A real implementation would
+    * decode image dimensions / audio duration from the payload bytes
+    * here; the container has no codec libs, so dimensions are derived
+    * from the byte length (stable, testable plumbing).
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int) = {
+    val n = if (payload == null) 0 else payload.length
+    (64 + n % 577, 64 + (n * 31) % 419)
+  }
+
+  /** Partition-parallel "decode": mapPartitions over payload batches,
+    * one decoder instance per partition (the shape a JNI codec needs).
+    */
+  def decodeDimensions(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)
+    ))
+    val rdd = df.select(col(idCol).cast("long"), col("payload")).rdd.mapPartitions { it =>
+      // per-partition decoder init would go here (one per task, reused)
+      it.map { r =>
+        val (w, h) = decodeStub(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale contract:
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    Queries × corpus equi-join-free broadcast; only viable when the
+  *    query set is small (it is broadcast; the corpus side streams).
+  *  - `lshTopK`: sign-random-projection LSH — the 100 TB path. Corpus is
+  *    bucketed by the sign pattern of `planes` fixed hyperplanes; the
+  *    candidate join is an equi-join on the bucket key, so Spark
+  *    shuffle-partitions by bucket instead of forming a cross product.
+  *
+  * All vector math is expression-level (`zip_with`/`aggregate` — codegen'd,
+  * no UDF): elements are cast float→double (exact) and summed sequentially,
+  * which keeps results deterministic and oracle-comparable.
+  */
+object SimilarityOps {
+
+  /** Sequential-order dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0d), (acc, x) => acc + x * x))
+
+  /** Cosine similarity; null-safe-ish: 0.0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val denom = norm(ad) * norm(bd)
+    when(denom === 0d, lit(0d)).otherwise(dot(ad, bd) / denom)
+  }
+
+  /** Exact top-k neighbours for each query vector.
+    *
+    * `queries`/`corpus`: (id, vec). The query side is broadcast (small by
+    * contract); ranking happens per-query with a window over the joined
+    * similarities. Self-matches (same id) are excluded.
+    *
+    * Determinism: rank orders by cosine rounded to `roundSim` decimals,
+    * ties broken by neighbour id — so results are stable across engines
+    * and run-to-run despite float summation differences.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      roundSim: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("nvec")), roundSim).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic "random" hyperplane: the sign of coordinate
+    * `axes(i)` (coordinate-axis projections — reproducible in SQL, no
+    * RNG). For production recall, swap in seeded Gaussian planes; the
+    * plumbing (bucket key, join shape) is identical.
+    */
+  def signBucket(vec: Column, axes: Seq[Int]): Column =
+    concat_ws("", axes.map(i => when(element_at(vec, i + 1) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-bucketed approximate top-k: join restricted to same-bucket pairs.
+    * At scale the bucket key is the shuffle key; recall is tuned via the
+    * number of axes (fewer axes → bigger buckets → higher recall+cost).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      axes: Seq[Int] = 0 until 8, roundSim: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      signBucket(col("vec"), axes).as("bucket"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec"),
+      signBucket(col("vec"), axes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("nvec")), roundSim).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket candidates whose rounded
+    * cosine clears `threshold` (id1 < id2). The bucket equi-join bounds
+    * the pair count; brute-force verification only runs within buckets.
+    */
+  def embeddingNearDupPairs(df: DataFrame, threshold: Double,
+      axes: Seq[Int] = 0 until 4, roundSim: Int = 4): DataFrame = {
+    val withBucket = df.select(col("id"), col("vec"), signBucket(col("vec"), axes).as("bucket"))
+    val l = withBucket.select(col("bucket"), col("id").as("id1"), col("vec").as("vec1"))
+    val r = withBucket.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"))
+    l.join(r, Seq("bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), round(cosine(col("vec1"), col("vec2")), roundSim).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

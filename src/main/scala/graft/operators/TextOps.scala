@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: token counting,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * All are built from codegen'd `functions._` expressions (no UDFs), so
+  * they fold into the scan's whole-stage-codegen pass — a single narrow
+  * map over documents regardless of corpus size, and every one is
+  * reproducible in ANSI SQL for the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace token count (trim first: leading/trailing whitespace must
+    * not create empty tokens — semantics shared with the oracle SQL).
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
+
+  /** Rough BPE-ish subword count: word count plus one extra unit per 4
+    * chars of word length beyond 4 (long words split into more tokens).
+    * Deterministic, regex/arithmetic only.
+    */
+  def subwordCount(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0, lit(0)).otherwise(
+      aggregate(toks, lit(0), (acc, t) =>
+        acc + lit(1) + floor(greatest(length(t) - 1, lit(0)) / 4).cast("int")))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Stopword ratio over whitespace tokens (tiny fixed english list). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val stops = Seq("a", "an", "the", "and", "or", "of", "in", "to", "is")
+    val nStop = size(filter(toks, t => lower(t).isInCollection(stops)))
+    when(size(toks) === 0, lit(0d)).otherwise(nStop.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean word length (chars of non-space content / token count). */
+  def meanWordLen(text: Column): Column = {
+    val tc = tokenCount(text)
+    when(tc === 0, lit(0d)).otherwise(
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tc.cast("double"))
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards moderate length and
+    * stopword presence, penalises punctuation soup. Weights are arbitrary
+    * but fixed; the point is the deterministic, pushdown-friendly shape.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500d, lit(1d))
+    val punctRatio = when(length(text) === 0, lit(0d))
+      .otherwise(punctCount(text).cast("double") / length(text).cast("double"))
+    round(lenScore * 0.4 + stopwordRatio(text) * 0.4 + (lit(1d) - least(punctRatio * 10d, lit(1d))) * 0.2, 4)
+  }
+
+  private def countMatches(text: Column, words: Seq[String]): Column =
+    words.map(w => size(regexp_extract_all(text, lit("(?i)\\b" + w + "\\b"), lit(0))))
+      .reduce(_ + _)
+
+  /** Heuristic language ID: CJK codepoints → zh; otherwise argmax of
+    * marker-word hit counts with fixed precedence (fr, es, de beat en only
+    * on a strict win). Mirrors one-to-one into the oracle SQL.
+    */
+  def langId(text: Column): Column = {
+    val fr = countMatches(text, Seq("le", "la", "les", "et", "est", "une"))
+    val es = countMatches(text, Seq("el", "los", "las", "es", "una"))
+    val de = countMatches(text, Seq("der", "die", "das", "und", "ist"))
+    val en = countMatches(text, Seq("the", "and", "is", "of", "that"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(fr > en && fr >= es && fr >= de, lit("fr"))
+      .when(es > en && es > fr && es >= de, lit("es"))
+      .when(de > en && de > fr && de > es, lit("de"))
+      .otherwise(lit("en"))
+  }
+
+  /** Rolling-hash document fingerprint: minimum md5 over 16-char shingles
+    * sampled every 8 chars (winnowing-lite). Two docs sharing large
+    * substrings tend to share the minimum. md5-hex min is well-defined
+    * lexicographically and engine-portable.
+    */
+  def fingerprint(text: Column): Column = {
+    val n = length(text)
+    when(n < 16, md5(text)).otherwise(
+      array_min(transform(sequence(lit(1), n - 15, lit(8)), i => md5(text.substr(i, lit(16))))))
+  }
+}

@@ -1,0 +1,705 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** One registered query: Spark implementation + (optionally) the
+  * equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables.
+  *
+  * Determinism rules used throughout (they make results hash-comparable
+  * across engines and across runs):
+  *  - money SUMs go through `decimal` (exact, associative — immune to
+  *    partition-order float reassociation);
+  *  - per-row double arithmetic mirrors the oracle expression op-for-op
+  *    (same IEEE ops in the same order → bit-identical, no rounding);
+  *  - every result has a total-order ORDER BY;
+  *  - timestamps leave the engine as formatted strings (UTC session).
+  */
+final case class Q(name: String, oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+object Catalog {
+
+  // ---- decimal helpers: exact money aggregation ----------------------
+  private def d12(c: Column): Column = c.cast("decimal(12,2)")
+  private def d3(c: Column): Column  = c.cast("decimal(3,2)")
+  private val oneD: Column           = lit(1).cast("decimal(3,2)")
+  /** sum(money) -> rounded double, exact and partition-order-independent */
+  private def sumMoney(c: Column): Column = round(sum(d12(c)), 2).cast("double")
+  /** avg = exact decimal sum cast double / count — one IEEE division */
+  private def avgMoney(c: Column): Column = sum(d12(c)).cast("double") / count(lit(1))
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+
+  // =====================================================================
+  // A. Relational surface (the Athena-replacement, SURVEY §2.4-2.8, §3.2)
+  // =====================================================================
+
+  private val q01 = Q("q01_pricing_summary", Some("""
+    SELECT l_returnflag, l_linestatus,
+      cast(round(sum(cast(l_quantity as decimal(12,2))), 2) as double) AS sum_qty,
+      cast(round(sum(cast(l_extendedprice as decimal(12,2))), 2) as double) AS sum_base_price,
+      cast(round(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2)))), 2) as double) AS sum_disc_price,
+      cast(round(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2))) * (cast(1 as decimal(3,2)) + cast(l_tax as decimal(3,2)))), 2) as double) AS sum_charge,
+      cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*) AS avg_qty,
+      cast(sum(cast(l_extendedprice as decimal(12,2))) as double) / count(*) AS avg_price,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""),
+    (s, d) => {
+      val li = T(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumMoney(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(d12(col("l_extendedprice")) * (oneD - d3(col("l_discount")))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(d12(col("l_extendedprice")) * (oneD - d3(col("l_discount")))
+            * (oneD + d3(col("l_tax")))), 2).cast("double").as("sum_charge"),
+          avgMoney(col("l_quantity")).as("avg_qty"),
+          avgMoney(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+
+  private val q02 = Q("q02_filter_pushdown", Some("""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    ORDER BY l_orderkey, l_linenumber"""),
+    (s, d) => T(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber"))
+
+  private val q03 = Q("q03_join_agg", Some("""
+    SELECT o.o_orderpriority,
+      cast(round(sum(cast(l.l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l.l_discount as decimal(3,2)))), 2) as double) AS revenue,
+      count(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority"""),
+    (s, d) => T(s, d, "orders").join(T(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(d12(col("l_extendedprice")) * (oneD - d3(col("l_discount")))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority"))
+
+  private val q04 = Q("q04_multijoin_region", Some("""
+    SELECT r.r_name, n.n_name,
+      cast(round(sum(cast(l.l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l.l_discount as decimal(3,2)))), 2) as double) AS revenue,
+      count(*) AS n_items
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name"""),
+    (s, d) => {
+      // dims are broadcast (small sides); the only big shuffle is
+      // orders⋈lineitem on the order key.
+      val r = broadcast(T(s, d, "region"))
+      val n = broadcast(T(s, d, "nation"))
+      val c = T(s, d, "customer")
+      val o = T(s, d, "orders")
+      val l = T(s, d, "lineitem")
+      r.join(n, col("n_regionkey") === col("r_regionkey"))
+        .join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(d12(col("l_extendedprice")) * (oneD - d3(col("l_discount")))), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    })
+
+  private val q05 = Q("q05_broadcast_dim", Some("""
+    SELECT p.p_brand, p.p_type,
+      cast(round(sum(cast(l.l_quantity as decimal(12,2))), 2) as double) AS sum_qty,
+      cast(round(sum(cast(l.l_extendedprice as decimal(12,2))), 2) as double) AS sum_price
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY p.p_brand, p.p_type"""),
+    (s, d) => {
+      val p = broadcast(T(s, d, "part")
+        .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")))
+      T(s, d, "lineitem").join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_price"))
+        .orderBy("p_brand", "p_type")
+    })
+
+  private val q06 = Q("q06_anti_join", Some("""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    ORDER BY c_custkey"""),
+    (s, d) => DedupOps.antiJoinNew(
+        T(s, d, "customer").withColumn("k", col("c_custkey")),
+        T(s, d, "orders").where(col("o_totalprice") > 300000)
+          .withColumn("k", col("o_custkey")), "k")
+      .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+  private val q07 = Q("q07_semi_join", Some("""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    (s, d) => T(s, d, "customer")
+      .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment"))
+
+  private val q08 = Q("q08_window_topk", Some("""
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    })
+
+  private val q09 = Q("q09_window_running", Some("""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+      cast(sum(cast(l_quantity as decimal(12,2))) OVER (
+        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_qty
+    FROM lineitem WHERE l_suppkey <= 10
+    ORDER BY l_suppkey, l_orderkey, l_linenumber"""),
+    (s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "lineitem").where(col("l_suppkey") <= 10)
+        .withColumn("running_qty", sum(d12(col("l_quantity"))).over(w).cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    })
+
+  private val q10 = Q("q10_top_n", Some("""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""),
+    (s, d) => T(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100))
+
+  private val q11 = Q("q11_distinct", Some("""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus"""),
+    (s, d) => T(s, d, "lineitem").select("l_returnflag", "l_linestatus")
+      .distinct().orderBy("l_returnflag", "l_linestatus"))
+
+  private val q12 = Q("q12_rollup", Some("""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+    (s, d) => T(s, d, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")))
+
+  private val q13 = Q("q13_setops", Some("""
+    SELECT k FROM (
+      (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+      EXCEPT
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+    ORDER BY k"""),
+    (s, d) => {
+      val a = T(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val b = T(s, d, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val c = T(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      a.intersect(b).except(c).orderBy("k")
+    })
+
+  private val q14 = Q("q14_string_funcs", Some("""
+    SELECT p_partkey,
+      lower(p_name) AS name_lower,
+      regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+      split_part(p_type, ' ', 1) AS type_first,
+      regexp_extract(p_type, '(\S+)$', 1) AS type_last,
+      translate(p_name, 'aeiou', '') AS name_novowel,
+      replace(p_type, ' ', '_') AS type_snake,
+      (p_type LIKE '%BRASS%') AS has_brass,
+      length(p_name) AS name_len,
+      substr(p_name, 1, 5) AS name_head,
+      concat(p_brand, ':', p_type) AS brand_type,
+      trim(concat('  ', p_name, '  ')) AS name_trim
+    FROM part WHERE p_partkey <= 500 ORDER BY p_partkey"""),
+    (s, d) => T(s, d, "part").where(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_first"),
+        regexp_extract(col("p_type"), "(\\S+)$", 1).as("type_last"),
+        translate(col("p_name"), "aeiou", "").as("name_novowel"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        col("p_type").contains("BRASS").as("has_brass"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_head"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"))
+      .orderBy("p_partkey"))
+
+  private val q15 = Q("q15_case_bucket", Some("""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket,
+      count(*) AS n,
+      cast(round(sum(cast(c_acctbal as decimal(12,2))), 2) as double) AS total_bal
+    FROM customer GROUP BY 1 ORDER BY bucket"""),
+    (s, d) => T(s, d, "customer")
+      .withColumn("bucket", when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "low").otherwise("high"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sumMoney(col("c_acctbal")).as("total_bal"))
+      .orderBy("bucket"))
+
+  private val q16 = Q("q16_clean_codes", Some("""
+    WITH raw AS (
+      SELECT p_brand AS code FROM part
+      UNION ALL
+      SELECT * FROM (VALUES ('  '), ('false'), ('FALSE'), (NULL), (' Brand#1 ')) v(code)
+    ), cleaned AS (
+      SELECT CASE WHEN trim(code) = '' OR lower(trim(code)) = 'false'
+                  THEN NULL ELSE trim(code) END AS code
+      FROM raw)
+    SELECT code, count(*) AS n FROM cleaned
+    WHERE code IS NOT NULL GROUP BY code ORDER BY code"""),
+    (s, d) => {
+      val raw = T(s, d, "part").select(col("p_brand").as("code"))
+        .unionByName(s.sql(
+          "SELECT * FROM VALUES ('  '), ('false'), ('FALSE'), (CAST(NULL AS STRING)), (' Brand#1 ') AS v(code)"))
+      CleanOps.cleanCodes(raw, "code")
+        .groupBy("code").agg(count(lit(1)).as("n")).orderBy("code")
+    })
+
+  private val q17 = Q("q17_json_extract", Some("""
+    SELECT event_type,
+      sum(cast(json_extract_string(props, '$.k') as int)) AS sum_k,
+      max(cast(json_extract_string(props, '$.k') as int)) AS max_k,
+      count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => T(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type"))
+
+  private val q18 = Q("q18_exists_subq", Some("""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    ORDER BY o_orderkey"""),
+    (s, d) => T(s, d, "orders")
+      .join(T(s, d, "lineitem").where(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey"))
+
+  private val q19 = Q("q19_count_distinct", Some("""
+    SELECT c_mktsegment, count(*) AS n,
+      count(DISTINCT c_nationkey) AS n_nations,
+      cast(round(sum(cast(c_acctbal as decimal(12,2))), 2) as double) AS total_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    (s, d) => T(s, d, "customer").groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_nationkey")).as("n_nations"),
+        sumMoney(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment"))
+
+  private val q20 = Q("q20_having", Some("""
+    SELECT o_custkey, count(*) AS n_orders,
+      cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) AS total
+    FROM orders GROUP BY o_custkey HAVING count(*) > 12
+    ORDER BY o_custkey"""),
+    (s, d) => T(s, d, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("total"))
+      .where(col("n_orders") > 12)
+      .orderBy("o_custkey"))
+
+  private val q21 = Q("q21_sessionize", Some("""
+    WITH flagged AS (
+      SELECT user_id, event_id,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => SessionOps.sessionStats(T(s, d, "events"), 1800d)
+      .select(col("user_id"), col("n_sessions").cast("long").as("n_sessions"), col("n_events"))
+      .orderBy("user_id"))
+
+  private val q22 = Q("q22_tumbling_daily", Some("""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+      count(*) AS n,
+      cast(round(sum(cast(value as decimal(12,2))), 2) as double) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
+    (s, d) => T(s, d, "events")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("day", "event_type"))
+
+  private val q23 = Q("q23_stream_windows", Some("""
+    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(cast((epoch_us(ts) // 21600000000) * 21600 as bigint)),
+        '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, count(*) AS n_events,
+      cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+    (s, d) => graft.streaming.StreamingOps
+      .windowedEventCounts(s, s"$d/events.parquet", "6 hours",
+        queryName = "graft_stream_agg_" + math.abs(d.hashCode))
+      .orderBy("window_start", "event_type"))
+
+  // =====================================================================
+  // B. LLM-training-data pipeline operators (north star, SURVEY §7.1/8)
+  // =====================================================================
+
+  private val dd01 = Q("dd01_exact_dedup", Some("""
+    SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1 ORDER BY text_hash"""),
+    (s, d) => DedupOps.exactDedup(T(s, d, "documents"), "text", "doc_id")
+      .orderBy("text_hash"))
+
+  // MinHash(16 hashes = 4 bands x 4 rows) + LSH banding; candidate pairs.
+  private val dd02 = Q("dd02_minhash_lsh", Some("""
+    WITH sh AS (
+      SELECT doc_id,
+        CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3 THEN
+          list_transform(
+            generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+            i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                 regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                 regexp_split_to_array(trim(text), '\s+')[i+2])
+        ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')] END AS shingles
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 15),
+          seed -> list_aggregate(
+            list_transform(shingles, x -> md5(cast(seed as varchar) || ':' || x)),
+            'min')) AS sig
+      FROM sh),
+    bands AS (
+      SELECT doc_id, b.band_id,
+        md5(sig[b.band_id*4+1] || '|' || sig[b.band_id*4+2] || '|' ||
+            sig[b.band_id*4+3] || '|' || sig[b.band_id*4+4]) AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b)
+    SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+    WHERE l.doc_id < r.doc_id
+    ORDER BY id1, id2"""),
+    (s, d) => DedupOps.minhashCandidates(T(s, d, "documents"), "text", "doc_id",
+        shingleK = 3, bands = 4, rowsPerBand = 4)
+      .orderBy("id1", "id2"))
+
+  // SimHash near-dup: 64-bit fingerprint per doc + pairs within Hamming<=8
+  // blocked on the top-16-bit prefix. xxhash64-based -> not expressible in
+  // the oracle; driver records the rows-only check.
+  private val dd03 = Q("dd03_simhash", None,
+    (s, d) => {
+      val docs = DedupOps.simhash64(T(s, d, "documents"), "text", "doc_id")
+      val withBlock = docs.withColumn("block", shiftrightunsigned(col("simhash"), 48))
+      val l = withBlock.select(col("block"), col("doc_id").as("id1"), col("simhash").as("h1"))
+      val r = withBlock.select(col("block"), col("doc_id").as("id2"), col("simhash").as("h2"))
+      l.join(r, Seq("block")).where(col("id1") < col("id2"))
+        .withColumn("hamming", DedupOps.hamming64(col("h1"), col("h2")))
+        .where(col("hamming") <= 8)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    })
+
+  // N-gram Jaccard verification over blocked candidate pairs. Blocking key:
+  // the doc's minimum md5'd 3-shingle (a 1-row minhash band) — exact
+  // Jaccard only computed within blocks (equi-join, never a cross join).
+  private val dd04 = Q("dd04_ngram_jaccard", Some("""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN
+          list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks),
+    keyed AS (
+      SELECT doc_id, shingles,
+        list_aggregate(list_transform(shingles, x -> md5(x)), 'min') AS block
+      FROM sh)
+    SELECT l.doc_id AS id1, r.doc_id AS id2,
+      cast(len(list_intersect(l.shingles, r.shingles)) as double)
+        / len(list_distinct(list_concat(l.shingles, r.shingles))) AS jaccard
+    FROM keyed l JOIN keyed r ON l.block = r.block
+    WHERE l.doc_id < r.doc_id
+    ORDER BY id1, id2"""),
+    (s, d) => {
+      val sh = T(s, d, "documents")
+        .select(col("doc_id"), DedupOps.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          array_distinct(DedupOps.shinglesFromTokens(col("_toks"), 3)).as("shingles"))
+        .withColumn("block", array_min(transform(col("shingles"), x => md5(x))))
+      val l = sh.select(col("block"), col("doc_id").as("id1"), col("shingles").as("sh1"))
+      val r = sh.select(col("block"), col("doc_id").as("id2"), col("shingles").as("sh2"))
+      l.join(r, Seq("block")).where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          (size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+            / size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+        .orderBy("id1", "id2")
+    })
+
+  private val ddEmbedSql = """
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e,
+               concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+           FROM embeddings)
+    SELECT l.vec_id AS id1, r.vec_id AS id2,
+      round(list_sum(list_transform(generate_series(1, 64), i -> l.e[i] * r.e[i]))
+        / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> l.e[i] * l.e[i])))
+         * sqrt(list_sum(list_transform(generate_series(1, 64), i -> r.e[i] * r.e[i])))), 4) AS sim
+    FROM v l JOIN v r ON l.bucket = r.bucket
+    WHERE l.vec_id < r.vec_id
+      AND round(list_sum(list_transform(generate_series(1, 64), i -> l.e[i] * r.e[i]))
+        / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> l.e[i] * l.e[i])))
+         * sqrt(list_sum(list_transform(generate_series(1, 64), i -> r.e[i] * r.e[i])))), 4) >= 0.5
+    ORDER BY id1, id2"""
+
+  private val dd05 = Q("dd05_embed_neardup", Some(ddEmbedSql),
+    (s, d) => SimilarityOps.embeddingNearDupPairs(
+        T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.5, axes = 0 until 4, roundSim = 4)
+      .orderBy("id1", "id2"))
+
+  private val ann01 = Q("ann01_bruteforce_topk", Some("""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * c.e[i])))), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilarityOps.bruteForceTopK(emb.where(col("id") < 10), emb, k = 10, roundSim = 6)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    })
+
+  // LSH-bucketed ANN (sign-projection buckets). Same shape as ann01 but the
+  // candidate join is restricted to equal buckets — the 100 TB path.
+  private val ann02 = Q("ann02_lsh_topk", Some("""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e,
+               concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+           FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * c.e[i])))), 6) AS sim
+      FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 50)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilarityOps.lshTopK(emb.where(col("id") < 50), emb, k = 5,
+          axes = 0 until 8, roundSim = 6)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    })
+
+  private val tx01 = Q("tx01_token_stats", Some("""
+    WITH t AS (
+      SELECT lang,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        n_chars
+      FROM documents)
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+      max(n_tokens) AS max_tokens,
+      cast(sum(n_tokens) as double) / count(*) AS avg_tokens,
+      sum(n_chars) AS total_chars
+    FROM t GROUP BY lang ORDER BY lang"""),
+    (s, d) => T(s, d, "documents")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        max("n_tokens").as("max_tokens"),
+        (sum("n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("lang"))
+
+  // Per-doc quality features. All per-row double math mirrors the oracle
+  // op-for-op (power-of-two weights, same order) -> bit-identical, no
+  // rounding needed.
+  private val tx02 = Q("tx02_quality", Some("""
+    WITH f AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok_cnt,
+        length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+        len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          x -> list_contains(['a','an','the','and','or','of','in','to','is'], lower(x)))) AS stop_cnt,
+        length(text) AS n_len
+      FROM documents)
+    SELECT doc_id, tok_cnt, punct_cnt, stop_cnt,
+      0.5 * least(n_len / 512.0, 1.0)
+        + 0.25 * (CASE WHEN tok_cnt = 0 THEN 0.0
+                       ELSE cast(stop_cnt as double) / tok_cnt END)
+        + 0.25 * (1.0 - least(punct_cnt * 16.0 / n_len, 1.0)) AS quality
+    FROM f ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val stops = Seq("a", "an", "the", "and", "or", "of", "in", "to", "is")
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("tok_cnt"),
+          TextOps.punctCount(col("text")).as("punct_cnt"),
+          size(filter(toks, x => lower(x).isInCollection(stops))).as("stop_cnt"),
+          length(col("text")).as("n_len"))
+        .select(col("doc_id"), col("tok_cnt"), col("punct_cnt"), col("stop_cnt"),
+          (lit(0.5) * least(col("n_len") / 512.0, lit(1.0))
+            + lit(0.25) * when(col("tok_cnt") === 0, 0.0)
+                .otherwise(col("stop_cnt").cast("double") / col("tok_cnt"))
+            + lit(0.25) * (lit(1.0) - least(col("punct_cnt") * 16.0 / col("n_len"), lit(1.0))))
+            .as("quality"))
+        .orderBy("doc_id")
+    })
+
+  private val tx03 = Q("tx03_langid", Some("""
+    WITH scored AS (
+      SELECT lang,
+        len(regexp_extract_all(text, '(?i)\ble\b|(?i)\bla\b|(?i)\bles\b|(?i)\bet\b|(?i)\best\b|(?i)\bune\b')) AS s_fr,
+        len(regexp_extract_all(text, '(?i)\bel\b|(?i)\blos\b|(?i)\blas\b|(?i)\bes\b|(?i)\buna\b')) AS s_es,
+        len(regexp_extract_all(text, '(?i)\bder\b|(?i)\bdie\b|(?i)\bdas\b|(?i)\bund\b|(?i)\bist\b')) AS s_de,
+        len(regexp_extract_all(text, '(?i)\bthe\b|(?i)\band\b|(?i)\bis\b|(?i)\bof\b|(?i)\bthat\b')) AS s_en,
+        regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+      FROM documents)
+    SELECT lang,
+      CASE WHEN has_cjk THEN 'zh'
+           WHEN s_fr > s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+           WHEN s_es > s_en AND s_es > s_fr AND s_es >= s_de THEN 'es'
+           WHEN s_de > s_en AND s_de > s_fr AND s_de > s_es THEN 'de'
+           ELSE 'en' END AS predicted,
+      count(*) AS n
+    FROM scored GROUP BY 1, 2 ORDER BY lang, predicted"""),
+    (s, d) => T(s, d, "documents")
+      .withColumn("predicted", TextOps.langId(col("text")))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted"))
+
+  private val tx04 = Q("tx04_fingerprint", Some("""
+    SELECT doc_id,
+      CASE WHEN length(text) < 16 THEN md5(text)
+           ELSE list_aggregate(list_transform(generate_series(1, length(text) - 15, 8),
+                  i -> md5(substr(text, i, 16))), 'min') END AS fp
+    FROM documents ORDER BY doc_id"""),
+    (s, d) => T(s, d, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"))
+
+  private val mm01 = Q("mm01_binary_meta", Some("""
+    SELECT doc_id,
+      octet_length(encode(text)) AS byte_len,
+      md5(text) AS content_md5,
+      64 + octet_length(encode(text)) % 577 AS width,
+      64 + (octet_length(encode(text)) * 31) % 419 AS height
+    FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      val withPayload = MultimodalOps.withBinaryPayload(T(s, d, "documents"), "text")
+      val meta = MultimodalOps.payloadMeta(withPayload)
+        .select(col("doc_id"), col("byte_len"), col("content_md5"))
+      val dims = MultimodalOps.decodeDimensions(withPayload, "doc_id")
+      meta.join(dims, col("doc_id") === col("media_id"))
+        .select(col("doc_id"), col("byte_len"), col("content_md5"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
+    })
+
+  // =====================================================================
+  // C. Reference-parity extraction surface (SURVEY §2.9) — HTML built
+  // deterministically from corpus columns so the oracle can check the
+  // extraction semantics relationally.
+  // =====================================================================
+
+  private val ref01 = Q("ref01_extract_short_desc", Some("""
+    WITH pages AS (
+      SELECT p_partkey,
+        '<div class="layout2_code"><h1>' || p_brand || ', ' || p_name || '</h1></div>' AS html
+      FROM part WHERE p_partkey <= 500)
+    SELECT p_partkey, trim(regexp_extract(html, '<h1>[^,<]*,([^<]*)</h1>', 1)) AS short_description
+    FROM pages ORDER BY p_partkey"""),
+    (s, d) => {
+      val pages = T(s, d, "part").where(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          concat(lit("<div class=\"layout2_code\"><h1>"), col("p_brand"),
+            lit(", "), col("p_name"), lit("</h1></div>")).as("html"))
+      pages.select(col("p_partkey"),
+          graft.extract.Extractors.shortDescriptionUdf(col("html")).as("short_description"))
+        .orderBy("p_partkey")
+    })
+
+  // ---------------------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q22, q23,
+    dd01, dd02, dd03, dd04, dd05, ann01, ann02,
+    tx01, tx02, tx03, tx04, mm01, ref01)
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet scans over the test corpus (reference ops S1/S5 rebuilt on the
+  * Spark reader — see `/root/reference/crawler/src/utils/athena.py:30-54`
+  * and `/root/reference/crawler/src/utils/s3.py:71-72`).
+  *
+  * The reference eagerly materialised Athena results into driver RAM; here
+  * scans stay lazy and distributed: Catalyst pushes predicates and column
+  * pruning into the vectorized Parquet reader, so a downstream
+  * `select(a, b).filter(p)` reads only the touched columns/row groups —
+  * the property that makes the same code viable at 100 TB.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark's reader
+    * rejects (TIMESTAMP(NANOS) unsupported). Read nanos as long and
+    * floor-convert to a microsecond TimestampType — the same ns→µs
+    * truncation DuckDB's `epoch_us` applies, keeping the oracle exact.
+    */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame   = table(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame     = table(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame   = table(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame   = table(spark, d, "region")
+  def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    rawEvents(spark, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Register every corpus table as a temp view so `spark.sql(...)` — the
+    * Athena-replacement surface (SURVEY §3.2) — can name them directly.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val names = Seq("lineitem", "orders", "customer", "supplier", "part",
+      "nation", "region", "events", "documents", "embeddings")
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+  }
+}
