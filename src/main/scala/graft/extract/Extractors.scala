@@ -34,15 +34,31 @@ object Extractors {
   private def find(html: String, pattern: String): Option[String] =
     pattern.r.findFirstMatchIn(html).map(_.group(1))
 
-  /** Inner HTML of the first element whose opening tag matches
-    * `class=...`-style attributes. Non-greedy, single-level (the
-    * reference's selects are all shallow).
+  /** Inner HTML of the element whose opening tag matches `openTag` —
+    * *depth-balanced*: nested same-name tags are tracked so a container
+    * holding child divs yields its full inner HTML (a non-greedy
+    * `(.*?)</div>` would stop at the first child's close).
     */
+  private def balancedInner(html: String, openTag: String): Option[String] =
+    openTag.r.findFirstMatchIn(html).flatMap { m =>
+      val tag = "<([a-zA-Z0-9]+)".r.findFirstMatchIn(m.matched).map(_.group(1)).getOrElse("div")
+      val tokens = s"(?s)<$tag\\b[^>]*>|</$tag>".r
+      var depth = 1
+      var endIdx = -1
+      val it = tokens.findAllMatchIn(html.substring(m.end))
+      while (endIdx < 0 && it.hasNext) {
+        val t = it.next()
+        if (t.matched.startsWith("</")) { depth -= 1; if (depth == 0) endIdx = m.end + t.start }
+        else depth += 1
+      }
+      if (endIdx >= 0) Some(html.substring(m.end, endIdx)) else None
+    }
+
   private def divByClass(html: String, cls: String): Option[String] =
-    find(html, s"""(?s)<div[^>]*class="[^"]*\\b$cls\\b[^"]*"[^>]*>(.*?)</div>""")
+    balancedInner(html, s"""(?s)<div[^>]*class="[^"]*\\b$cls\\b[^"]*"[^>]*>""")
 
   private def byId(html: String, id: String): Option[String] =
-    find(html, s"""(?s)<(?:div|table|span)[^>]*id="$id"[^>]*>(.*?)</(?:div|table|span)>""")
+    balancedInner(html, s"""(?s)<(?:div|table|span)[^>]*id="$id"[^>]*>""")
 
   // ---- E1/E2/E6-ish page predicates (procedure_code.py:53-58) ----------
 

@@ -24,10 +24,10 @@ object ParquetSink {
   def writeDataset(df: DataFrame, path: String, mode: String = "overwrite",
       partitionCols: Seq[String] = Nil, tableName: Option[String] = None): Boolean = {
     if (df.isEmpty) return false // reference: "No data to load" no-op
-    var w = df.write.mode(mode).format("parquet").option("path", path)
+    var w = df.write.mode(mode).format("parquet")
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     tableName match {
-      case Some(t) => w.saveAsTable(t)
+      case Some(t) => w.option("path", path).saveAsTable(t)
       case None    => w.save(path)
     }
     true

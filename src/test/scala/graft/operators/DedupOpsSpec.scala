@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("antiJoinNew keeps only keys absent from the existing snapshot") {
+    val batch = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val existing = Seq("b", "x").toDF("k")
+    val out = DedupOps.antiJoinNew(batch, existing, "k")
+      .as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 1), ("c", 3)))
+    // result ⊆ batch and disjoint from existing keys (J1 contract)
+    assert(out.map(_._1).intersect(Set("b", "x")).isEmpty)
+  }
+
+  test("antiJoinNew does NOT dedup within the batch (reference semantics)") {
+    val batch = Seq("a", "a").toDF("k")
+    val out = DedupOps.antiJoinNew(batch, Seq("z").toDF("k"), "k")
+    assert(out.count() == 2)
+  }
+
+  test("exactDedup groups identical texts and keeps the min id") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(docs, "text", "doc_id")
+      .select("n_dups", "keep_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L), (1L, 3L)))
+  }
+
+  test("minhash candidates surface identical docs as a pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words here that share nothing at all ok"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, bands = 4, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("jaccard: identical shingle sets -> 1.0, disjoint -> 0.0") {
+    val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z")))
+      .toDF("s1", "s2", "s3")
+    val r = df.select(
+      DedupOps.jaccard(col("s1"), col("s2")).as("same"),
+      DedupOps.jaccard(col("s1"), col("s3")).as("diff"))
+      .as[(Double, Double)].head()
+    assert(r == ((1.0, 0.0)))
+  }
+
+  test("simhash: identical texts hash identically; hamming is 0") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val hs = DedupOps.simhash64(docs, "text", "doc_id")
+      .select("simhash").as[Long].collect()
+    assert(hs(0) == hs(1))
+    val d = spark.range(1).select(
+      DedupOps.hamming64(lit(hs(0)), lit(hs(1)))).as[Long].head()
+    assert(d == 0L)
+  }
+
+  test("shingles: short docs fall back to one joined-token shingle") {
+    val df = Seq("one two").toDF("text")
+      .select(DedupOps.tokens(col("text")).as("t"))
+      .select(DedupOps.shinglesFromTokens(col("t"), 3).as("sh"))
+    assert(df.as[Seq[String]].head() == Seq("one two"))
+  }
+}

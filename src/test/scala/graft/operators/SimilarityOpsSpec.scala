@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilarityOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: parallel -> 1, orthogonal -> 0, zero vector -> 0") {
+    val df = Seq((Seq(1f, 2f, 0f), Seq(2f, 4f, 0f), Seq(0f, 0f, 1f), Seq(0f, 0f, 0f)))
+      .toDF("a", "b", "c", "z")
+    val (par, ort, zer) = df.select(
+      SimilarityOps.cosine(col("a"), col("b")),
+      SimilarityOps.cosine(col("a"), col("c")),
+      SimilarityOps.cosine(col("a"), col("z"))).as[(Double, Double, Double)].head()
+    assert(math.abs(par - 1.0) < 1e-12 && ort == 0.0 && zer == 0.0)
+  }
+
+  test("bruteForceTopK ranks an exact duplicate vector first") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f)),   // duplicate of 0
+      (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)))
+      .toDF("id", "vec")
+    val top = SimilarityOps.bruteForceTopK(vecs.where(col("id") === 0), vecs, k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top.head == 1L)   // the duplicate
+    assert(top(1) == 2L)     // the near-neighbor
+  }
+
+  test("lshTopK only pairs vectors in the same sign bucket") {
+    val vecs = Seq(
+      (0L, Seq(1f, 1f, 1f, 1f)),
+      (1L, Seq(1f, 1f, 1f, 0.5f)),  // same bucket as 0
+      (2L, Seq(-1f, -1f, -1f, -1f))) // different bucket
+      .toDF("id", "vec")
+    val out = SimilarityOps.lshTopK(vecs.where(col("id") === 0), vecs, k = 5,
+      axes = 0 until 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+
+  test("embeddingNearDupPairs finds duplicates above threshold") {
+    val vecs = Seq(
+      (0L, Seq(1f, 2f, 3f, 4f)),
+      (1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, Seq(-4f, 3f, -2f, 1f)))
+      .toDF("id", "vec")
+    val pairs = SimilarityOps.embeddingNearDupPairs(vecs, threshold = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
