@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC source/sink surface — reference ops S3/S4 (Postgres scans,
+  * `postgres.py:35-46,88-96`) and K4/K5/K6 (append sink, DDL,
+  * multi-statement transaction, `postgres.py:19-86`).
+  *
+  * Reads use Spark's JDBC relation so predicate pushdown and
+  * partitioned parallel reads apply (`partitionColumn` options); the
+  * reference instead materialized every query into driver RAM.
+  *
+  * No database (or JDBC driver jar) ships in this environment, so these
+  * are exercised only at compile time here; the shapes follow the public
+  * Spark JDBC API.
+  */
+object Jdbc {
+
+  /** S3/S4: SQL query -> distributed DataFrame. */
+  def readQuery(spark: SparkSession, url: String, query: String,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.read.format("jdbc").option("url", url).option("query", query)
+    props.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  /** K4: append rows to schema.table (`use_column_names=True` analog —
+    * Spark's JDBC writer always writes by column name).
+    */
+  def writeAppend(df: DataFrame, url: String, table: String,
+      props: Map[String, String] = Map.empty): Unit = {
+    val p = new Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    df.write.mode("append").jdbc(url, table, p)
+  }
+
+  /** K5: driver-side DDL execution. */
+  def executeDdl(url: String, ddl: String, props: Map[String, String] = Map.empty): Unit =
+    executeTransaction(url, Seq(ddl), props)
+
+  /** K6: N statements, one commit, rollback on any failure
+    * (`postgres.py:19-33` semantics). Driver-side — Spark writers are
+    * not transactional.
+    */
+  def executeTransaction(url: String, statements: Seq[String],
+      props: Map[String, String] = Map.empty): Unit = {
+    val p = new Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, p)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try statements.foreach(st.execute)
+      finally st.close()
+      conn.commit()
+    } catch {
+      case e: Exception => conn.rollback(); throw e
+    } finally conn.close()
+  }
+}
