@@ -96,10 +96,15 @@ object DedupOps {
       ).as(Seq("band_id", "band_key")))
   }
 
-  /** Candidate near-dup pairs from LSH banding (id1 < id2, distinct). */
+  /** Candidate near-dup pairs from LSH banding (id1 < id2, distinct).
+    * The banded table is materialized once before the self-join — see
+    * [[Exec.materializeForSelfJoin]] for why (branch re-derivation +
+    * single-task pinning otherwise).
+    */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val b = minhashBands(df, textCol, idCol, shingleK, bands, rowsPerBand)
+    val b = Exec.materializeForSelfJoin(
+      minhashBands(df, textCol, idCol, shingleK, bands, rowsPerBand))
     val l = b.select(col("band_id"), col("band_key"), col(idCol).as("id1"))
     val r = b.select(col("band_id"), col("band_key"), col(idCol).as("id2"))
     l.join(r, Seq("band_id", "band_key"))

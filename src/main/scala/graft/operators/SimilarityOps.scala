@@ -89,7 +89,8 @@ object SimilarityOps {
     */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double,
       axes: Seq[Int] = 0 until 4, roundSim: Int = 4): DataFrame = {
-    val withBucket = df.select(col("id"), col("vec"), signBucket(col("vec"), axes).as("bucket"))
+    val withBucket = Exec.materializeForSelfJoin(
+      df.select(col("id"), col("vec"), signBucket(col("vec"), axes).as("bucket")))
     val l = withBucket.select(col("bucket"), col("id").as("id1"), col("vec").as("vec1"))
     val r = withBucket.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"))
     l.join(r, Seq("bucket"))

@@ -435,7 +435,8 @@ object Catalog {
   private val dd03 = Q("dd03_simhash", None,
     (s, d) => {
       val docs = DedupOps.simhash64(T(s, d, "documents"), "text", "doc_id")
-      val withBlock = docs.withColumn("block", shiftrightunsigned(col("simhash"), 48))
+      val withBlock = Exec.materializeForSelfJoin(
+        docs.withColumn("block", shiftrightunsigned(col("simhash"), 48)))
       val l = withBlock.select(col("block"), col("doc_id").as("id1"), col("simhash").as("h1"))
       val r = withBlock.select(col("block"), col("doc_id").as("id2"), col("simhash").as("h2"))
       l.join(r, Seq("block")).where(col("id1") < col("id2"))
@@ -469,11 +470,11 @@ object Catalog {
     WHERE l.doc_id < r.doc_id
     ORDER BY id1, id2"""),
     (s, d) => {
-      val sh = T(s, d, "documents")
+      val sh = Exec.materializeForSelfJoin(T(s, d, "documents")
         .select(col("doc_id"), DedupOps.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
           array_distinct(DedupOps.shinglesFromTokens(col("_toks"), 3)).as("shingles"))
-        .withColumn("block", array_min(transform(col("shingles"), x => md5(x))))
+        .withColumn("block", array_min(transform(col("shingles"), x => md5(x)))))
       val l = sh.select(col("block"), col("doc_id").as("id1"), col("shingles").as("sh1"))
       val r = sh.select(col("block"), col("doc_id").as("id2"), col("shingles").as("sh2"))
       l.join(r, Seq("block")).where(col("id1") < col("id2"))

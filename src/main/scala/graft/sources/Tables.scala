@@ -13,9 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the property that makes the same code viable at 100 TB.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events"     => events(spark, sfDir)
+    case "documents"  => documents(spark, sfDir)
+    case "embeddings" => embeddings(spark, sfDir)
+    case _            => spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** `events.ts` is nanosecond-precision parquet, which Spark's reader
     * rejects (TIMESTAMP(NANOS) unsupported). Read nanos as long and
@@ -38,8 +41,22 @@ object Tables {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     rawEvents(spark, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
-  def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+  /** `documents`/`embeddings` feed CPU-heavy per-row operators (shingling,
+    * hashing, vector math). Their test files are single-row-group parquet,
+    * so the scan yields ONE partition and all that compute would serialize
+    * on one core — rebalance to cluster parallelism first. At production
+    * scale scans produce far more splits than cores and this is a no-op
+    * (no shuffle is added).
+    */
+  private def rebalanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(spark: SparkSession, d: String): DataFrame =
+    rebalanced(spark.read.parquet(s"$d/documents.parquet"))
+  def embeddings(spark: SparkSession, d: String): DataFrame =
+    rebalanced(spark.read.parquet(s"$d/embeddings.parquet"))
 
   /** Register every corpus table as a temp view so `spark.sql(...)` — the
     * Athena-replacement surface (SURVEY §3.2) — can name them directly.
