@@ -26,13 +26,27 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(aggregate(a, lit(0d), (acc, x) => acc + x * x))
 
-  /** Cosine similarity; null-safe-ish: 0.0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity from built-in higher-order functions; 0.0 when
+    * either norm is 0. Kept as the dependency-free reference form — the
+    * hot path uses the fused native expression below (bit-identical).
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     val denom = norm(ad) * norm(bd)
     when(denom === 0d, lit(0d)).otherwise(dot(ad, bd) / denom)
   }
+
+  /** Cosine similarity — native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]: one fused loop, no
+    * intermediate arrays) when a session is active, composed form
+    * otherwise. Both produce bit-identical doubles.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => graft.functions.CosineSimilarity.cosineNative(s, a, b)
+      case None    => cosineComposed(a, b)
+    }
 
   /** Exact top-k neighbours for each query vector.
     *

@@ -386,6 +386,86 @@ object Catalog {
         queryName = "graft_stream_agg_" + math.abs(d.hashCode))
       .orderBy("window_start", "event_type"))
 
+  private val q24 = Q("q24_cube", Some("""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+      cast(round(sum(cast(l_quantity as decimal(12,2))), 2) as double) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+    (s, d) => T(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")))
+
+  // GROUPING SETS through the spark.sql surface (the Athena-replacement
+  // path, SURVEY §3.2): tables registered as temp views, query is SQL text.
+  private val q25 = Q("q25_grouping_sets", Some("""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    })
+
+  private val q26 = Q("q26_window_shift", Some("""
+    SELECT o_custkey, o_orderkey,
+      lag(o_totalprice) OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price,
+      dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank
+    FROM orders WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""),
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+      T(s, d, "orders").where(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          dense_rank().over(wp).as("prio_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+
+  private val q27 = Q("q27_union_all", Some("""
+    SELECT k, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders
+      UNION ALL
+      SELECT c_custkey AS k FROM customer)
+    GROUP BY k HAVING count(*) > 12 ORDER BY k"""),
+    (s, d) => T(s, d, "orders").select(col("o_custkey").as("k"))
+      .unionByName(T(s, d, "customer").select(col("c_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .where(col("n") > 12).orderBy("k"))
+
+  // HLL++ sketch cardinality — approximate by design, no exact oracle:
+  // the driver records the rows-only check.
+  private val q28 = Q("q28_approx_distinct", None,
+    (s, d) => T(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag"))
+
+  private val q29 = Q("q29_scalar_subq", Some("""
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    WHERE p_retailprice > (SELECT cast(sum(cast(p_retailprice as decimal(12,2))) as double)
+                                  / count(*) FROM part)
+    ORDER BY p_partkey"""),
+    (s, d) => {
+      val p = T(s, d, "part")
+      val threshold = p.agg(
+        (sum(d12(col("p_retailprice"))).cast("double") / count(lit(1))).as("t"))
+      p.join(broadcast(threshold), col("p_retailprice") > col("t"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    })
+
   // =====================================================================
   // B. LLM-training-data pipeline operators (north star, SURVEY §7.1/8)
   // =====================================================================
@@ -564,6 +644,50 @@ object Catalog {
         .orderBy("query_id", "rank")
     })
 
+  // Top-k via the custom Aggregator (map-side k-bounded reduction — the
+  // 100 TB path; see graft.functions.TopKAggregator). Same output
+  // contract as the window variant, checked against the same oracle
+  // shape on a disjoint query range.
+  private val ann03 = Q("ann03_topk_aggregator", Some("""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * c.e[i])))), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id >= 10 AND q.vec_id < 20)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.{Scored, TopKAggregator}
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = broadcast(emb.where(col("id") >= 10 && col("id") < 20)
+        .select(col("id").as("query_id"), col("vec").as("qvec")))
+      val scored = T(s, d, "embeddings")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+        .join(q, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"),
+          col("neighbor_id"),
+          round(SimilarityOps.cosine(col("qvec"), col("nvec")), 6).as("sim"))
+        .as[(Long, Long, Double)]
+      val topk = new TopKAggregator(10).toColumn
+      scored
+        .groupByKey(_._1)
+        .mapValues { case (_, id, sim) => Scored(id, sim) }
+        .agg(topk.name("topk"))
+        .toDF("query_id", "topk")
+        .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+        .select(col("query_id"), col("s.id").as("neighbor_id"),
+          col("s.score").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    })
+
   private val tx01 = Q("tx01_token_stats", Some("""
     WITH t AS (
       SELECT lang,
@@ -655,6 +779,23 @@ object Catalog {
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id"))
 
+  private val tx05 = Q("tx05_subword_stats", Some("""
+    WITH t AS (
+      SELECT lang,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE cast(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                  x -> 1 + cast(floor(greatest(length(x) - 1, 0) / 4.0) as int))) as int)
+        END AS sw
+      FROM documents)
+    SELECT lang, count(*) AS n_docs, sum(sw) AS total_subwords, max(sw) AS max_subwords
+    FROM t GROUP BY lang ORDER BY lang"""),
+    (s, d) => T(s, d, "documents")
+      .withColumn("sw", TextOps.subwordCount(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("sw").as("total_subwords"),
+        max("sw").as("max_subwords"))
+      .orderBy("lang"))
+
   private val mm01 = Q("mm01_binary_meta", Some("""
     SELECT doc_id,
       octet_length(encode(text)) AS byte_len,
@@ -700,7 +841,7 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    dd01, dd02, dd03, dd04, dd05, ann01, ann02,
-    tx01, tx02, tx03, tx04, mm01, ref01)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    dd01, dd02, dd03, dd04, dd05, ann01, ann02, ann03,
+    tx01, tx02, tx03, tx04, tx05, mm01, ref01)
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.operators.SimilarityOps
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native cosine expression is bit-identical to the composed form") {
+    val vecs = Seq(
+      (Seq(1.5f, -2.25f, 3.125f, 0.01f), Seq(0.5f, 2.75f, -1.125f, 9.99f)),
+      (Seq(0f, 0f, 0f, 0f), Seq(1f, 2f, 3f, 4f)),
+      (Seq(1f, 2f, 3f, 4f), Seq(1f, 2f, 3f, 4f)))
+      .toDF("a", "b")
+    val r = vecs.select(
+      SimilarityOps.cosineComposed(col("a"), col("b")).as("composed"),
+      graft.functions.CosineSimilarity.cosineNative(spark, col("a"), col("b")).as("native"))
+      .as[(Double, Double)].collect()
+    r.foreach { case (c, n) =>
+      assert(java.lang.Double.doubleToLongBits(c) == java.lang.Double.doubleToLongBits(n))
+    }
+  }
+
+  test("native cosine is registered for SQL") {
+    CosineSimilarity.register(spark)
+    val v = spark.sql(
+      "SELECT graft_cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .as[Double].head()
+    assert(v == 1.0)
+  }
+
+  test("TopKAggregator keeps k best with (score desc, id asc) order") {
+    val agg = new TopKAggregator(3)
+    val items = Seq(
+      Scored(5, 0.9), Scored(1, 0.5), Scored(2, 0.9), Scored(7, 0.1),
+      Scored(3, 0.7), Scored(9, 0.9))
+    val result = items.foldLeft(agg.zero)(agg.reduce)
+    assert(result == Seq(Scored(2, 0.9), Scored(5, 0.9), Scored(9, 0.9)))
+    // merge from split halves gives the same answer (map-side combine law)
+    val (h1, h2) = items.splitAt(3)
+    val merged = agg.merge(
+      h1.foldLeft(agg.zero)(agg.reduce), h2.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == result)
+  }
+
+  test("TopKAggregator end-to-end matches a window row_number top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = (1L to 100L).map(i => (i % 5, Scored(i, (i % 13).toDouble)))
+      .toDF("g", "s").as[(Long, Scored)]
+    val viaAgg = scored.groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAggregator(4).toColumn.name("topk"))
+      .toDF("g", "topk")
+      .select(col("g"), explode(col("topk")).as("s"))
+      .select(col("g"), col("s.id"), col("s.score"))
+      .as[(Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = scored.map { case (g, s) => (g, s.id, s.score) }
+      .toDF("g", "id", "score")
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 4)
+      .select("g", "id", "score").as[(Long, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+}
