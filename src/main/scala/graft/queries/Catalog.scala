@@ -466,6 +466,51 @@ object Catalog {
         .orderBy("p_partkey")
     })
 
+  // As-of join (no Spark built-in): union+window encoding in
+  // operators.AsOfJoin — one shuffle, linear, vs the quadratic
+  // nested-loop a theta join would plan. Oracle: DuckDB's native ASOF.
+  private val q30 = Q("q30_asof_join", Some("""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    signups AS (
+      SELECT user_id, ts, max(event_id) AS sig_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, s.sig_id,
+      epoch_us(c.ts) - epoch_us(s.ts) AS gap_us
+    FROM clicks c ASOF LEFT JOIN signups s
+      ON c.user_id = s.user_id AND c.ts >= s.ts
+    ORDER BY c.event_id"""),
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.where(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max("event_id").as("sig_id"))
+        .select(col("user_id"), col("ts"),
+          struct(col("sig_id"), unix_micros(col("ts")).as("sig_us")).as("sig"))
+      AsOfJoin.asofJoin(clicks, signups, "user_id", "ts", "sig")
+        .select(col("event_id"), col("user_id"),
+          col("sig.sig_id").as("sig_id"),
+          (unix_micros(col("ts")) - col("sig.sig_us")).as("gap_us"))
+        .orderBy("event_id")
+    })
+
+  private val q31 = Q("q31_range_join", Some("""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+      count(*) AS n_shipped_30d,
+      cast(round(sum(cast(l.l_quantity as decimal(12,2))), 2) as double) AS qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1 ORDER BY month"""),
+    (s, d) => T(s, d, "orders")
+      .join(T(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") >= col("o_orderdate")
+        && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_shipped_30d"), sumMoney(col("l_quantity")).as("qty"))
+      .orderBy("month"))
+
   // =====================================================================
   // B. LLM-training-data pipeline operators (north star, SURVEY §7.1/8)
   // =====================================================================
@@ -688,6 +733,70 @@ object Catalog {
         .orderBy("query_id", "rank")
     })
 
+  // IVF-style ANN: corpus assigned to nearest of 16 deterministic seed
+  // centroids (vec_id < 16); queries probe their top-2 cells; exact
+  // search only within probed cells. The cell equi-join is the shuffle
+  // key — candidate count is bounded by cell sizes, never O(n^2).
+  private val ivfCos = """round(list_sum(list_transform(generate_series(1, 64), i -> %s.e[i] * %s.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> %s.e[i] * %s.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> %s.e[i] * %s.e[i])))), 6)"""
+  private val ann04 = Q("ann04_ivf", Some(s"""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, e FROM v WHERE vec_id < 16),
+    scoredc AS (
+      SELECT v.vec_id, cent.cent_id,
+        ${ivfCos.format("v", "cent", "v", "v", "cent", "cent")} AS csim
+      FROM v CROSS JOIN cent),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        FROM scoredc) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        FROM scoredc WHERE vec_id >= 20 AND vec_id < 30) t WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+        ${ivfCos.format("q", "n", "q", "q", "n", "n")} AS sim
+      FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t WHERE rank <= 5
+    ORDER BY query_id, rank"""),
+    (s, d) => {
+      val emb = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val cent = broadcast(emb.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
+      val scoredC = emb.join(cent)
+        .select(col("vec_id"), col("cent_id"), col("embedding"),
+          round(SimilarityOps.cosine(col("embedding"), col("cvec")), 6).as("csim"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+      val ranked = scoredC.withColumn("rn", row_number().over(byVec))
+      val assigned = ranked.where(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+      val probes = ranked.where(col("vec_id") >= 20 && col("vec_id") < 30 && col("rn") <= 2)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+      val cand = probes.join(assigned, Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+      val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      val scored = cand.join(broadcast(q), Seq("query_id")).join(broadcast(n), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(SimilarityOps.cosine(col("qvec"), col("nvec")), 6).as("sim"))
+      val byQuery = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(byQuery)).where(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    })
+
   private val tx01 = Q("tx01_token_stats", Some("""
     WITH t AS (
       SELECT lang,
@@ -842,6 +951,7 @@ object Catalog {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    dd01, dd02, dd03, dd04, dd05, ann01, ann02, ann03,
+    q30, q31,
+    dd01, dd02, dd03, dd04, dd05, ann01, ann02, ann03, ann04,
     tx01, tx02, tx03, tx04, tx05, mm01, ref01)
 }
