@@ -27,4 +27,26 @@ object Exec {
     */
   def materializeForSelfJoin(df: DataFrame): DataFrame =
     df.localCheckpoint()
+
+  /** Salted inner equi-join for skewed keys: the skewed (large) side gets
+    * a deterministic salt derived from a row-identifying column, the
+    * small side is replicated `saltFactor` times, and the join key
+    * becomes (key, salt) — splitting each hot key's row group across
+    * `saltFactor` reducers.
+    *
+    * AQE's skew-join split handles most cases at runtime; explicit
+    * salting remains the tool when one key dominates so heavily that even
+    * split shuffle blocks overwhelm a task, or when AQE is off (stateful
+    * streaming). The salt is `hash(idCol) pmod saltFactor` — deterministic
+    * (safe under task retries), unlike `rand()`-based salting which can
+    * duplicate or drop rows when a task re-executes.
+    */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+      idCol: String, saltFactor: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val saltedLeft = skewed.withColumn("_salt", pmod(hash(col(idCol)), lit(saltFactor)))
+    val replicatedRight = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
+  }
 }

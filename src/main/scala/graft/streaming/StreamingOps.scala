@@ -15,6 +15,19 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
+  /** FileStreamSource requires a directory; when given a single parquet
+    * file, expose it through a temp-dir symlink.
+    */
+  private[streaming] def asSourceDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) path
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+      dir.toString
+    }
+  }
+
   /** Tumbling-window count/sum by event_type over a bounded parquet
     * directory, run as a real streaming query (complete mode, memory
     * sink) and returned as a DataFrame. Window starts are epoch-aligned,
@@ -24,17 +37,7 @@ object StreamingOps {
       window: String = "6 hours", queryName: String = "graft_stream_agg"): DataFrame = {
     // ns-precision source: read nanos as long, floor to µs (see Tables.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource requires a directory; when given a single parquet
-    // file, expose it through a temp dir symlink.
-    val srcDir = {
-      val p = java.nio.file.Paths.get(eventsPath)
-      if (java.nio.file.Files.isDirectory(p)) eventsPath
-      else {
-        val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
-        dir.toString
-      }
-    }
+    val srcDir = asSourceDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
