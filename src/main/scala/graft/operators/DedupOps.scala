@@ -149,6 +149,27 @@ object DedupOps {
     df.select(col(idCol), tokenHashes(col(textCol)).as("_th"))
       .select(col(idCol), simhashFromHashes(col("_th")).as("simhash"))
 
+  /** md5-derived 32-bit token hashes (top 8 hex nibbles of md5): slower
+    * than xxhash64 but reproducible in any engine with md5 — the
+    * oracle-checkable variant.
+    */
+  def tokenHashes32Md5(textCol: Column): Column =
+    transform(array_distinct(split(trim(textCol), "\\s+")),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** Pack a materialized 32-bit token-hash array into a 32-bit simhash. */
+  def simhashFromHashes32(tokHash: Column): Column =
+    (0 until 32).map { bit =>
+      val vote = aggregate(tokHash, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** 32-bit md5-based simhash per row (engine-portable; see above). */
+  def simhash32Md5(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), tokenHashes32Md5(col(textCol)).as("_th"))
+      .select(col(idCol), simhashFromHashes32(col("_th")).as("simhash"))
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

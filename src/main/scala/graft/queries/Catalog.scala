@@ -554,19 +554,41 @@ object Catalog {
         shingleK = 3, bands = 4, rowsPerBand = 4)
       .orderBy("id1", "id2"))
 
-  // SimHash near-dup: 64-bit fingerprint per doc + pairs within Hamming<=8
-  // blocked on the top-16-bit prefix. xxhash64-based -> not expressible in
-  // the oracle; driver records the rows-only check.
-  private val dd03 = Q("dd03_simhash", None,
+  // SimHash near-dup: 32-bit md5-derived fingerprint per doc + pairs
+  // within Hamming<=6 blocked on the top-16-bit prefix. Fully mirrored in
+  // the oracle (hex-nibble fold + bit votes). The faster xxhash64 64-bit
+  // variant lives in DedupOps.simhash64 (spec-tested).
+  private val dd03 = Q("dd03_simhash", Some("""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+        list_transform(t, x -> list_sum(list_transform(generate_series(1, 8),
+          i -> (strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1)
+               * (1::BIGINT << ((8 - i) * 4))))) AS hs
+      FROM toks),
+    sh AS (
+      SELECT doc_id,
+        cast(list_sum(list_transform(generate_series(0, 31),
+          j -> CASE WHEN len(list_filter(hs, v -> (v >> j) & 1 = 1)) * 2 > len(hs)
+                    THEN (1::BIGINT << j) ELSE 0 END)) as bigint) AS simhash
+      FROM h),
+    b AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sh)
+    SELECT l.doc_id AS id1, r.doc_id AS id2,
+      bit_count(xor(l.simhash, r.simhash)) AS hamming
+    FROM b l JOIN b r ON l.block = r.block AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
+    ORDER BY id1, id2"""),
     (s, d) => {
-      val docs = DedupOps.simhash64(T(s, d, "documents"), "text", "doc_id")
+      val docs = DedupOps.simhash32Md5(T(s, d, "documents"), "text", "doc_id")
       val withBlock = Exec.materializeForSelfJoin(
-        docs.withColumn("block", shiftrightunsigned(col("simhash"), 48)))
+        docs.withColumn("block", shiftrightunsigned(col("simhash"), 16)))
       val l = withBlock.select(col("block"), col("doc_id").as("id1"), col("simhash").as("h1"))
       val r = withBlock.select(col("block"), col("doc_id").as("id2"), col("simhash").as("h2"))
       l.join(r, Seq("block")).where(col("id1") < col("id2"))
         .withColumn("hamming", DedupOps.hamming64(col("h1"), col("h2")))
-        .where(col("hamming") <= 8)
+        .where(col("hamming") <= 6)
         .select("id1", "id2", "hamming")
         .orderBy("id1", "id2")
     })
