@@ -511,6 +511,39 @@ object Catalog {
       .agg(count(lit(1)).as("n_shipped_30d"), sumMoney(col("l_quantity")).as("qty"))
       .orderBy("month"))
 
+  private val q32 = Q("q32_min_per_group", Some("""
+    SELECT s.s_nationkey, s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY s_nationkey, s_suppkey"""),
+    (s, d) => {
+      // correlated-min subquery as a window min + equality filter:
+      // one shuffle on the group key instead of a re-scan per row
+      val w = Window.partitionBy("s_nationkey")
+      T(s, d, "supplier")
+        .withColumn("_min_bal", min("s_acctbal").over(w))
+        .where(col("s_acctbal") === col("_min_bal"))
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_nationkey", "s_suppkey")
+    })
+
+  private val q33 = Q("q33_conditional_agg", Some("""
+    SELECT strftime(date_trunc('year', o_orderdate), '%Y') AS year,
+      count(*) AS n_orders,
+      sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+      cast(round(sum(CASE WHEN o_orderstatus = 'F'
+                 THEN cast(o_totalprice as decimal(12,2))
+                 ELSE cast(0 as decimal(12,2)) END), 2) as double) AS filled_value
+    FROM orders GROUP BY 1 ORDER BY year"""),
+    (s, d) => T(s, d, "orders")
+      .groupBy(date_format(date_trunc("year", col("o_orderdate")), "yyyy").as("year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"),
+        round(sum(when(col("o_orderstatus") === "F", d12(col("o_totalprice")))
+          .otherwise(d12(lit(0)))), 2).cast("double").as("filled_value"))
+      .orderBy("year"))
+
   // =====================================================================
   // B. LLM-training-data pipeline operators (north star, SURVEY §7.1/8)
   // =====================================================================
@@ -973,7 +1006,7 @@ object Catalog {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31,
+    q30, q31, q32, q33,
     dd01, dd02, dd03, dd04, dd05, ann01, ann02, ann03, ann04,
     tx01, tx02, tx03, tx04, tx05, mm01, ref01)
 }
