@@ -833,7 +833,9 @@ object Catalog {
         .select(col("vec_id"), col("cent_id"), col("embedding"),
           round(SimilarityOps.cosine(col("embedding"), col("cvec")), 6).as("csim"))
       val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
-      val ranked = scoredC.withColumn("rn", row_number().over(byVec))
+      // materialize: `ranked` feeds both assigned and probes branches
+      val ranked = Exec.materializeForSelfJoin(
+        scoredC.withColumn("rn", row_number().over(byVec)))
       val assigned = ranked.where(col("rn") === 1)
         .select(col("vec_id"), col("cent_id").as("cell"))
       val probes = ranked.where(col("vec_id") >= 20 && col("vec_id") < 30 && col("rn") <= 2)
