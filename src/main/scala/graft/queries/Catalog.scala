@@ -679,13 +679,13 @@ object Catalog {
     WHERE l.vec_id < r.vec_id
       AND round(list_sum(list_transform(generate_series(1, 64), i -> l.e[i] * r.e[i]))
         / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> l.e[i] * l.e[i])))
-         * sqrt(list_sum(list_transform(generate_series(1, 64), i -> r.e[i] * r.e[i])))), 4) >= 0.5
+         * sqrt(list_sum(list_transform(generate_series(1, 64), i -> r.e[i] * r.e[i])))), 4) >= 0.35
     ORDER BY id1, id2"""
 
   private val dd05 = Q("dd05_embed_neardup", Some(ddEmbedSql),
     (s, d) => SimilarityOps.embeddingNearDupPairs(
         T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
-        threshold = 0.5, axes = 0 until 4, roundSim = 4)
+        threshold = 0.35, axes = 0 until 4, roundSim = 4)
       .orderBy("id1", "id2"))
 
   private val ann01 = Q("ann01_bruteforce_topk", Some("""
