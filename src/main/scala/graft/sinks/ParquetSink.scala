@@ -40,6 +40,19 @@ object ParquetSink {
   def writeSingleFile(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
+  /** Bucketed catalog write: co-locates future joins/aggregations on
+    * `bucketCol` — two tables bucketed the same way join with NO exchange
+    * (verified in ParquetSinkSpec by plan inspection). At 100 TB this is
+    * the difference between re-shuffling the fact table on every join and
+    * shuffling once at write time.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** K3: path delete (the reference listed+deleted S3 objects; here the
     * Hadoop FileSystem handles any scheme).
     */

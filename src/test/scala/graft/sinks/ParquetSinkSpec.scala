@@ -37,6 +37,24 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(parts == 1)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    ParquetSink.writeBucketed(a, "graft_bucket_a", "k", 8)
+    ParquetSink.writeBucketed(b, "graft_bucket_b", "k", 8)
+    // force the shuffle-join path: a broadcast would also skip the
+    // exchange but wouldn't prove bucket co-location
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("K3: deletePath removes the directory") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/t4"
     val df = Seq(1).toDF("x")
