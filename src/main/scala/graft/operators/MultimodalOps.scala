@@ -39,6 +39,22 @@ object MultimodalOps {
     df.withColumn("byte_len", length(col("payload")))
       .withColumn("content_md5", md5(col("payload")))
 
+  /** Frame sampling over binary payloads: fixed-length byte frames at a
+    * stride (the video-frame / audio-window access pattern), all in
+    * codegen'd expressions — `sequence` positions, binary `substr`
+    * slices, `posexplode`. Short payloads yield one truncated frame.
+    * Narrow op: frames explode within the partition, no shuffle.
+    */
+  def frameSample(df: DataFrame, payloadCol: String, idCol: String,
+      frameLen: Int, stride: Int): DataFrame =
+    df.select(col(idCol), col(payloadCol))
+      .withColumn("_pos", sequence(lit(1),
+        greatest(length(col(payloadCol)) - (frameLen - 1), lit(1)), lit(stride)))
+      .select(col(idCol), posexplode(transform(col("_pos"),
+        i => col(payloadCol).substr(i, lit(frameLen)))).as(Seq("frame_idx", "frame")))
+      .withColumn("frame_len", length(col("frame")))
+      .withColumn("frame_md5", md5(col("frame")))
+
   /** STUB — deterministic fake media decode. A real implementation would
     * decode image dimensions / audio duration from the payload bytes
     * here; the container has no codec libs, so dimensions are derived

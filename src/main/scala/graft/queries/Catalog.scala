@@ -980,6 +980,64 @@ object Catalog {
         .orderBy("doc_id")
     })
 
+  // Binary frame sampling (video-frame/audio-window access pattern) over
+  // utf8 payloads; oracle mirrors the byte slices via text substr (the
+  // corpus is ASCII, so byte frames == char frames, md5s included).
+  private val mm02 = Q("mm02_frame_sample", Some("""
+    WITH f AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(length(text) - 63, 1), 48),
+          p -> md5(substr(text, p, 64))) AS md5s,
+        list_transform(generate_series(1, greatest(length(text) - 63, 1), 48),
+          p -> length(substr(text, p, 64))) AS lens
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+      unnest(generate_series(0, len(md5s) - 1)) AS frame_idx,
+      unnest(lens) AS frame_len,
+      unnest(md5s) AS frame_md5
+    FROM f ORDER BY doc_id, frame_idx"""),
+    (s, d) => MultimodalOps.frameSample(
+        MultimodalOps.withBinaryPayload(
+          T(s, d, "documents").where(col("doc_id") < 200), "text"),
+        "payload", "doc_id", frameLen = 64, stride = 48)
+      .select("doc_id", "frame_idx", "frame_len", "frame_md5")
+      .orderBy("doc_id", "frame_idx"))
+
+  // TF-IDF: term frequencies per doc, document frequencies, top-3 terms
+  // per doc ranked by tf*ln((N+1)/(df+1)). Output carries only the
+  // integer tf/df (the float tfidf orders but never leaves the engine).
+  private val tx06 = Q("tx06_tfidf", Some("""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE tf.doc_id < 100)
+    SELECT doc_id, term, tf, df, rank FROM (
+      SELECT doc_id, term, tf, df,
+        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored) t
+    WHERE rank <= 3 ORDER BY doc_id, rank"""),
+    (s, d) => {
+      val toks = T(s, d, "documents")
+        .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = T(s, d, "documents").agg(count(lit(1)).as("n"))
+      val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+        .where(col("doc_id") < 100)
+        .withColumn("tfidf", col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+        .orderBy("doc_id", "rank")
+    })
+
   // =====================================================================
   // C. Reference-parity extraction surface (SURVEY §2.9) — HTML built
   // deterministically from corpus columns so the oracle can check the
@@ -1010,5 +1068,5 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33,
     dd01, dd02, dd03, dd04, dd05, ann01, ann02, ann03, ann04,
-    tx01, tx02, tx03, tx04, tx05, mm01, ref01)
+    tx01, tx02, tx03, tx04, tx05, tx06, mm01, mm02, ref01)
 }

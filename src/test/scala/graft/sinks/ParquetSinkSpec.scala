@@ -40,6 +40,20 @@ class ParquetSinkSpec extends AnyFunSuite {
   test("bucketed tables join without a shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    // a previous JVM's managed-table location survives the in-memory
+    // catalog; clear both the entry and the directory
+    for (t <- Seq("graft_bucket_a", "graft_bucket_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     ParquetSink.writeBucketed(a, "graft_bucket_a", "k", 8)
     ParquetSink.writeBucketed(b, "graft_bucket_b", "k", 8)
     // force the shuffle-join path: a broadcast would also skip the
