@@ -276,6 +276,10 @@ object Extractors {
 
   val shortDescriptionUdf = udf((html: String) =>
     if (html == null) null else getShortDescription(html).orNull)
+  /** E8 as a table-valued UDF: rows explode into the modifiers relation. */
+  val modifierRowsUdf = udf((html: String) =>
+    if (html == null) Seq.empty[graft.schema.Modifier]
+    else getModifierRows(html).map { case (m, d) => graft.schema.Modifier(m, d) })
   val longDescriptionUdf = udf((html: String) =>
     if (html == null) null else getLongDescription(html).orNull)
   val is404Udf = udf((html: String) => html != null && isError404Page(html))

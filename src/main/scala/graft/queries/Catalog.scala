@@ -1061,6 +1061,30 @@ object Catalog {
         .orderBy("p_partkey")
     })
 
+  // E8/E20 table-valued extraction: HTML built per region holding one
+  // modifier-table row per nation; the extraction UDF parses the rows
+  // back out and explode() forms the child relation — checked against
+  // the relational identity the HTML was built from.
+  private val ref02 = Q("ref02_extract_modifiers", Some("""
+    SELECT r.r_name, cast(n.n_nationkey as varchar) AS modifier, n.n_name AS description
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    ORDER BY r_name, modifier"""),
+    (s, d) => {
+      val joined = T(s, d, "region")
+        .join(T(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+      val pages = joined.groupBy("r_name")
+        .agg(concat(lit("""<div class="modcross_list"><table>"""),
+          array_join(transform(
+            array_sort(collect_list(struct(col("n_nationkey"), col("n_name")))),
+            x => concat(lit("<tr><td>"), x.getField("n_nationkey").cast("string"),
+              lit("</td><td>"), x.getField("n_name"), lit("</td></tr>"))), ""),
+          lit("</table></div>")).as("html"))
+      pages.select(col("r_name"),
+          explode(graft.extract.Extractors.modifierRowsUdf(col("html"))).as("m"))
+        .select(col("r_name"), col("m.modifier"), col("m.description"))
+        .orderBy("r_name", "modifier")
+    })
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1068,5 +1092,5 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33,
     dd01, dd02, dd03, dd04, dd05, ann01, ann02, ann03, ann04,
-    tx01, tx02, tx03, tx04, tx05, tx06, mm01, mm02, ref01)
+    tx01, tx02, tx03, tx04, tx05, tx06, mm01, mm02, ref01, ref02)
 }
