@@ -60,6 +60,26 @@ object Extractors {
   private def byId(html: String, id: String): Option[String] =
     balancedInner(html, s"""(?s)<(?:div|table|span)[^>]*id="$id"[^>]*>""")
 
+  /** Inner HTML of every div whose class list contains ALL of `classes`,
+    * in document order (BeautifulSoup `find_all` order — parents before
+    * children), depth-balanced.
+    */
+  private def allDivsByClasses(html: String, classes: Seq[String]): Seq[String] = {
+    val classLookaheads = classes.map(c => s"""(?=[^"]*\\b$c\\b)""").mkString
+    val open = (s"""(?s)<div[^>]*class="$classLookaheads[^"]*"[^>]*>""").r
+    open.findAllMatchIn(html).flatMap { m =>
+      balancedInner(html.substring(m.start), open.pattern.pattern)
+    }.toSeq
+  }
+
+  /** Inner HTML of every div, document order, depth-balanced. */
+  private def allDivs(html: String): Seq[String] = {
+    val open = "(?s)<div\\b[^>]*>".r
+    open.findAllMatchIn(html).flatMap { m =>
+      balancedInner(html.substring(m.start), "(?s)<div\\b[^>]*>")
+    }.toSeq
+  }
+
   // ---- E1/E2/E6-ish page predicates (procedure_code.py:53-58) ----------
 
   /** E1: `div.container404` exists (`:53-54`). */
@@ -78,13 +98,64 @@ object Extractors {
 
   // ---- E3: deleted-branch fields (procedure_code.py:60-111) ------------
 
-  /** Free-text deletion date from the alert div (`:66-70`). */
+  /** Free-text deletion date from the `alert alert-danger` div (`:66-70`). */
   def getDateDeleted(html: String): Option[String] =
-    divByClass(html, "alert").map(textOf).filter(_.nonEmpty)
+    allDivsByClasses(html, Seq("alert", "alert-danger")).headOption
+      .map(textOf).filter(_.nonEmpty)
 
-  /** Deleted-page advice: text after an `Advice:` heading (`:75-86`). */
+  /** Deleted-page advice (`:72-82`): the FIRST div in document order
+    * whose text contains "Advice:" (the reference scans every div —
+    * outermost containers first, quirk preserved); prefer that div's
+    * first `<p>` text, else the text after "Advice:".
+    */
   def getDeletedAdvice(html: String): Option[String] =
-    find(html, "(?s)Advice:\\s*</[^>]+>(.*?)</div>").map(textOf).filter(_.nonEmpty)
+    allDivs(html).find(d => textOf(d).contains("Advice:")).map { d =>
+      find(d, "(?s)<p[^>]*>(.*?)</p>") match {
+        case Some(p) => textOf(p)
+        case None =>
+          val t = textOf(d)
+          val i = t.indexOf("Advice:")
+          if (i >= 0) t.substring(i + "Advice:".length).trim else t.trim
+      }
+    }.map(normWs).filter(_.nonEmpty)
+
+  /** Deleted-page lay term (`:84-90`): among `panel-body tab-pane` divs,
+    * the first whose text contains BOTH "The provider administers the
+    * first dose" and "COVID–19" (en dash — the reference's COVID-specific
+    * match, quirk preserved).
+    */
+  def getDeletedLayTerm(html: String): Option[String] =
+    allDivsByClasses(html, Seq("panel-body", "tab-pane")).map(textOf)
+      .find(t => t.contains("The provider administers the first dose")
+        && t.contains("COVID–19"))
+
+  /** Deleted-page guidelines (`:92-97`): first `panel-body tab-pane` div
+    * containing "Guidelines found", "No CPT", or "No HCPCS".
+    */
+  def getDeletedGuidelines(html: String): Option[String] =
+    allDivsByClasses(html, Seq("panel-body", "tab-pane")).map(textOf)
+      .find(t => t.contains("Guidelines found") || t.contains("No CPT")
+        || t.contains("No HCPCS"))
+
+  /** Deleted-page descriptor (`:99-108`): the `panel panel-default` whose
+    * `panel-heading` contains "Code Descriptor"; text of its
+    * `panel-body tab-pane`.
+    */
+  def getDeletedDescription(html: String): Option[String] =
+    allDivsByClasses(html, Seq("panel", "panel-default")).collectFirst {
+      case panel if divByClass(panel, "panel-heading").exists(_.contains("Code Descriptor")) =>
+        allDivsByClasses(panel, Seq("panel-body", "tab-pane")).headOption.map(textOf)
+    }.flatten.filter(_.nonEmpty)
+
+  /** E3 composite (`:60-111`): the 5-tuple, or None when the page has no
+    * Deleted span marker.
+    */
+  def getDeleted(html: String): Option[(Option[String], Option[String],
+      Option[String], Option[String], Option[String])] =
+    if (!isDeletedCode(html)) None
+    else Some((getDateDeleted(html), getDeletedAdvice(html),
+      getDeletedLayTerm(html), getDeletedGuidelines(html),
+      getDeletedDescription(html)))
 
   // ---- E4/E5: descriptions (procedure_code.py:113-136) -----------------
 

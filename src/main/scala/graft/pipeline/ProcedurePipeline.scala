@@ -75,23 +75,24 @@ object ProcedurePipeline {
       val ct = codeType(code)
       val isCpt = ct == "CPT"
 
-      if (Extractors.isDeletedCode(html)) {
-        // deleted branch (`:572-599`): sparse row, 15 nulls, no children
-        val (_, lay) = Extractors.getLayTerm(html)
-        val row = ProcedureCodeRow(
-          code = code, code_type = ct,
-          main_interval = None, main_interval_name = None, modifiers = None,
-          short_description = None, long_description = None,
-          description = Extractors.getOfficialDescriptor(html),
-          summary = None,
-          date_deleted = Extractors.getDateDeleted(html),
-          betos_code = None, betos_description = None,
-          guidelines = Extractors.getGuidelines(html),
-          advice = Extractors.getDeletedAdvice(html).orElse(Extractors.getAdvice(html)),
-          lay_term = lay,
-          report = None, revenue_lookup = None, icd10_cm = None,
-          ndc_alternate_id = None, icd_10_pcs_x = None, cpt_code_symbols = None)
-        return Some(ParsedPage(row, Nil, Nil))
+      Extractors.getDeleted(html) match {
+        case Some((dateDeleted, advice, layTerm, guidelines, description)) =>
+          // deleted branch (`:572-599`): sparse row, 15 nulls, no children
+          val row = ProcedureCodeRow(
+            code = code, code_type = ct,
+            main_interval = None, main_interval_name = None, modifiers = None,
+            short_description = None, long_description = None,
+            description = description,
+            summary = None,
+            date_deleted = dateDeleted,
+            betos_code = None, betos_description = None,
+            guidelines = guidelines,
+            advice = advice,
+            lay_term = layTerm,
+            report = None, revenue_lookup = None, icd10_cm = None,
+            ndc_alternate_id = None, icd_10_pcs_x = None, cpt_code_symbols = None)
+          return Some(ParsedPage(row, Nil, Nil))
+        case None => ()
       }
 
       val modRows = Extractors.getModifierRows(html)

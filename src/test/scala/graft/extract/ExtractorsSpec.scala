@@ -131,4 +131,33 @@ class ExtractorsSpec extends AnyFunSuite {
   test("whitespace normalization matches ' '.join(s.split())") {
     assert(Extractors.normWs("  a\t b\n\nc  ") == "a b c")
   }
+
+  val pageDeletedFull = """
+    <html><body>
+    <span>Code Deleted</span>
+    <div class="alert alert-danger">Deleted  effective
+      December 31, 2021</div>
+    <div class="row"><div class="col">Advice: see the crosswalk</div></div>
+    <div class="panel-body tab-pane">The provider administers the first dose
+      of the COVID–19 vaccine</div>
+    <div class="panel-body tab-pane">Guidelines found in the archive</div>
+    <div class="panel panel-default">
+      <div class="panel-heading">Code Descriptor</div>
+      <div class="panel-body tab-pane">Immunization administration</div>
+    </div>
+    </body></html>"""
+
+  test("E3: deleted branch — 5-tuple with the reference's quirks") {
+    val Some((date, advice, lay, guide, desc)) = Extractors.getDeleted(pageDeletedFull)
+    assert(date.contains("Deleted effective December 31, 2021")) // ws-normalized
+    // document-order div scan: the outer .row contains 'Advice:' and has
+    // no <p>, so the split-after-marker path fires (reference quirk)
+    assert(advice.contains("see the crosswalk"))
+    // COVID en-dash match on panel-body tab-pane text
+    assert(lay.exists(_.contains("COVID–19 vaccine")))
+    assert(guide.exists(_.startsWith("Guidelines found")))
+    assert(desc.contains("Immunization administration"))
+    // no Deleted span -> None
+    assert(Extractors.getDeleted("<div>nothing here</div>").isEmpty)
+  }
 }

@@ -37,7 +37,12 @@ class ProcedurePipelineSpec extends AnyFunSuite {
     <html><body>
     <span>Deleted</span>
     <div class="alert alert-danger">This code was deleted effective January 1, 2023</div>
-    <div class="panel panel-default">Code Descriptor</strong> Old descriptor text</div>
+    <div class="advice-block">Coding Advice: <p>Use the replacement code instead</p></div>
+    <div class="panel-body tab-pane">No CPT guidelines for this code</div>
+    <div class="panel panel-default">
+      <div class="panel-heading">Code Descriptor</div>
+      <div class="panel-body tab-pane">Old descriptor text</div>
+    </div>
     </body></html>"""
 
   val fetcher = new FixtureFetcher(Map(
@@ -67,7 +72,9 @@ class ProcedurePipelineSpec extends AnyFunSuite {
   test("E20 parse: deleted-code branch builds the sparse row") {
     val parsed = ProcedurePipeline.parsePage("D0001", deletedPage).get
     assert(parsed.row.date_deleted.exists(_.contains("deleted effective January 1, 2023")))
-    assert(parsed.row.description.exists(_.contains("Old descriptor text")))
+    assert(parsed.row.advice.contains("Use the replacement code instead"))
+    assert(parsed.row.guidelines.contains("No CPT guidelines for this code"))
+    assert(parsed.row.description.contains("Old descriptor text"))
     assert(parsed.row.main_interval.isEmpty && parsed.row.betos_code.isEmpty)
     assert(parsed.modifier_rows.isEmpty && parsed.ndc_rows.isEmpty)
   }
