@@ -262,20 +262,26 @@ object Extractors {
 
   // ---- E14: revenue lookup (procedure_code.py:304-341) -----------------
 
+  private def pointsTable(pane: String): Option[String] =
+    balancedInner(pane, """(?s)<table[^>]*class="[^"]*\bpoints_table\b[^"]*"[^>]*>""")
+
   /** E14: revenue codes from `#cpt_revenue_cross > table.points_table`
-    * first-column cells. Distinguishes "Data Not Available" → None from
-    * an empty table → Some(Nil) (`:317-319` vs `:321-339`).
+    * first-column cells, header row skipped (`rows[1:]`, `:325`).
+    * Distinguishes "Data Not Available" → None (`:317-319`), missing
+    * table → None (`:335`), and empty extraction → Some(Nil) (`:332`).
     */
   def getRevenueCodeLookup(html: String): Option[Seq[String]] =
     byId(html, "cpt_revenue_cross").flatMap { pane =>
       if (pane.contains("Data Not Available")) None
-      else Some(firstColumnCells(pane))
+      else pointsTable(pane).map(tbl => firstColumnCells(tbl, skipHeader = true))
     }
 
-  private def firstColumnCells(tableHtml: String): Seq[String] =
-    "(?s)<tr[^>]*>(.*?)</tr>".r.findAllMatchIn(tableHtml).flatMap { tr =>
+  private def firstColumnCells(tableHtml: String, skipHeader: Boolean = false): Seq[String] = {
+    val rows = "(?s)<tr[^>]*>(.*?)</tr>".r.findAllMatchIn(tableHtml).toSeq
+    (if (skipHeader) rows.drop(1) else rows).flatMap { tr =>
       "(?s)<td[^>]*>(.*?)</td>".r.findFirstMatchIn(tr.group(1)).map(m => textOf(m.group(1)))
-    }.filter(_.nonEmpty).toSeq
+    }.filter(_.nonEmpty)
+  }
 
   // ---- E15: ICD-10-CM (procedure_code.py:343-403) ----------------------
 
@@ -313,9 +319,13 @@ object Extractors {
 
   // ---- E17: ICD-10-PCS (procedure_code.py:447-478) ---------------------
 
-  /** E17: PCS codes from `#pcsdata` tables (`:447-478`). */
+  /** E17: PCS codes from `#pcsdata > table.points_table` tbody rows;
+    * empty extraction stays None (`:447-478`, `pcs_codes if pcs_codes
+    * else None`).
+    */
   def getIcdPcsX(html: String): Option[Seq[String]] =
-    byId(html, "pcsdata").map(firstColumnCells).filter(_.nonEmpty)
+    byId(html, "pcsdata").flatMap(pointsTable)
+      .map(firstColumnCells(_)).filter(_.nonEmpty)
 
   // ---- E18: CPT symbols (procedure_code.py:480-519) --------------------
 
@@ -329,11 +339,15 @@ object Extractors {
       else find(html, s"""(?s)<div[^>]*class="[^"]*\\bbox-detail\\b[^"]*"[^>]*>(.*?)$$""")
     container.map { c =>
       "(?s)<div[^>]*class=\"[^\"]*\\bicon-dic-o\\b[^\"]*\"[^>]*>(.*?)</div>".r
-        .findAllMatchIn(c).map(m => textOf(m.group(1)))
-        .map { t =>
+        .findAllMatchIn(c)
+        // HCPCS branch strips <img> tags before reading text (`:509-510`)
+        .map(m => textOf(m.group(1).replaceAll("(?s)<img[^>]*>", "")))
+        // split-once on colon; entries WITHOUT a colon are dropped
+        // (`parts = split(':', 1); if len(parts) == 2`, `:496,515`)
+        .flatMap { t =>
           val i = t.indexOf(':')
-          if (i >= 0) t.substring(i + 1).trim else t
-        }.filter(_.nonEmpty).toSeq
+          if (i >= 0) Some(t.substring(i + 1).trim).filter(_.nonEmpty) else None
+        }.toSeq
     }.filter(_.nonEmpty)
   }
 

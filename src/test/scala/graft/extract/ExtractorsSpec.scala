@@ -30,6 +30,7 @@ class ExtractorsSpec extends AnyFunSuite {
       Full lay explanation of the test <a href="#">Read Less</a></div>
     <div id="cpt_report">Reported with modifier 90</div>
     <div id="cpt_revenue_cross"><table class="points_table">
+      <tr><th>Revenue Code</th><th>Description</th></tr>
       <tr><td>0300</td><td>Laboratory</td></tr>
       <tr><td>0301</td><td>Chemistry</td></tr>
     </table></div>
@@ -110,6 +111,12 @@ class ExtractorsSpec extends AnyFunSuite {
   test("E14: revenue lookup distinguishes null (unavailable) from rows") {
     assert(Extractors.getRevenueCodeLookup(pageCpt).contains(Seq("0300", "0301")))
     assert(Extractors.getRevenueCodeLookup(pageRevenueUnavailable).isEmpty)
+    // missing table -> None; header-only table -> Some(empty)
+    assert(Extractors.getRevenueCodeLookup(
+      """<div id="cpt_revenue_cross">no table yet</div>""").isEmpty)
+    assert(Extractors.getRevenueCodeLookup(
+      """<div id="cpt_revenue_cross"><table class="points_table">
+         <tr><th>h</th></tr></table></div>""").contains(Seq.empty))
   }
 
   test("E16: NDC rows -> 5-field entries + alternate-id list") {

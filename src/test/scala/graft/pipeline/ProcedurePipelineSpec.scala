@@ -26,6 +26,7 @@ class ProcedurePipelineSpec extends AnyFunSuite {
     <div id="fullLayterm"><p>Summary text.</p>Lay explanation <a href="#">Read Less</a></div>
     <div id="cpt_report">Report with 26</div>
     <div id="cpt_revenue_cross"><table class="points_table">
+      <tr><th>Code</th><th>Desc</th></tr>
       <tr><td>0350</td><td>CT Scan</td></tr></table></div>
     <div id="ndc"><table>
       <tr><td>11111-222-33</td><td>ContrastX</td><td>Maker A</td><td>10 ml</td><td>ML</td></tr>
@@ -103,6 +104,17 @@ class ProcedurePipelineSpec extends AnyFunSuite {
     val ndc = spark.read.parquet(s"$base/ndc")
       .select("ndc_alternate_id").as[String].collect().toSet
     assert(ndc == Set("44444-555-66")) // snapshot id deduped
+  }
+
+  test("X1 chunk-equivalence: output invariant under fetch partitioning") {
+    // SURVEY §5 item 2: the chunked execution model must not change
+    // results — same parsed output at 1 and 4 fetch partitions
+    def parse(nPartitions: Int) = ProcedurePipeline
+      .extract(spark, Seq("0042T", "D0001", "GONE1").toDF("code"), fetcher, nPartitions)
+      .collect().map(p => (p.row.code, p.row.short_description,
+        p.modifier_rows.size, p.ndc_rows.size)).toSet
+    assert(parse(1) == parse(4))
+    assert(parse(1).map(_._1) == Set("0042T", "D0001"))
   }
 
   test("error channel swallows its own failures and records the row") {
