@@ -544,6 +544,21 @@ object Catalog {
           .otherwise(d12(lit(0)))), 2).cast("double").as("filled_value"))
       .orderBy("year"))
 
+  private val q34 = Q("q34_percentiles", Some("""
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS median_qty,
+      quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      min(l_extendedprice) AS min_price,
+      max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => T(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag"))
+
   // =====================================================================
   // B. LLM-training-data pipeline operators (north star, SURVEY §7.1/8)
   // =====================================================================
@@ -1090,7 +1105,7 @@ object Catalog {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33,
+    q30, q31, q32, q33, q34,
     dd01, dd02, dd03, dd04, dd05, ann01, ann02, ann03, ann04,
     tx01, tx02, tx03, tx04, tx05, tx06, mm01, mm02, ref01, ref02)
 }
