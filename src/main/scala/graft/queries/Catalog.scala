@@ -307,9 +307,12 @@ object Catalog {
         .groupBy("code").agg(count(lit(1)).as("n")).orderBy("code")
     })
 
+  // NOTE (oracle parity): DuckDB sum(int) returns HUGEINT which lands in
+  // pandas as float64 ("7.0" vs Spark's long "7" under the driver's value
+  // hash). Every integer SUM in an oracle is cast back to BIGINT.
   private val q17 = Q("q17_json_extract", Some("""
     SELECT event_type,
-      sum(cast(json_extract_string(props, '$.k') as int)) AS sum_k,
+      cast(sum(cast(json_extract_string(props, '$.k') as int)) as bigint) AS sum_k,
       max(cast(json_extract_string(props, '$.k') as int)) AS max_k,
       count(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type"""),
@@ -357,7 +360,7 @@ object Catalog {
              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, cast(sum(new_session) as bigint) AS n_sessions, count(*) AS n_events
     FROM flagged GROUP BY user_id ORDER BY user_id"""),
     (s, d) => SessionOps.sessionStats(T(s, d, "events"), 1800d)
       .select(col("user_id"), col("n_sessions").cast("long").as("n_sessions"), col("n_events"))
@@ -531,7 +534,7 @@ object Catalog {
   private val q33 = Q("q33_conditional_agg", Some("""
     SELECT strftime(date_trunc('year', o_orderdate), '%Y') AS year,
       count(*) AS n_orders,
-      sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+      cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) as bigint) AS n_urgent,
       cast(round(sum(CASE WHEN o_orderstatus = 'F'
                  THEN cast(o_totalprice as decimal(12,2))
                  ELSE cast(0 as decimal(12,2)) END), 2) as double) AS filled_value
@@ -876,17 +879,17 @@ object Catalog {
              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         n_chars
       FROM documents)
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-      max(n_tokens) AS max_tokens,
+    SELECT lang, count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS total_tokens,
+      cast(max(n_tokens) as bigint) AS max_tokens,
       cast(sum(n_tokens) as double) / count(*) AS avg_tokens,
-      sum(n_chars) AS total_chars
+      cast(sum(n_chars) as bigint) AS total_chars
     FROM t GROUP BY lang ORDER BY lang"""),
     (s, d) => T(s, d, "documents")
       .withColumn("n_tokens", TextOps.tokenCount(col("text")))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
-        max("n_tokens").as("max_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"),
         (sum("n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
         sum("n_chars").as("total_chars"))
       .orderBy("lang"))
@@ -968,7 +971,7 @@ object Catalog {
                   x -> 1 + cast(floor(greatest(length(x) - 1, 0) / 4.0) as int))) as int)
         END AS sw
       FROM documents)
-    SELECT lang, count(*) AS n_docs, sum(sw) AS total_subwords, max(sw) AS max_subwords
+    SELECT lang, count(*) AS n_docs, cast(sum(sw) as bigint) AS total_subwords, max(sw) AS max_subwords
     FROM t GROUP BY lang ORDER BY lang"""),
     (s, d) => T(s, d, "documents")
       .withColumn("sw", TextOps.subwordCount(col("text")))

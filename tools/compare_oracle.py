@@ -45,6 +45,16 @@ def main():
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_bad += 1
             continue
+        # dtype-kind mismatch (int vs float) stringifies differently under
+        # the driver's value hash ("7" vs "7.0") even when values compare
+        # equal — flag it. DuckDB sum(int)->HUGEINT->float64 is the usual way
+        # this happens; cast oracle integer sums to BIGINT.
+        kind_bad = [(c, str(w[c].dtype), str(g[c].dtype)) for c in w.columns
+                    if w[c].dtype.kind != g[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch (oracle, spark): {kind_bad}")
+            n_bad += 1
+            continue
         # row-order-independent exact compare
         ws = w.sort_values(list(w.columns)).reset_index(drop=True)
         gs = g.sort_values(list(g.columns)).reset_index(drop=True)
