@@ -190,4 +190,45 @@ object DedupOps {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over a near-dup candidate graph (hash-min label
+    * propagation): every vertex converges to the minimum id reachable in
+    * its component — the canonical "collapse duplicate clusters" step that
+    * follows pair generation (minhash/simhash) in a dedup pipeline.
+    *
+    * Each iteration is one shuffle (edges ⋈ labels on src, then a
+    * groupBy(dst) min) — O(E) work per round, O(component diameter)
+    * rounds. Candidate-pair graphs from LSH banding have tiny diameters
+    * (near-dup clusters are dense), so this converges in a handful of
+    * rounds at any scale; for adversarial long-chain graphs the
+    * large-star/small-star variant halves diameter per round, which this
+    * implementation trades away for simplicity. Lineage is cut per
+    * iteration (localCheckpoint) so plans don't grow with the loop.
+    *
+    * @param vertices one column `idCol` (one row per vertex)
+    * @param edges    columns `src`, `dst` (undirected; one direction given)
+    * @return [idCol, cluster] where cluster = min id in the component
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      idCol: String = "id", maxIterations: Int = 25): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = Exec.materializeForSelfJoin(
+      vertices.select(col(idCol).as("id"), col(idCol).as("label")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst")).agg(min("label").as("nmin"))
+      val updated = Exec.materializeForSelfJoin(
+        labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("next")))
+      converged = updated.where(col("next") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster"))
+  }
 }

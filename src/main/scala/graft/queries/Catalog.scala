@@ -572,9 +572,9 @@ object Catalog {
     (s, d) => DedupOps.exactDedup(T(s, d, "documents"), "text", "doc_id")
       .orderBy("text_hash"))
 
-  // MinHash(16 hashes = 4 bands x 4 rows) + LSH banding; candidate pairs.
-  private val dd02 = Q("dd02_minhash_lsh", Some("""
-    WITH sh AS (
+  // Shared minhash CTE chain (shingle -> 16-hash signature -> 4 bands of
+  // 4 rows) used by the dd02 pair oracle and the dd06 clustering oracle.
+  private val minhashCtes = """sh AS (
       SELECT doc_id,
         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3 THEN
           list_transform(
@@ -595,7 +595,11 @@ object Catalog {
       SELECT doc_id, b.band_id,
         md5(sig[b.band_id*4+1] || '|' || sig[b.band_id*4+2] || '|' ||
             sig[b.band_id*4+3] || '|' || sig[b.band_id*4+4]) AS band_key
-      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b)
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b)"""
+
+  // MinHash(16 hashes = 4 bands x 4 rows) + LSH banding; candidate pairs.
+  private val dd02 = Q("dd02_minhash_lsh", Some(s"""
+    WITH $minhashCtes
     SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
     FROM bands l JOIN bands r
       ON l.band_id = r.band_id AND l.band_key = r.band_key
@@ -1103,12 +1107,386 @@ object Catalog {
         .orderBy("r_name", "modifier")
     })
 
+  // =====================================================================
+  // D. Round-2 widening: pivot/unpivot, moment statistics, outer joins,
+  // ordered-set & positional aggregates, frame-spec windows, date surface,
+  // sketches, and graph clustering for dedup.
+  // =====================================================================
+
+  private val q35 = Q("q35_pivot", Some("""
+    SELECT l_returnflag,
+      count(*) FILTER (WHERE l_linestatus = 'F') AS n_F,
+      count(*) FILTER (WHERE l_linestatus = 'O') AS n_O,
+      cast(round(sum(cast(l_quantity as decimal(12,2))) FILTER (WHERE l_linestatus = 'F'), 2) as double) AS qty_F,
+      cast(round(sum(cast(l_quantity as decimal(12,2))) FILTER (WHERE l_linestatus = 'O'), 2) as double) AS qty_O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => T(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("qty"))
+      .select(col("l_returnflag"),
+        col("F_n").as("n_F"), col("O_n").as("n_O"),
+        col("F_qty").as("qty_F"), col("O_qty").as("qty_O"))
+      .orderBy("l_returnflag"))
+
+  private val q36 = Q("q36_unpivot", Some("""
+    WITH agg AS (
+      SELECT l_returnflag,
+        cast(round(sum(cast(l_quantity as decimal(12,2))), 2) as double) AS sum_qty,
+        cast(round(sum(cast(l_extendedprice as decimal(12,2))), 2) as double) AS sum_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+    ORDER BY l_returnflag, metric"""),
+    (s, d) => T(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+      .orderBy("l_returnflag", "metric"))
+
+  private val q37 = Q("q37_explode_ordinal", Some("""
+    WITH w AS (SELECT p_partkey, regexp_split_to_array(p_name, ' ') AS words
+               FROM part WHERE p_partkey <= 200)
+    SELECT p_partkey,
+      unnest(generate_series(0, len(words) - 1)) AS pos,
+      unnest(words) AS word
+    FROM w ORDER BY p_partkey, pos"""),
+    (s, d) => T(s, d, "part").where(col("p_partkey") <= 200)
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+      .orderBy("p_partkey", "pos"))
+
+  // Sample variance / stddev / covariance / correlation from exact decimal
+  // sums (sum x, sum x^2, sum xy are associative decimals -> partition-
+  // order-independent), combined in one mirrored double expression at the
+  // end. Built-in float var_samp/stddev would reassociate differently per
+  // partitioning and never hash-match a sequential engine.
+  private val q38 = Q("q38_stats_moments", Some("""
+    WITH m AS (
+      SELECT l_returnflag,
+        cast(count(*) as double) AS n,
+        cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sx,
+        cast(sum(cast(l_quantity as decimal(12,2)) * cast(l_quantity as decimal(12,2))) as double) AS sxx,
+        cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sy,
+        cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) AS syy,
+        cast(sum(cast(l_quantity as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+      (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
+      sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS std_qty,
+      (n * sxy - sx * sy) / (n * (n - 1)) AS cov_qty_price,
+      (n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM m ORDER BY l_returnflag"""),
+    (s, d) => {
+      val dx = d12(col("l_quantity"))
+      val dy = d12(col("l_extendedprice"))
+      val m = T(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(dx).cast("double").as("sx"),
+          sum(dx * dx).cast("double").as("sxx"),
+          sum(dy).cast("double").as("sy"),
+          sum(dy * dy).cast("double").as("syy"),
+          sum(dx * dy).cast("double").as("sxy"))
+      val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+      val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+      m.select(col("l_returnflag"),
+          ((n * sxx - sx * sx) / (n * (n - lit(1)))).as("var_qty"),
+          sqrt((n * sxx - sx * sx) / (n * (n - lit(1)))).as("std_qty"),
+          ((n * sxy - sx * sy) / (n * (n - lit(1)))).as("cov_qty_price"),
+          ((n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    })
+
+  private val q39 = Q("q39_full_outer", Some("""
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500),
+    o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+          WHERE o_custkey >= 300 AND o_custkey <= 800 GROUP BY o_custkey)
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS k, c.c_name, o.n_orders
+    FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+    ORDER BY k"""),
+    (s, d) => {
+      val c = T(s, d, "customer").where(col("c_custkey") <= 500)
+        .select("c_custkey", "c_name")
+      val o = T(s, d, "orders").where(col("o_custkey").between(300, 800))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_name"), col("n_orders"))
+        .orderBy("k")
+    })
+
+  // max_by/min_by (arg_max/arg_min): the ordering key must be unique for a
+  // deterministic result — c_custkey is; the acctbal ordering is made
+  // unique by folding the key into integer cents-major order.
+  private val q40 = Q("q40_argminmax", Some("""
+    SELECT c_nationkey,
+      arg_max(c_name, c_custkey) AS latest_customer,
+      arg_min(c_name, c_custkey) AS first_customer,
+      arg_max(c_custkey, round(c_acctbal * 100) * 10000000 + c_custkey) AS richest_custkey
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""),
+    (s, d) => T(s, d, "customer").groupBy("c_nationkey")
+      .agg(max_by(col("c_name"), col("c_custkey")).as("latest_customer"),
+        min_by(col("c_name"), col("c_custkey")).as("first_customer"),
+        max_by(col("c_custkey"),
+          round(col("c_acctbal") * 100) * 10000000 + col("c_custkey"))
+          .as("richest_custkey"))
+      .orderBy("c_nationkey"))
+
+  private val q41 = Q("q41_string_agg", Some("""
+    SELECT n_regionkey AS r_key,
+      string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY r_key"""),
+    (s, d) => T(s, d, "nation").groupBy(col("n_regionkey").as("r_key"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_key"))
+
+  // Global (unpartitioned) window over a bounded subset — fine because the
+  // filter caps the row count; a global ntile over the full table would
+  // serialize onto one task and is the wrong tool at scale.
+  private val q42 = Q("q42_ntile_pctrank", Some("""
+    SELECT o_orderkey,
+      cast(ntile(4) OVER w as bigint) AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cdist
+    FROM orders WHERE o_custkey <= 100
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey"""),
+    (s, d) => {
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      T(s, d, "orders").where(col("o_custkey") <= 100)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderkey")
+    })
+
+  // RANGE frame over integer microseconds: a 10-minute rolling sum per
+  // user. Decimal sum -> double keeps the result partition-order-free.
+  private val q43 = Q("q43_range_frame", Some("""
+    SELECT user_id, event_id,
+      cast(sum(cast(value as decimal(18,2))) OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) as double) AS rolling_10m
+    FROM events WHERE user_id <= 50
+    ORDER BY user_id, event_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-600000000L, Window.currentRow)
+      T(s, d, "events").where(col("user_id") <= 50)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("rolling_10m",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("user_id", "event_id", "rolling_10m")
+        .orderBy("user_id", "event_id")
+    })
+
+  private val q44 = Q("q44_first_last", Some("""
+    SELECT o_custkey, o_orderkey,
+      first_value(o_orderkey) OVER w AS first_ok,
+      last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+      nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+    FROM orders WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""),
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, d, "orders").where(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(wFull).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+
+  // Date-part surface. DuckDB dow is 0=Sunday; Spark dayofweek is
+  // 1=Sunday — the Spark side subtracts 1 to mirror.
+  private val q45 = Q("q45_date_funcs", Some("""
+    SELECT o_orderkey,
+      cast(date_part('year', o_orderdate) as int) AS y,
+      cast(date_part('month', o_orderdate) as int) AS m,
+      cast(date_part('day', o_orderdate) as int) AS dom,
+      cast(date_part('dow', o_orderdate) as int) AS dow,
+      cast(date_part('doy', o_orderdate) as int) AS doy,
+      cast(date_part('quarter', o_orderdate) as int) AS q,
+      strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+      strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+      cast(date_diff('day', DATE '1995-01-01', cast(o_orderdate as date)) as int) AS days_since_95
+    FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"""),
+    (s, d) => T(s, d, "orders").where(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        quarter(col("o_orderdate")).as("q"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").as("plus_30d"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("days_since_95"))
+      .orderBy("o_orderkey"))
+
+  // KMV (k-minimum-values) distinct sketch, k=64: a *deterministic*
+  // cardinality estimator — est = (k-1) * 2^60 / h_k where h_k is the
+  // k-th smallest 60-bit md5-derived hash of the key. Unlike HLL++ (q28)
+  // the same data always yields the same estimate on any engine, so it is
+  // oracle-checkable end to end. 63 * 2^60 has 6 significant bits ->
+  // exact in a double; both engines round h (long) -> double identically.
+  private val q46 = Q("q46_kmv_distinct", Some("""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+        ('0x' || substr(md5(cast(l_partkey as varchar)), 1, 15))::BIGINT AS h
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, h,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY l_returnflag) AS nd
+      FROM h)
+    SELECT l_returnflag, cast(nd as bigint) AS n_exact,
+      cast(CASE WHEN nd < 64 THEN cast(nd as double)
+                ELSE floor(63.0 * 1152921504606846976.0 / cast(h as double)) END as bigint) AS kmv_est
+    FROM r WHERE rn = least(nd, 64) ORDER BY l_returnflag"""),
+    (s, d) => {
+      val hashed = T(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val byH = Window.partitionBy("l_returnflag").orderBy("h")
+      val grp = Window.partitionBy("l_returnflag")
+      hashed
+        .withColumn("rn", row_number().over(byH))
+        .withColumn("nd", count(lit(1)).over(grp))
+        .where(col("rn") === least(col("nd"), lit(64)))
+        .select(col("l_returnflag"), col("nd").as("n_exact"),
+          when(col("nd") < 64, col("nd").cast("double"))
+            .otherwise(floor(lit(63.0) * lit(1.152921504606846976e18) / col("h").cast("double")))
+            .cast("long").as("kmv_est"))
+        .orderBy("l_returnflag")
+    })
+
+  // Latest-row-per-key dedup (the deterministic dropDuplicates): one
+  // shuffle on the key, window top-1.
+  private val q47 = Q("q47_latest_per_key", Some("""
+    WITH r AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, ts_us FROM r WHERE rn = 1 ORDER BY user_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      T(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("user_id")
+    })
+
+  private val q48 = Q("q48_regexp_all", Some("""
+    SELECT p_partkey,
+      cast(len(regexp_extract_all(p_name, '[aeiou]+')) as int) AS n_vowel_runs,
+      coalesce(array_to_string(regexp_extract_all(p_name, '\b[a-z]{5}\b'), '|'), '') AS five_letter_words,
+      cast(len(regexp_extract_all(p_name, ' ')) + 1 as int) AS n_words
+    FROM part WHERE p_partkey <= 300 ORDER BY p_partkey"""),
+    (s, d) => T(s, d, "part").where(col("p_partkey") <= 300)
+      .select(col("p_partkey"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0))).as("n_vowel_runs"),
+        array_join(regexp_extract_all(col("p_name"), lit("\\b[a-z]{5}\\b"), lit(0)), "|")
+          .as("five_letter_words"),
+        (size(regexp_extract_all(col("p_name"), lit(" "), lit(0))) + 1).as("n_words"))
+      .orderBy("p_partkey"))
+
+  private val q49 = Q("q49_bitwise_agg", Some("""
+    SELECT o_orderpriority,
+      bit_and(o_orderkey) AS all_and,
+      bit_or(o_orderkey) AS any_or,
+      bit_xor(o_orderkey) AS parity
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (s, d) => T(s, d, "orders").groupBy("o_orderpriority")
+      .agg(bit_and(col("o_orderkey")).as("all_and"),
+        bit_or(col("o_orderkey")).as("any_or"),
+        bit_xor(col("o_orderkey")).as("parity"))
+      .orderBy("o_orderpriority"))
+
+  // Streaming exact dedup (watermark-bounded dropDuplicates state) driven
+  // to completion with AvailableNow — equals batch DISTINCT on the same
+  // key set, which is what the oracle checks.
+  private val q50 = Q("q50_stream_dedup", Some("""
+    WITH dist AS (SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+    SELECT user_id, count(*) AS n_unique FROM dist GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => graft.streaming.StatefulOps.streamingDedup(
+        s, s"$d/events.parquet", Seq("user_id", "event_type"),
+        watermark = "1 hour",
+        queryName = "graft_stream_dedup_" + math.abs(d.hashCode))
+      .groupBy("user_id").agg(count(lit(1)).as("n_unique"))
+      .orderBy("user_id"))
+
+  // Near-dup clustering: minhash candidate pairs (dd02's graph) collapsed
+  // into connected components by hash-min label propagation. The oracle
+  // computes the same fixpoint with a recursive CTE (min reachable id).
+  private val dd06 = Q("dd06_dup_clusters", Some(s"""
+    WITH RECURSIVE $minhashCtes,
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id
+    ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.minhashCandidates(docs, "text", "doc_id",
+        shingleK = 3, bands = 4, rowsPerBand = 4)
+      DedupOps.connectedComponents(docs.select(col("doc_id")),
+          pairs.select(col("id1").as("src"), col("id2").as("dst")), "doc_id")
+        .orderBy("doc_id")
+    })
+
+  // Top-3 bigrams per language: n-gram frequency analysis (shingle k=2
+  // reuses the dedup shingle kernel).
+  private val tx07 = Q("tx07_bigrams", Some("""
+    WITH toks AS (
+      SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    bi AS (
+      SELECT lang, unnest(list_transform(generate_series(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2),
+    counts AS (SELECT lang, bigram, count(*) AS n FROM bi GROUP BY 1, 2)
+    SELECT lang, bigram, n, rank FROM (
+      SELECT lang, bigram, n,
+        row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+      FROM counts) t WHERE rank <= 3 ORDER BY lang, rank"""),
+    (s, d) => {
+      val toks = T(s, d, "documents")
+        .select(col("lang"), DedupOps.tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+      val bi = toks.select(col("lang"),
+        explode(DedupOps.shinglesFromTokens(col("t"), 2)).as("bigram"))
+      val counts = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
+      counts.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select("lang", "bigram", "n", "rank")
+        .orderBy("lang", "rank")
+    })
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34,
-    dd01, dd02, dd03, dd04, dd05, ann01, ann02, ann03, ann04,
-    tx01, tx02, tx03, tx04, tx05, tx06, mm01, mm02, ref01, ref02)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
+    q45, q46, q47, q48, q49, q50,
+    dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04,
+    tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, ref01, ref02)
 }

@@ -72,4 +72,15 @@ class DedupOpsSpec extends AnyFunSuite {
       .select(DedupOps.shinglesFromTokens(col("t"), 3).as("sh"))
     assert(df.as[Seq[String]].head() == Seq("one two"))
   }
+
+  test("connectedComponents: chain + triangle + singletons collapse to min id") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20}, {21}
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val got = DedupOps.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
 }
