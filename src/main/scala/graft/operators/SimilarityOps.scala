@@ -112,4 +112,28 @@ object SimilarityOps {
       .select(col("id1"), col("id2"), round(cosine(col("vec1"), col("vec2")), roundSim).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Per-cell mean embedding — the k-means M-step that re-estimates IVF
+    * centroids from assigned vectors. One explode + one hash aggregation
+    * on (cell, dim): fully partial-aggregatable, no collect, no window —
+    * the shape that survives a 100 TB corpus.
+    *
+    * Determinism: float element -> double is exact, scaling by 2^shift is
+    * exact (power-of-two exponent shift), floor is exact, and the long
+    * sum is associative — so the fixed-point sum is identical under any
+    * partitioning/engine, unlike a float mean which reassociates. The
+    * mean is one final double division.
+    *
+    * @return (cellCol, dim, n_vectors, mean) one row per cell x dimension
+    */
+  def quantizedCentroids(df: DataFrame, cellCol: String, vecCol: String,
+      shift: Int = 20): DataFrame = {
+    val scale = (1L << shift).toDouble
+    df.select(col(cellCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(cellCol), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(floor(col("v").cast("double") * scale).cast("long")).as("qsum"))
+      .withColumn("mean", col("qsum").cast("double") / (col("n_vectors") * scale))
+      .drop("qsum")
+  }
 }

@@ -1426,6 +1426,79 @@ object Catalog {
       .groupBy("user_id").agg(count(lit(1)).as("n_unique"))
       .orderBy("user_id"))
 
+  // Stream-stream interval join: clicks joined to same-user signups
+  // within the hour before the click, both sides watermarked (bounded
+  // state). Over a bounded source this equals the batch interval join the
+  // oracle runs. Timestamps compare at µs (the engine's resolution);
+  // the oracle mirrors via epoch_us, not raw ns-precision timestamps.
+  private val q51 = Q("q51_stream_join", Some("""
+    SELECT c.event_id AS click_id, s.event_id AS signup_id,
+      c.user_id, epoch_us(c.ts) - epoch_us(s.ts) AS gap_us
+    FROM events c JOIN events s
+      ON s.user_id = c.user_id
+      AND c.event_type = 'click' AND s.event_type = 'signup'
+      AND epoch_us(c.ts) >= epoch_us(s.ts)
+      AND epoch_us(c.ts) <= epoch_us(s.ts) + 3600000000
+    ORDER BY click_id, signup_id"""),
+    (s, d) => graft.streaming.StatefulOps.streamStreamIntervalJoin(
+        s, s"$d/events.parquet", "click", "signup", 3600L,
+        queryName = "graft_stream_join_" + math.abs(d.hashCode))
+      .select(col("c_id").as("click_id"), col("s_id").as("signup_id"),
+        col("c_user").as("user_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("s_ts"))).as("gap_us"))
+      .orderBy("click_id", "signup_id"))
+
+  private val q52 = Q("q52_array_funcs", Some("""
+    WITH a AS (
+      SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines,
+             list_sort(list(DISTINCT l_suppkey % 10)) AS supp_mod
+      FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey)
+    SELECT l_orderkey,
+      cast(len(lines) as int) AS n_lines,
+      array_to_string(list_slice(lines, 1, 3), ',') AS first3,
+      list_contains(lines, 5) AS has5,
+      cast(len(list_intersect(supp_mod, [0, 1, 2, 3])) as int) AS low_mods
+    FROM a ORDER BY l_orderkey"""),
+    (s, d) => T(s, d, "lineitem").where(col("l_orderkey") <= 2000)
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"),
+        array_sort(collect_set(col("l_suppkey") % 10)).as("supp_mod"))
+      .select(col("l_orderkey"),
+        size(col("lines")).as("n_lines"),
+        array_join(transform(slice(col("lines"), 1, 3), x => x.cast("string")), ",")
+          .as("first3"),
+        array_contains(col("lines"), 5).as("has5"),
+        size(array_intersect(col("supp_mod"),
+          array(lit(0L), lit(1L), lit(2L), lit(3L)))).as("low_mods"))
+      .orderBy("l_orderkey"))
+
+  // IVF centroid re-estimation (k-means M-step) on the first 8 dims:
+  // exact fixed-point sums (floor(v * 2^20) as long — power-of-two
+  // scaling of a float is exact) make the mean engine-identical; a float
+  // mean would reassociate per partitioning and never hash-match.
+  private val ann05 = Q("ann05_centroid_update", Some("""
+    WITH v AS (SELECT vec_id, embedding AS e,
+               concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS cell
+           FROM embeddings),
+    x AS (
+      SELECT cell, unnest(generate_series(0, 7)) AS dim,
+             unnest(list_transform(list_slice(e, 1, 8),
+               y -> cast(floor(cast(y as double) * 1048576.0) as bigint))) AS q
+      FROM v)
+    SELECT cell, dim, count(*) AS n_vectors,
+      cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+    FROM x GROUP BY cell, dim ORDER BY cell, dim"""),
+    (s, d) => {
+      val emb = T(s, d, "embeddings").select(col("vec_id"),
+        SimilarityOps.signBucket(col("embedding"), 0 until 4).as("cell"),
+        slice(col("embedding"), 1, 8).as("vec8"))
+      SimilarityOps.quantizedCentroids(emb, "cell", "vec8")
+        .orderBy("cell", "dim")
+    })
+
   // Near-dup clustering: minhash candidate pairs (dd02's graph) collapsed
   // into connected components by hash-min label propagation. The oracle
   // computes the same fixpoint with a recursive CTE (min reachable id).
@@ -1486,7 +1559,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50,
-    dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04,
+    q45, q46, q47, q48, q49, q50, q51, q52,
+    dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, ref01, ref02)
 }

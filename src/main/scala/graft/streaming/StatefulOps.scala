@@ -92,4 +92,44 @@ object StatefulOps {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Stream-stream interval inner join: click events joined to the
+    * signup (by `joinType` filter columns) of the same user within
+    * `intervalSeconds` *before* the click. Both sides carry watermarks,
+    * which is what lets Spark bound the join state: a buffered signup can
+    * be dropped once the click-side watermark passes its interval upper
+    * bound — state stays O(events in the interval window), not O(stream).
+    *
+    * Over a bounded source with AvailableNow the result equals the batch
+    * interval join, which is what the oracle checks (q51).
+    */
+  def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String,
+      leftType: String = "click", rightType: String = "signup",
+      intervalSeconds: Long = 3600L,
+      queryName: String = "graft_stream_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = StreamingOps.asSourceDir(eventsPath)
+    val schema = spark.read.parquet(srcDir).schema
+    def side(eventType: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .where(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val clicks = side(leftType, "c")
+    val signups = side(rightType, "s")
+    val joined = clicks.join(signups,
+      col("c_user") === col("s_user")
+        && col("c_ts") >= col("s_ts")
+        && col("c_ts") <= col("s_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

@@ -53,4 +53,20 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("quantizedCentroids: fixed-point mean equals the exact mean") {
+    // values chosen representable at 2^20 fixed point -> mean is exact
+    val vecs = Seq(
+      ("a", Seq(1.0f, -0.5f)),
+      ("a", Seq(0.5f, 0.25f)),
+      ("b", Seq(2.0f, 4.0f)))
+      .toDF("cell", "vec")
+    val got = SimilarityOps.quantizedCentroids(vecs, "cell", "vec")
+      .select("cell", "dim", "n_vectors", "mean")
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      ("a", 0) -> ((2L, 0.75)), ("a", 1) -> ((2L, -0.125)),
+      ("b", 0) -> ((1L, 2.0)), ("b", 1) -> ((1L, 4.0))))
+  }
 }
