@@ -1426,6 +1426,87 @@ object Catalog {
       .groupBy("user_id").agg(count(lit(1)).as("n_unique"))
       .orderBy("user_id"))
 
+  // TPC-H Q17 shape: correlated aggregate subquery. The oracle keeps the
+  // correlated form (per-row avg over the row's part); the Spark side is
+  // the decorrelated rewrite — one group-by producing thresholds, one
+  // broadcast join back — which is exactly what Catalyst's
+  // RewriteCorrelatedScalarSubquery does, made explicit. avg goes through
+  // decimal sums so both forms agree bit-for-bit.
+  private val q53 = Q("q53_correlated_avg", Some("""
+    SELECT cast(round(sum(cast(l.l_extendedprice as decimal(12,2))), 2) as double) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * (cast(sum(cast(l2.l_quantity as decimal(12,2))) as double) / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""),
+    (s, d) => {
+      val pk = broadcast(T(s, d, "part")
+        .where(col("p_brand") === "Brand#1").select("p_partkey"))
+      // threshold over ALL lineitems of the part (matches the
+      // uncorrelated-on-brand-filter-free inner query)
+      val thresholds = T(s, d, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("tk"))
+        .agg((lit(0.2) * (sum(d12(col("l_quantity"))).cast("double") / count(lit(1))))
+          .as("thresh"))
+      T(s, d, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(thresholds), col("l_partkey") === col("tk"))
+        .where(col("l_quantity") < col("thresh"))
+        .agg((round(sum(d12(col("l_extendedprice"))), 2).cast("double") / 7.0)
+          .as("avg_yearly"))
+    })
+
+  // TPC-H Q21 shape (EXISTS + NOT EXISTS, both correlated): suppliers
+  // whose returned item sits in a multi-supplier order where no other
+  // supplier's item was returned. Same SQL text runs on both engines —
+  // this is the spark.sql Athena-replacement surface; Catalyst plans the
+  // two subqueries as left-semi and left-anti joins.
+  private val q54Sql = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name"""
+  private val q54 = Q("q54_exists_combo", Some(q54Sql),
+    (s, d) => { Tables.registerAll(s, d); s.sql(q54Sql) })
+
+  // NOT IN subquery (null-free key set -> plans as an anti join).
+  private val q55Sql = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      AND c_custkey <= 1000
+    ORDER BY c_custkey"""
+  private val q55 = Q("q55_not_in", Some(q55Sql),
+    (s, d) => { Tables.registerAll(s, d); s.sql(q55Sql) })
+
+  // CTE referenced twice (argmax-by-aggregate): nation revenue computed
+  // once, reused by the scalar-max subquery and the final filter.
+  private val q56Sql = """
+    WITH rev AS (
+      SELECT n.n_name,
+        cast(round(sum(cast(l.l_extendedprice as decimal(12,2))
+          * (cast(1 as decimal(3,2)) - cast(l.l_discount as decimal(3,2)))), 2) as double) AS revenue
+      FROM nation n
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY n.n_name)
+    SELECT n_name, revenue FROM rev
+    WHERE revenue = (SELECT max(revenue) FROM rev)
+    ORDER BY n_name"""
+  private val q56 = Q("q56_cte_argmax", Some(q56Sql),
+    (s, d) => { Tables.registerAll(s, d); s.sql(q56Sql) })
+
   // Stream-stream interval join: clicks joined to same-user signups
   // within the hour before the click, both sides watermarked (bounded
   // state). Over a bounded source this equals the batch interval join the
@@ -1559,7 +1640,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52,
+    q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, ref01, ref02)
 }
