@@ -1580,6 +1580,57 @@ object Catalog {
         .orderBy("cell", "dim")
     })
 
+  // Native session windows (gap = 30 min): Spark's session_window
+  // operator merges per-user events whose gaps stay under the threshold.
+  // The oracle reconstructs identical sessions relationally: lag -> new-
+  // session flag -> running sum as session id -> group. window.end is
+  // last event + gap by definition, mirrored as max(us) + gap.
+  private val q57 = Q("q57_session_window", Some("""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS us,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, us,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+      count(*) AS n_events
+    FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"""),
+    (s, d) => T(s, d, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us"))
+
+  // Skew-resilient salted join, oracle-checked for equivalence with the
+  // plain join it replaces: the deterministic hash salt splits each hot
+  // key across saltFactor reducers; the small side is replicated
+  // saltFactor ways. Result is identical to the unsalted join.
+  private val q58 = Q("q58_salted_join", Some("""
+    SELECT s.s_name,
+      cast(round(sum(cast(l.l_extendedprice as decimal(12,2))), 2) as double) AS revenue,
+      count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_name ORDER BY s_name"""),
+    (s, d) => {
+      val li = T(s, d, "lineitem")
+        .select(col("l_suppkey").as("k"), col("l_extendedprice"), col("l_orderkey"))
+      val sup = T(s, d, "supplier").select(col("s_suppkey").as("k"), col("s_name"))
+      Exec.saltedJoin(li, sup, key = "k", idCol = "l_orderkey", saltFactor = 8)
+        .groupBy("s_name")
+        .agg(sumMoney(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_name")
+    })
+
   // Near-dup clustering: minhash candidate pairs (dd02's graph) collapsed
   // into connected components by hash-min label propagation. The oracle
   // computes the same fixpoint with a recursive CTE (min reachable id).
@@ -1640,7 +1691,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
+    q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, ref01, ref02)
 }
