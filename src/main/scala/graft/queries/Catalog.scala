@@ -1631,6 +1631,82 @@ object Catalog {
         .orderBy("s_name")
     })
 
+  // Higher-order array functions (filter/transform/aggregate/array_max)
+  // with fixed-point quantization for the float reductions — floor(|v| *
+  // 2^20) as long is exact, so sums/maxes agree across engines. (Hot-path
+  // kernels use native expressions instead — see HashSketches — this
+  // exercises the lambda surface itself.)
+  private val q59 = Q("q59_higher_order", Some("""
+    SELECT vec_id,
+      cast(len(list_filter(embedding, x -> x >= 0)) as int) AS n_pos,
+      cast(list_sum(list_transform(embedding,
+        x -> cast(floor(abs(cast(x as double)) * 1048576.0) as bigint))) as bigint) AS l1_q,
+      cast(list_max(list_transform(embedding,
+        x -> cast(floor(cast(x as double) * 1048576.0) as bigint))) as bigint) AS max_q
+    FROM embeddings WHERE vec_id < 300 ORDER BY vec_id"""),
+    (s, d) => T(s, d, "embeddings").where(col("vec_id") < 300)
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x >= 0)).as("n_pos"),
+        aggregate(
+          transform(col("embedding"),
+            x => floor(abs(x.cast("double")) * 1048576.0).cast("long")),
+          lit(0L), (a, b) => a + b).as("l1_q"),
+        array_max(transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576.0).cast("long"))).as("max_q"))
+      .orderBy("vec_id"))
+
+  // from_json (schema'd struct extraction) + to_json re-serialization;
+  // both engines emit compact {"k2":N}.
+  private val q60 = Q("q60_json_roundtrip", Some("""
+    SELECT event_id,
+      cast(json_extract_string(props, '$.k') as int) AS k,
+      to_json(struct_pack(k2 := cast(json_extract_string(props, '$.k') as int) * 2)) AS doubled_json
+    FROM events WHERE event_id < 500 ORDER BY event_id"""),
+    (s, d) => T(s, d, "events").where(col("event_id") < 500)
+      .withColumn("j", from_json(col("props"), org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))))
+      .select(col("event_id"), col("j.k").as("k"),
+        to_json(struct((col("j.k") * 2).as("k2"))).as("doubled_json"))
+      .orderBy("event_id"))
+
+  // try_cast: ANSI-safe parsing (NULL on failure instead of a runtime
+  // error — the engine runs with ANSI mode on).
+  private val q61 = Q("q61_try_cast", Some("""
+    WITH raw AS (
+      SELECT p_partkey,
+        concat(CASE WHEN p_partkey % 3 = 0 THEN 'x' ELSE '' END,
+               cast(p_partkey as varchar)) AS s
+      FROM part WHERE p_partkey <= 600)
+    SELECT p_partkey, TRY_CAST(s AS INTEGER) AS parsed,
+      coalesce(TRY_CAST(s AS INTEGER), -1) AS parsed_or_default
+    FROM raw ORDER BY p_partkey"""),
+    (s, d) => T(s, d, "part").where(col("p_partkey") <= 600)
+      .select(col("p_partkey"),
+        concat(when(col("p_partkey") % 3 === 0, "x").otherwise(""),
+          col("p_partkey").cast("string")).as("s"))
+      .select(col("p_partkey"),
+        expr("try_cast(s AS INT)").as("parsed"),
+        coalesce(expr("try_cast(s AS INT)"), lit(-1)).as("parsed_or_default"))
+      .orderBy("p_partkey"))
+
+  // The flatMapGroupsWithState sessionizer as a first-class checked
+  // query: explicit per-user state (two longs) folded over AvailableNow
+  // micro-batches equals the batch lag/flag/sum sessionization.
+  private val q62 = Q("q62_stream_sessions", Some("""
+    WITH flagged AS (
+      SELECT user_id,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, cast(sum(new_session) as bigint) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => graft.streaming.StatefulOps.streamingSessionStats(
+        s, s"$d/events.parquet", gapSeconds = 1800L,
+        queryName = "graft_stream_sessions_" + math.abs(d.hashCode))
+      .orderBy("user_id"))
+
   // Near-dup clustering: minhash candidate pairs (dd02's graph) collapsed
   // into connected components by hash-min label propagation. The oracle
   // computes the same fixpoint with a recursive CTE (min reachable id).
@@ -1692,6 +1768,7 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
+    q59, q60, q61, q62,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, ref01, ref02)
 }
