@@ -1734,6 +1734,127 @@ object Catalog {
         .orderBy("doc_id")
     })
 
+  // Byte-histogram feature extraction over binary payloads (the "feature
+  // extract" stage of a multimodal pipeline): 16-bucket histogram of
+  // payload bytes per document — one narrow explode + hash aggregation,
+  // the shape that scales to arbitrary corpus size. ASCII corpus ->
+  // oracle mirrors bytes via character codes.
+  private val mm03 = Q("mm03_byte_histogram", Some("""
+    WITH chars AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, length(text)),
+          i -> ascii(substr(text, i, 1)) % 16)) AS bucket
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id, bucket, count(*) AS n
+    FROM chars GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""),
+    (s, d) => {
+      val payloads = MultimodalOps.withBinaryPayload(
+        T(s, d, "documents").where(col("doc_id") < 100), "text")
+      payloads
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), length(col("text"))),
+            i => ascii(col("text").substr(i, lit(1))) % 16))
+            .as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "bucket")
+    })
+
+  // The capstone LLM-training-data curation pipeline as ONE declarative
+  // plan: quality-filter -> exact dedup (keep min doc per content hash)
+  // -> minhash near-dup clustering -> keep each cluster's representative.
+  // Every stage is an existing operator (TextOps.qualityScore,
+  // DedupOps.exactDedup/minhashCandidates/connectedComponents) composed;
+  // the oracle rebuilds the same fixpoint relationally.
+  private val dp01 = Q("dp01_curation_pipeline", Some("""
+    WITH RECURSIVE eligible AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+          0.5 * least(length(text) / 512.0, 1.0)
+            + 0.25 * (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0
+                      ELSE cast(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> list_contains(['a','an','the','and','or','of','in','to','is'], lower(x)))) as double)
+                           / (CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) END)
+            + 0.25 * (1.0 - least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 16.0 / length(text), 1.0))
+          AS quality
+        FROM documents) q
+      WHERE quality >= 0.5),
+    exact_kept AS (
+      SELECT min(doc_id) AS doc_id FROM eligible GROUP BY md5(text)),
+    docs2 AS (
+      SELECT e.doc_id, e.text FROM eligible e JOIN exact_kept k ON k.doc_id = e.doc_id),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3 THEN
+          list_transform(
+            generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+            i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                 regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                 regexp_split_to_array(trim(text), '\s+')[i+2])
+        ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')] END AS shingles
+      FROM docs2),
+    sig AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 15),
+          seed -> list_aggregate(
+            list_transform(shingles, x -> md5(cast(seed as varchar) || ':' || x)),
+            'min')) AS sig
+      FROM sh),
+    bands AS (
+      SELECT doc_id, b.band_id,
+        md5(sig[b.band_id*4+1] || '|' || sig[b.band_id*4+2] || '|' ||
+            sig[b.band_id*4+3] || '|' || sig[b.band_id*4+4]) AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM docs2
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    clustered AS (
+      SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id)
+    SELECT min(doc_id) AS kept_doc, count(*) AS cluster_size
+    FROM clustered GROUP BY cluster ORDER BY kept_doc"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      // tx02's quality expression, staged then combined — mirrors the
+      // oracle op-for-op (no rounding anywhere near the threshold)
+      val toks = split(trim(col("text")), "\\s+")
+      val stops = Seq("a", "an", "the", "and", "or", "of", "in", "to", "is")
+      val eligible = docs
+        .select(col("doc_id"), col("text"),
+          TextOps.tokenCount(col("text")).as("tok_cnt"),
+          TextOps.punctCount(col("text")).as("punct_cnt"),
+          size(filter(toks, x => lower(x).isInCollection(stops))).as("stop_cnt"),
+          length(col("text")).as("n_len"))
+        .withColumn("quality",
+          lit(0.5) * least(col("n_len") / 512.0, lit(1.0))
+            + lit(0.25) * when(col("tok_cnt") === 0, 0.0)
+                .otherwise(col("stop_cnt").cast("double") / col("tok_cnt"))
+            + lit(0.25) * (lit(1.0) - least(col("punct_cnt") * 16.0 / col("n_len"), lit(1.0))))
+        .where(col("quality") >= 0.5)
+        .select("doc_id", "text")
+      val exactKept = DedupOps.exactDedup(eligible, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val docs2 = Exec.materializeForSelfJoin(
+        eligible.join(exactKept, Seq("doc_id")))
+      val pairs = DedupOps.minhashCandidates(docs2, "text", "doc_id",
+        shingleK = 3, bands = 4, rowsPerBand = 4)
+      DedupOps.connectedComponents(docs2.select(col("doc_id")),
+          pairs.select(col("id1").as("src"), col("id2").as("dst")), "doc_id")
+        .groupBy("cluster")
+        .agg(min("doc_id").as("kept_doc"), count(lit(1)).as("cluster_size"))
+        .select("kept_doc", "cluster_size")
+        .orderBy("kept_doc")
+    })
+
   // Top-3 bigrams per language: n-gram frequency analysis (shingle k=2
   // reuses the dedup shingle kernel).
   private val tx07 = Q("tx07_bigrams", Some("""
@@ -1770,5 +1891,6 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
-    tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, ref01, ref02)
+    tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, mm03, ref01, ref02,
+    dp01)
 }
