@@ -55,6 +55,26 @@ object MultimodalOps {
       .withColumn("frame_len", length(col("frame")))
       .withColumn("frame_md5", md5(col("frame")))
 
+  /** Resize/downsample analog over binary payloads: pick `target` evenly
+    * strided bytes (the thumbnail / audio-decimation access pattern) —
+    * codegen'd `sequence` + `substr`, narrow, no shuffle. A real media
+    * resize would swap the byte picker for a codec call inside the same
+    * plumbing.
+    */
+  def resampleBytes(df: DataFrame, payloadCol: String, idCol: String,
+      target: Int): DataFrame = {
+    val n = length(col(payloadCol))
+    val stride = greatest(expr(s"(length($payloadCol) + ${target - 1}) div $target"), lit(1))
+    df.select(col(idCol), col(payloadCol))
+      .withColumn("thumb",
+        aggregate(
+          transform(sequence(lit(1), n, stride), i => col(payloadCol).substr(i, lit(1))),
+          lit(Array.emptyByteArray), (acc, x) => concat(acc, x)))
+      .withColumn("thumb_len", length(col("thumb")))
+      .withColumn("thumb_md5", md5(col("thumb")))
+      .drop(payloadCol)
+  }
+
   /** STUB — deterministic fake media decode. A real implementation would
     * decode image dimensions / audio duration from the payload bytes
     * here; the container has no codec libs, so dimensions are derived

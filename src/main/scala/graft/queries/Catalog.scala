@@ -1760,6 +1760,27 @@ object Catalog {
         .orderBy("doc_id", "bucket")
     })
 
+  // Resize/downsample over binary payloads (thumbnail pattern): 32 evenly
+  // strided bytes per payload. ASCII corpus -> the oracle mirrors byte
+  // picks as char picks, md5s included (same equivalence mm02 uses).
+  private val mm04 = Q("mm04_resample", Some("""
+    WITH t AS (
+      SELECT doc_id,
+        array_to_string(list_transform(
+          generate_series(1, length(text),
+            greatest((length(text) + 31) // 32, 1)),
+          i -> substr(text, i, 1)), '') AS thumb
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, length(thumb) AS thumb_len, md5(thumb) AS thumb_md5
+    FROM t ORDER BY doc_id"""),
+    (s, d) => MultimodalOps.resampleBytes(
+        MultimodalOps.withBinaryPayload(
+          T(s, d, "documents").where(col("doc_id") < 300), "text"),
+        "payload", "doc_id", target = 32)
+      .select(col("doc_id"), col("thumb_len").cast("long").as("thumb_len"),
+        col("thumb_md5"))
+      .orderBy("doc_id"))
+
   // The capstone LLM-training-data curation pipeline as ONE declarative
   // plan: quality-filter -> exact dedup (keep min doc per content hash)
   // -> minhash near-dup clustering -> keep each cluster's representative.
@@ -1891,6 +1912,6 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
-    tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, mm03, ref01, ref02,
-    dp01)
+    tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, mm03, mm04,
+    ref01, ref02, dp01)
 }
