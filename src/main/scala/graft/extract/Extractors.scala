@@ -369,6 +369,14 @@ object Extractors {
     if (html == null) null else getLongDescription(html).orNull)
   val is404Udf = udf((html: String) => html != null && isError404Page(html))
   val isDeletedHcpcsUdf = udf((html: String) => html != null && isDeletedHcpcsPage(html))
+  /** E3 composite as a struct UDF: null when the page has no Deleted
+    * marker, else the 5 sparse fields.
+    */
+  val deletedUdf = udf((html: String) =>
+    if (html == null) null
+    else getDeleted(html).map { case (d, a, l, g, desc) =>
+      graft.schema.DeletedFields(d.orNull, a.orNull, l.orNull, g.orNull, desc.orNull)
+    }.orNull)
   val mainIntervalUdf = udf((html: String, isCpt: Boolean) =>
     if (html == null) null else getMainInterval(html, isCpt).orNull)
 }

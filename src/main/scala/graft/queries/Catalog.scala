@@ -1903,6 +1903,51 @@ object Catalog {
         .orderBy("lang", "rank")
     })
 
+  // E3/P6 deleted-page branch checked relationally: pages are built
+  // deterministically from orders columns (every third order carries the
+  // Deleted span; every fifth adds the COVID lay-term pane the reference
+  // special-cases), the composite extractor parses them back, and the
+  // oracle states the identity the HTML encodes.
+  private val ref03 = Q("ref03_extract_deleted", Some("""
+    SELECT o_orderkey,
+      'Deleted on ' || strftime(o_orderdate, '%Y-%m-%d') AS date_deleted,
+      'Priority ' || o_orderpriority AS advice,
+      CASE WHEN o_orderkey % 5 = 0
+           THEN 'The provider administers the first dose of the COVID–19 vaccine.'
+           ELSE NULL END AS lay_term,
+      'No HCPCS guidelines recorded' AS guidelines,
+      'DESC ' || o_orderstatus AS description
+    FROM orders
+    WHERE o_orderkey <= 300 AND o_orderkey % 3 = 0
+    ORDER BY o_orderkey"""),
+    (s, d) => {
+      val covidPane = "<div class=\"panel-body tab-pane\">The provider administers " +
+        "the first dose of the COVID–19 vaccine.</div>"
+      val pages = T(s, d, "orders").where(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), concat(
+          when(col("o_orderkey") % 3 === 0, "<span>Deleted</span>")
+            .otherwise("<span>Active</span>"),
+          lit("<div class=\"alert alert-danger\">Deleted on "),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("</div>"),
+          when(col("o_orderkey") % 5 === 0, covidPane).otherwise(""),
+          lit("<div class=\"advice\"><p>Priority "), col("o_orderpriority"),
+          lit("</p>Advice: see notes</div>"),
+          lit("<div class=\"panel-body tab-pane\">No HCPCS guidelines recorded</div>"),
+          lit("<div class=\"panel panel-default\"><div class=\"panel-heading\">" +
+            "Code Descriptor</div><div class=\"panel-body tab-pane\">DESC "),
+          col("o_orderstatus"), lit("</div></div>")).as("html"))
+      pages
+        .withColumn("del", graft.extract.Extractors.deletedUdf(col("html")))
+        .where(col("del").isNotNull)
+        .select(col("o_orderkey"),
+          col("del.date_deleted").as("date_deleted"),
+          col("del.advice").as("advice"),
+          col("del.lay_term").as("lay_term"),
+          col("del.guidelines").as("guidelines"),
+          col("del.description").as("description"))
+        .orderBy("o_orderkey")
+    })
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1913,5 +1958,5 @@ object Catalog {
     q59, q60, q61, q62,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, mm03, mm04,
-    ref01, ref02, dp01)
+    ref01, ref02, ref03, dp01)
 }

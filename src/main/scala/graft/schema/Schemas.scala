@@ -51,3 +51,13 @@ final case class NdcEntry(
 
 /** Typed row for the modifiers child table (`procedure_code.py:42`). */
 final case class Modifier(modifier: String, description: String)
+
+/** Typed result of the E3 deleted-page branch
+  * (`procedure_code.py:60-111`): the 5 sparse fields.
+  */
+final case class DeletedFields(
+    date_deleted: String,
+    advice: String,
+    lay_term: String,
+    guidelines: String,
+    description: String)
