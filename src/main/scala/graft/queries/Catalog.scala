@@ -1631,6 +1631,38 @@ object Catalog {
         .orderBy("s_name")
     })
 
+  // Ordered-set aggregates: percentile_disc picks an ACTUAL element (no
+  // interpolation) -> engine-exact by construction.
+  private val q63 = Q("q63_percentile_disc", Some("""
+    SELECT l_returnflag,
+      quantile_disc(l_quantity, 0.25) AS q25,
+      quantile_disc(l_quantity, 0.5) AS q50,
+      quantile_disc(l_quantity, 0.75) AS q75,
+      quantile_disc(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag,
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS q50,
+          percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q75,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    })
+
+  // Correlated LATERAL subquery with ORDER BY + LIMIT: per-nation top-2
+  // customers by balance — the "top-k per outer row" join shape.
+  private val q64Sql = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    ORDER BY n_name, c_acctbal DESC, c_custkey"""
+  private val q64 = Q("q64_lateral_topk", Some(q64Sql),
+    (s, d) => { Tables.registerAll(s, d); s.sql(q64Sql) })
+
   // Higher-order array functions (filter/transform/aggregate/array_max)
   // with fixed-point quantization for the float reductions — floor(|v| *
   // 2^20) as long is exact, so sums/maxes agree across engines. (Hot-path
@@ -1955,7 +1987,7 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62,
+    q59, q60, q61, q62, q63, q64,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, mm03, mm04,
     ref01, ref02, ref03, dp01)
