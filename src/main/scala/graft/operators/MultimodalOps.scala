@@ -63,7 +63,9 @@ object MultimodalOps {
     */
   def resampleBytes(df: DataFrame, payloadCol: String, idCol: String,
       target: Int): DataFrame = {
-    val n = length(col(payloadCol))
+    // upper bound clamped to >=1: Spark's sequence(1, 0, +step) throws,
+    // and an empty payload should yield an empty thumb, not an error
+    val n = greatest(length(col(payloadCol)), lit(1))
     val stride = greatest(expr(s"(length($payloadCol) + ${target - 1}) div $target"), lit(1))
     df.select(col(idCol), col(payloadCol))
       .withColumn("thumb",

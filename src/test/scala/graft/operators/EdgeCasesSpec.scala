@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Degenerate-input behavior: every operator must return an empty (or
+  * well-defined minimal) result on empty/edge inputs rather than throw —
+  * at production scale empty partitions and empty filtered subsets are
+  * routine, not exceptional.
+  */
+class EdgeCasesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhashCandidates on an empty corpus is empty") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupOps.minhashCandidates(docs, "text", "doc_id").isEmpty)
+  }
+
+  test("connectedComponents on empty vertex/edge sets is empty") {
+    val v = Seq.empty[Long].toDF("id")
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(DedupOps.connectedComponents(v, e).isEmpty)
+  }
+
+  test("connectedComponents with vertices but no edges keeps singletons") {
+    val v = Seq(7L, 9L).toDF("id")
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = DedupOps.connectedComponents(v, e)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 7L, 9L -> 9L))
+  }
+
+  test("bruteForceTopK with an empty corpus is empty") {
+    val q = Seq((1L, Seq(1f, 0f))).toDF("id", "vec")
+    val corpus = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    assert(SimilarityOps.bruteForceTopK(q, corpus, k = 5).isEmpty)
+  }
+
+  test("quantizedCentroids on empty input is empty") {
+    val df = Seq.empty[(String, Seq[Float])].toDF("cell", "vec")
+    assert(SimilarityOps.quantizedCentroids(df, "cell", "vec").isEmpty)
+  }
+
+  test("exactDedup on empty input is empty; single doc keeps itself") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupOps.exactDedup(empty, "text", "doc_id").isEmpty)
+    val one = Seq((5L, "hello")).toDF("doc_id", "text")
+    val r = DedupOps.exactDedup(one, "text", "doc_id")
+      .select("keep_id", "n_dups").as[(Long, Long)].head()
+    assert(r == ((5L, 1L)))
+  }
+
+  test("frameSample on an empty payload yields one empty frame") {
+    val df = MultimodalOps.withBinaryPayload(
+      Seq((1L, "")).toDF("media_id", "text"), "text")
+    val r = MultimodalOps.frameSample(df, "payload", "media_id",
+      frameLen = 64, stride = 48)
+      .select("frame_idx", "frame_len").as[(Int, Int)].collect()
+    assert(r.toSeq == Seq((0, 0)))
+  }
+
+  test("resampleBytes on an empty payload yields an empty thumb") {
+    val df = MultimodalOps.withBinaryPayload(
+      Seq((1L, "")).toDF("media_id", "text"), "text")
+    val r = MultimodalOps.resampleBytes(df, "payload", "media_id", target = 32)
+      .select("thumb_len").as[Int].head()
+    assert(r == 0)
+  }
+
+  test("saltedJoin on empty skewed side is empty") {
+    val skewed = Seq.empty[(Long, Long)].toDF("k", "id")
+    val small = Seq((1L, "x")).toDF("k", "name")
+    assert(Exec.saltedJoin(skewed, small, "k", "id").isEmpty)
+  }
+}
