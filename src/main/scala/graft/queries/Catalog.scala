@@ -1980,6 +1980,62 @@ object Catalog {
         .orderBy("o_orderkey")
     })
 
+  // Deterministic train/val/test split: the split fraction is a pure
+  // function of the doc id (salted md5 -> uniform [0,1)), so the split is
+  // reproducible on any engine, any partitioning, any rerun — the only
+  // sampling discipline that survives a distributed pipeline. 80/10/10.
+  private val dp02 = Q("dp02_hash_split", Some("""
+    WITH f AS (
+      SELECT lang, n_chars,
+        ('0x' || substr(md5('split:' || cast(doc_id as varchar)), 1, 15))::BIGINT
+          / 1152921504606846976.0 AS frac
+      FROM documents)
+    SELECT lang,
+      CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split,
+      count(*) AS n_docs,
+      cast(sum(n_chars) as bigint) AS total_chars
+    FROM f GROUP BY 1, 2 ORDER BY lang, split"""),
+    (s, d) => T(s, d, "documents")
+      .withColumn("frac",
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long").cast("double") / 1.152921504606846976e18)
+      .withColumn("split", when(col("frac") < 0.8, "train")
+        .when(col("frac") < 0.9, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "split"))
+
+  // Sequence packing (context-window assembly): docs streamed in id order
+  // per language, binned by exclusive cumulative token count div the
+  // window capacity — deterministic, one window + one aggregation, no
+  // sequential driver loop. Docs may straddle a boundary (overflow-pack
+  // semantics), the standard trade for a fully parallel packer.
+  private val dp03 = Q("dp03_seq_packing", Some("""
+    WITH t AS (
+      SELECT lang, doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+      FROM documents),
+    c AS (
+      SELECT lang, doc_id, tok,
+        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cum_excl
+      FROM t)
+    SELECT lang, cast(cum_excl // 4096 as bigint) AS bin,
+      count(*) AS n_docs, cast(sum(tok) as bigint) AS bin_tokens
+    FROM c GROUP BY lang, bin ORDER BY lang, bin"""),
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "documents")
+        .select(col("lang"), col("doc_id"), TextOps.tokenCount(col("text")).as("tok"))
+        .withColumn("cum_excl", sum("tok").over(w) - col("tok"))
+        .withColumn("bin", expr("cum_excl div 4096"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"))
+        .orderBy("lang", "bin")
+    })
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1990,5 +2046,5 @@ object Catalog {
     q59, q60, q61, q62, q63, q64,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, mm03, mm04,
-    ref01, ref02, ref03, dp01)
+    ref01, ref02, ref03, dp01, dp02, dp03)
 }
