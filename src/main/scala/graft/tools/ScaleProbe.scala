@@ -18,7 +18,9 @@ object ScaleProbe {
     "q46_kmv_distinct",     // distinct + window sort
     "dd02_minhash_lsh",     // shingle/sketch + banded self-join
     "ann01_bruteforce_topk",// broadcast nested-loop scoring
-    "tx06_tfidf")           // explode + two aggs + window
+    "tx06_tfidf",           // explode + two aggs + window
+    "dd06_dup_clusters",    // iterative label propagation (shuffle/round)
+    "dp01_curation_pipeline") // full multi-stage curation plan
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
