@@ -369,6 +369,9 @@ object Extractors {
     if (html == null) null else getLongDescription(html).orNull)
   val is404Udf = udf((html: String) => html != null && isError404Page(html))
   val isDeletedHcpcsUdf = udf((html: String) => html != null && isDeletedHcpcsPage(html))
+  /** E16 as a table-valued UDF: NDC rows explode into the child table. */
+  val ndcRowsUdf = udf((html: String) =>
+    if (html == null) Seq.empty[graft.schema.NdcEntry] else getNdc(html)._2)
   /** E3 composite as a struct UDF: null when the page has no Deleted
     * marker, else the 5 sparse fields.
     */

@@ -1991,6 +1991,42 @@ object Catalog {
         .orderBy("o_orderkey")
     })
 
+  // E16/E20 NDC table-valued extraction round trip: one page per brand
+  // holding a 5-column #ndc table row per part; the extractor parses the
+  // rows back and explode() forms the NDC child relation — checked
+  // against the relational identity the HTML encodes (same scheme as
+  // ref02 for modifiers).
+  private val ref04 = Q("ref04_extract_ndc", Some("""
+    SELECT p_brand,
+      cast(p_partkey as varchar) AS ndc_alternate_id,
+      p_name AS drug_name,
+      p_brand AS labeler_name,
+      p_type AS hcpcs_dosage,
+      cast(p_partkey % 7 as varchar) AS bill_unit
+    FROM part WHERE p_partkey <= 500
+    ORDER BY p_brand, ndc_alternate_id"""),
+    (s, d) => {
+      val rowHtml = (x: Column) => concat(
+        lit("<tr><td>"), x.getField("p_partkey").cast("string"),
+        lit("</td><td>"), x.getField("p_name"),
+        lit("</td><td>"), x.getField("p_brand"),
+        lit("</td><td>"), x.getField("p_type"),
+        lit("</td><td>"), (x.getField("p_partkey") % 7).cast("string"),
+        lit("</td></tr>"))
+      val pages = T(s, d, "part").where(col("p_partkey") <= 500)
+        .groupBy("p_brand")
+        .agg(concat(lit("""<div id="ndc"><table>"""),
+          array_join(transform(
+            array_sort(collect_list(struct(col("p_partkey"), col("p_name"),
+              col("p_brand"), col("p_type")))), rowHtml), ""),
+          lit("</table></div>")).as("html"))
+      pages.select(col("p_brand"),
+          explode(graft.extract.Extractors.ndcRowsUdf(col("html"))).as("n"))
+        .select(col("p_brand"), col("n.ndc_alternate_id"), col("n.drug_name"),
+          col("n.labeler_name"), col("n.hcpcs_dosage"), col("n.bill_unit"))
+        .orderBy("p_brand", "ndc_alternate_id")
+    })
+
   // Deterministic train/val/test split: the split fraction is a pure
   // function of the doc id (salted md5 -> uniform [0,1)), so the split is
   // reproducible on any engine, any partitioning, any rerun — the only
@@ -2057,5 +2093,5 @@ object Catalog {
     q59, q60, q61, q62, q63, q64,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, mm03, mm04,
-    ref01, ref02, ref03, dp01, dp02, dp03)
+    ref01, ref02, ref03, ref04, dp01, dp02, dp03)
 }
