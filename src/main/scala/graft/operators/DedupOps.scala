@@ -229,6 +229,11 @@ object DedupOps {
       labels = updated.select(col("id"), col("next").as("label"))
       iter += 1
     }
+    // a silently-unconverged result is a wrong clustering; fail loudly so
+    // callers raise maxIterations (or switch to large-star/small-star)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations iterations; " +
+        "component diameter exceeds the bound - raise maxIterations")
     labels.select(col("id").as(idCol), col("label").as("cluster"))
   }
 }

@@ -97,20 +97,54 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Bucket width that keeps the within-bucket self-join bounded as the
+    * corpus grows: the smallest k >= 4 (capped at 16) such that
+    * 2^k buckets hold ~`targetBucket` vectors each. Pure integer math so
+    * an engine mirroring the formula (e.g. the DuckDB oracle's CASE
+    * ladder) lands on the identical k — no float-log boundary risk.
+    */
+  def scaledAxisCount(n: Long, targetBucket: Int = 32): Int = {
+    val m = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    val k = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(16, math.max(4, k))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket candidates whose rounded
     * cosine clears `threshold` (id1 < id2). The bucket equi-join bounds
     * the pair count; brute-force verification only runs within buckets.
+    *
+    * When `axes` is not given, the bucket count SCALES WITH THE CORPUS
+    * ([[scaledAxisCount]]): expected bucket size stays ~`targetBucket`,
+    * so the within-bucket pair count grows O(n · targetBucket) — linear
+    * in corpus size — instead of the O(n²/buckets) blow-up a fixed
+    * bucket count gives at 100×. The one `count()` is a metadata-scale
+    * single-column scan.
     */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double,
-      axes: Seq[Int] = 0 until 4, roundSim: Int = 4): DataFrame = {
+      axes: Option[Seq[Int]] = None, targetBucket: Int = 32,
+      roundSim: Int = 4): DataFrame = {
+    val ax = axes.getOrElse(0 until scaledAxisCount(df.count(), targetBucket))
     val withBucket = Exec.materializeForSelfJoin(
-      df.select(col("id"), col("vec"), signBucket(col("vec"), axes).as("bucket")))
+      df.select(col("id"), col("vec"), signBucket(col("vec"), ax).as("bucket")))
     val l = withBucket.select(col("bucket"), col("id").as("id1"), col("vec").as("vec1"))
     val r = withBucket.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"))
     l.join(r, Seq("bucket"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), round(cosine(col("vec1"), col("vec2")), roundSim).as("sim"))
       .where(col("sim") >= threshold)
+  }
+
+  /** Diagnostic (ScaleProbe): how many same-bucket candidate pairs the
+    * near-dup join verifies at this corpus size's bucket width — the
+    * number that must grow ~linearly with n for the operator to survive
+    * a 100× scale-up.
+    */
+  def nearDupCandidateCount(df: DataFrame, targetBucket: Int = 32): Long = {
+    val ax = 0 until scaledAxisCount(df.count(), targetBucket)
+    df.select(signBucket(col("vec"), ax).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .select(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("pairs"))
+      .collect()(0).getLong(0)
   }
 
   /** Per-cell mean embedding — the k-means M-step that re-estimates IVF

@@ -173,11 +173,12 @@ object ProcedurePipeline {
       val newModifiers = DedupOps.antiJoinNew(modifierRows, existingModifiers, "modifier")
       val newNdc = DedupOps.antiJoinNew(ndcRows, existingNdc, "ndc_alternate_id")
 
-      ParquetSink.writeDataset(codeRows, codesOut, mode = "append")
-      ParquetSink.writeDataset(newModifiers, modifiersOut, mode = "append")
-      ParquetSink.writeDataset(newNdc, ndcOut, mode = "append")
-
-      PipelineResult(codeRows.count(), newModifiers.count(), newNdc.count())
+      // counts ride the writes as observed metrics — one pass per sink,
+      // not a write plus a second counting scan
+      PipelineResult(
+        ParquetSink.writeDatasetCounted(codeRows, codesOut, mode = "append"),
+        ParquetSink.writeDatasetCounted(newModifiers, modifiersOut, mode = "append"),
+        ParquetSink.writeDatasetCounted(newNdc, ndcOut, mode = "append"))
     } finally parsed.unpersist()
   }
 }

@@ -686,13 +686,21 @@ object Catalog {
         .orderBy("id1", "id2")
     })
 
+  // Bucket width scales with corpus size, mirroring
+  // SimilarityOps.scaledAxisCount's integer formula: m = ceil(n/32),
+  // naxes = clamp(ceil_log2(m), 4, 16) — a CASE ladder keeps it exact
+  // (no float-log boundary risk) up to n = 32*4096.
   private val ddEmbedSql = """
-    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e,
-               concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-           FROM embeddings)
+    WITH p AS (
+      SELECT least(16, CASE WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5
+        WHEN m <= 64 THEN 6 WHEN m <= 128 THEN 7 WHEN m <= 256 THEN 8
+        WHEN m <= 512 THEN 9 WHEN m <= 1024 THEN 10 WHEN m <= 2048 THEN 11
+        WHEN m <= 4096 THEN 12 ELSE cast(ceil(log2(m)) as int) END) AS naxes
+      FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)),
+    v AS (SELECT vec_id, cast(embedding as double[]) AS e,
+               array_to_string(list_transform(generate_series(1, p.naxes),
+                 i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings, p)
     SELECT l.vec_id AS id1, r.vec_id AS id2,
       round(list_sum(list_transform(generate_series(1, 64), i -> l.e[i] * r.e[i]))
         / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> l.e[i] * l.e[i])))
@@ -707,7 +715,7 @@ object Catalog {
   private val dd05 = Q("dd05_embed_neardup", Some(ddEmbedSql),
     (s, d) => SimilarityOps.embeddingNearDupPairs(
         T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
-        threshold = 0.35, axes = 0 until 4, roundSim = 4)
+        threshold = 0.35, roundSim = 4)
       .orderBy("id1", "id2"))
 
   private val ann01 = Q("ann01_bruteforce_topk", Some("""
@@ -1125,7 +1133,10 @@ object Catalog {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("qty"))
       .select(col("l_returnflag"),
-        col("F_n").as("n_F"), col("O_n").as("n_O"),
+        // an empty pivot cell yields NULL; count(*) FILTER semantics are 0
+        // (sums stay NULL on both engines, so only counts need coalescing)
+        coalesce(col("F_n"), lit(0L)).as("n_F"),
+        coalesce(col("O_n"), lit(0L)).as("n_O"),
         col("F_qty").as("qty_F"), col("O_qty").as("qty_O"))
       .orderBy("l_returnflag"))
 
@@ -1794,6 +1805,9 @@ object Catalog {
       val payloads = MultimodalOps.withBinaryPayload(
         T(s, d, "documents").where(col("doc_id") < 100), "text")
       payloads
+        // empty payloads emit no rows (mirrors generate_series(1,0) = []);
+        // without this, Spark's sequence(1,0) would step -1 and yield [1,0]
+        .where(length(col("text")) > 0)
         .select(col("doc_id"),
           explode(transform(
             sequence(lit(1), length(col("text"))),

@@ -33,6 +33,24 @@ object ParquetSink {
     true
   }
 
+  /** K1 + row count in ONE pass: the row count rides the write itself via
+    * an [[org.apache.spark.sql.Observation]] metric instead of a second
+    * full `count()` scan over the input. The empty guard stays a limit-1
+    * probe on the unobserved plan (so it cannot satisfy the observation
+    * early); with a cached parent it reads one row at most.
+    */
+  def writeDatasetCounted(df: DataFrame, path: String, mode: String = "overwrite",
+      partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    if (df.isEmpty) return 0L // reference: "No data to load" no-op
+    val obs = Observation()
+    var w = df.observe(obs, count(lit(1)).as("n")).write.mode(mode).format("parquet")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.save(path)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   /** K2: single-file-style write to an exact directory (the reference
     * wrote one Parquet object; distributed Spark coalesces to one task —
     * only sane for small outputs, which is the K2 use case).

@@ -2,30 +2,59 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful Structured Streaming operators (SURVEY §2.10: the reference
   * has no stateful streaming — these are the north-star extensions that a
   * continuously-ingesting training-data pipeline needs).
+  *
+  * All results leave the streaming query through a distributed parquet
+  * sink ([[StreamingOps.runViaFileSink]]) — never a driver-resident
+  * memory sink.
   */
 object StatefulOps {
 
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp)
-  final case class SessionState(sessionCount: Long, lastTsUs: Long)
+
+  /** Per-user sessionization state: event count plus the set of disjoint
+    * session intervals [startUs, endUs] seen so far. Intervals are kept
+    * pairwise separated by more than the gap (else they merge), so their
+    * count IS the session count. State is O(sessions per key) — bounded
+    * for any arrival order, with no per-batch sort or materialization.
+    */
+  final case class SessionState(nEvents: Long, intervals: List[(Long, Long)])
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Merge one event time into the disjoint-interval set: every interval
+    * within `gapUs` of `ts` coalesces with it. Intervals are pairwise
+    * >gap apart before AND after (a post-merge boundary extends at most
+    * to an absorbed interval's end, which was already >gap from the
+    * rest), so the invariant is self-maintaining.
+    */
+  private[streaming] def absorb(intervals: List[(Long, Long)], ts: Long,
+      gapUs: Long): List[(Long, Long)] = {
+    val (touching, rest) = intervals.partition {
+      case (s, e) => ts >= s - gapUs && ts <= e + gapUs
+    }
+    val start = (ts :: touching.map(_._1)).min
+    val end = (ts :: touching.map(_._2)).max
+    (start, end) :: rest
+  }
 
   /** Streaming gap-based sessionization with explicit per-key state
     * (`flatMapGroupsWithState`): counts sessions per user across
     * micro-batches — the streaming equivalent of
     * [[graft.operators.SessionOps.sessionStats]].
     *
-    * State per user is two longs — O(users) total, independent of event
-    * volume, so the state store stays small at any scale. Events within a
-    * batch are sorted by (ts, event_id) before folding; with
-    * AvailableNow over a bounded source every event lands in one batch,
-    * making the result comparable to the batch operator.
+    * The fold is ORDER-INSENSITIVE: each event extends/merges session
+    * intervals directly, so no batch-wide sort or `toSeq`
+    * materialization is needed — a hot key's history streams through the
+    * iterator one event at a time. State per user is the interval list
+    * (O(sessions), independent of event volume); on an unbounded stream
+    * intervals older than the watermark would be folded into a closed
+    * counter, keeping state O(open sessions).
     */
   def streamingSessionStats(spark: SparkSession, eventsPath: String,
       gapSeconds: Long = 1800L,
@@ -44,27 +73,17 @@ object StatefulOps {
       .flatMapGroupsWithState[SessionState, UserSessions](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (user, it, state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          var n = 0L
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000
-            val newSession = st.sessionCount == 0 || us - st.lastTsUs > gapUs
-            st = SessionState(st.sessionCount + (if (newSession) 1 else 0), us)
-            n += 1
+          var st = state.getOption.getOrElse(SessionState(0L, Nil))
+          it.foreach { e =>
+            st = SessionState(st.nEvents + 1,
+              absorb(st.intervals, e.ts.getTime * 1000, gapUs))
           }
           state.update(st)
-          Iterator(UserSessions(user, st.sessionCount, n))
+          Iterator(UserSessions(user, st.intervals.size.toLong, st.nEvents))
       }
 
-    val q = sessions.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    StreamingOps.runViaFileSink(sessions.toDF(), "update", queryName,
+      updateKeys = Seq("user_id"))
   }
 
   /** Streaming exact dedup with watermarked state (`dropDuplicates` on a
@@ -83,14 +102,7 @@ object StatefulOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    StreamingOps.runViaFileSink(stream, "append", queryName)
   }
 
   /** Stream-stream interval inner join: click events joined to the
@@ -101,7 +113,9 @@ object StatefulOps {
     * bound — state stays O(events in the interval window), not O(stream).
     *
     * Over a bounded source with AvailableNow the result equals the batch
-    * interval join, which is what the oracle checks (q51).
+    * interval join, which is what the oracle checks (q51). The output is
+    * O(matching pairs) — exactly the case where a memory sink would OOM
+    * the driver, hence the parquet sink.
     */
   def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String,
       leftType: String = "click", rightType: String = "signup",
@@ -123,13 +137,6 @@ object StatefulOps {
       col("c_user") === col("s_user")
         && col("c_ts") >= col("s_ts")
         && col("c_ts") <= col("s_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    StreamingOps.runViaFileSink(joined, "append", queryName)
   }
 }

@@ -28,10 +28,65 @@ object StreamingOps {
     }
   }
 
+  /** Run a streaming DataFrame to completion (`AvailableNow`) through a
+    * DISTRIBUTED parquet sink and read the result back. A memory sink
+    * would collect every result row into driver RAM — O(result) driver
+    * state, an OOM at scale (a stream-stream join's output is O(matching
+    * pairs)); the file sink keeps writes on the executors, so the driver
+    * holds only streaming progress metadata.
+    *
+    *  - `append`: the native parquet streaming sink (exactly-once via its
+    *    `_spark_metadata` commit log).
+    *  - `complete`: the whole result is re-emitted each batch, so
+    *    `foreachBatch` overwrites the output dir — the write itself still
+    *    runs distributed on the executors.
+    *  - `update`: each batch appends its changed rows tagged with the
+    *    batch id; the read-back keeps the latest row per `updateKeys`.
+    */
+  private[streaming] def runViaFileSink(df: DataFrame, mode: String,
+      queryName: String, updateKeys: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val base = java.nio.file.Files.createTempDirectory(s"graft_sink_$queryName")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val writer = mode match {
+      case "append" =>
+        df.writeStream.outputMode("append").format("parquet")
+          .option("path", out)
+      case "complete" =>
+        df.writeStream.outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+      case "update" =>
+        require(updateKeys.nonEmpty, "update mode needs updateKeys")
+        df.writeStream.outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("_batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+          }
+    }
+    val q = writer
+      .option("checkpointLocation", ckpt)
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.read.parquet(out)
+    if (mode == "update") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(updateKeys.map(col): _*)
+        .orderBy(col("_batch_id").desc)
+      result.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).drop("_rn", "_batch_id")
+    } else result
+  }
+
   /** Tumbling-window count/sum by event_type over a bounded parquet
-    * directory, run as a real streaming query (complete mode, memory
-    * sink) and returned as a DataFrame. Window starts are epoch-aligned,
-    * matching a batch `floor(epoch/window)` bucketing exactly.
+    * directory, run as a real streaming query (complete mode, parquet
+    * read-back) and returned as a DataFrame. Window starts are
+    * epoch-aligned, matching a batch `floor(epoch/window)` bucketing
+    * exactly.
     */
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
       window: String = "6 hours", queryName: String = "graft_stream_agg"): DataFrame = {
@@ -46,14 +101,7 @@ object StreamingOps {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    runViaFileSink(agg, "complete", queryName)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"),

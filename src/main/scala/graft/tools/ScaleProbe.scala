@@ -45,6 +45,16 @@ object ScaleProbe {
       }
       println(f"$n%-24s ${times(0)}%8.2fs ${times(1)}%8.2fs ${times(2)}%8.2fs")
     }
+    // dd05 scale evidence: same-bucket candidate pairs must grow ~linearly
+    // with corpus size (scaled bucket width), not O(n²/const-buckets)
+    val counts = sfs.map { sf =>
+      val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+        .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+          org.apache.spark.sql.functions.col("embedding").as("vec"))
+      (emb.count(), graft.operators.SimilarityOps.nearDupCandidateCount(emb))
+    }
+    println(f"${"dd05_candidate_pairs"}%-24s " +
+      counts.map { case (n, p) => f"n=$n%-5d pairs=$p%-7d" }.mkString(" "))
     spark.stop()
   }
 }
