@@ -2097,6 +2097,73 @@ object Catalog {
         .orderBy("lang", "bin")
     })
 
+  // Point-in-interval join executed as a binned EQUI-join
+  // (IntervalJoin.pointInInterval): intervals replicate to the fixed-width
+  // bins they overlap, points hash to their own bin, containment runs as a
+  // residual filter — a hash-shuffle plan with no broadcast-nested-loop
+  // and no broadcast-size ceiling, unlike a raw BETWEEN join. The oracle
+  // checks pure containment semantics.
+  private val q65 = Q("q65_interval_bin_join", Some("""
+    SELECT o.o_orderkey, count(*) AS n_items,
+      cast(round(sum(cast(l.l_quantity as decimal(12,2))), 2) as double) AS qty
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderkey % 1000 = 0
+    GROUP BY 1 ORDER BY o_orderkey"""),
+    (s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val intervals = T(s, d, "orders")
+        .where(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).as("_start"),
+          (datediff(col("o_orderdate"), epoch) + 7).as("_end"))
+      val points = T(s, d, "lineitem")
+        .select(col("l_quantity"), datediff(col("l_shipdate"), epoch).as("_p"))
+      IntervalJoin.pointInInterval(points, intervals, "_p", "_start", "_end",
+          binWidth = 7L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), sumMoney(col("l_quantity")).as("qty"))
+        .orderBy("o_orderkey")
+    })
+
+  // SCD-style snapshot diff (SnapshotOps.snapshotDiff): two synthetic
+  // snapshots of `customer` — old drops custkey%7==0 (-> "added"), new
+  // drops custkey%11==0 (-> "removed") and doubles acctbal for
+  // custkey%5==0 (-> "changed"; ×2 is an exact IEEE op, mirrored in the
+  // oracle). One full-outer join classifies every key in one shuffle.
+  private val dp04 = Q("dp04_snapshot_diff", Some("""
+    WITH old AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 7 <> 0),
+    new AS (
+      SELECT c_custkey, c_name,
+        CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 11 <> 0)
+    SELECT CASE
+        WHEN o.c_custkey IS NULL THEN 'added'
+        WHEN n.c_custkey IS NULL THEN 'removed'
+        WHEN NOT (o.c_name IS NOT DISTINCT FROM n.c_name
+              AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal) THEN 'changed'
+        ELSE 'unchanged' END AS status,
+      count(*) AS n_keys,
+      cast(sum(coalesce(o.c_custkey, n.c_custkey)) as bigint) AS key_sum
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    GROUP BY 1 ORDER BY status"""),
+    (s, d) => {
+      val cust = T(s, d, "customer")
+      val oldSnap = cust.where(col("c_custkey") % 7 =!= 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val newSnap = cust.where(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") * 2)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      SnapshotOps.snapshotDiff(oldSnap, newSnap,
+          keys = Seq("c_custkey"), compareCols = Seq("c_name", "c_acctbal"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_keys"), sum("c_custkey").as("key_sum"))
+        .orderBy("status")
+    })
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2104,8 +2171,8 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64,
+    q59, q60, q61, q62, q63, q64, q65,
     dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, mm03, mm04,
-    ref01, ref02, ref03, ref04, dp01, dp02, dp03)
+    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04)
 }
