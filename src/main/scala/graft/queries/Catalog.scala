@@ -2164,6 +2164,151 @@ object Catalog {
         .orderBy("status")
     })
 
+  // Content-defined chunking (CDC): the sub-document dedup primitive —
+  // chunk boundaries where a rolling fingerprint of the trailing w=8
+  // chars hits 0 mod 64, so boundaries survive insertions/deletions
+  // (unlike fixed-size chunking) and shared chunks dedup across
+  // near-identical docs. md5-of-window stands in for a Rabin hash:
+  // same boundary-decision shape, oracle-expressible in both engines.
+  // Narrow per-row compute (no shuffle until the final agg) — the shape
+  // that scales to any corpus size.
+  private val dd07 = Q("dd07_cdc_chunking", Some("""
+    WITH b AS (
+      SELECT doc_id, length(text) AS doc_len,
+        CASE WHEN length(text) >= 8 THEN
+          len(list_filter(generate_series(1, length(text) - 7),
+            i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 4))::BIGINT % 64 = 0))
+        ELSE 0 END AS n_bounds
+      FROM documents WHERE doc_id < 200 AND length(text) > 0)
+    SELECT doc_id, cast(n_bounds + 1 as bigint) AS n_chunks,
+      cast(doc_len as double) / (n_bounds + 1) AS avg_chunk_len
+    FROM b ORDER BY doc_id"""),
+    (s, d) => T(s, d, "documents")
+      .where(col("doc_id") < 200 && length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).as("doc_len"),
+        when(length(col("text")) >= 8,
+          size(filter(
+            transform(sequence(lit(1), length(col("text")) - 7),
+              i => conv(substring(md5(col("text").substr(i, lit(8))), 1, 4), 16, 10)
+                .cast("long") % 64),
+            h => h === 0L)))
+          .otherwise(0).as("n_bounds"))
+      .select(col("doc_id"), (col("n_bounds") + 1).cast("long").as("n_chunks"),
+        (col("doc_len").cast("double") / (col("n_bounds") + 1)).as("avg_chunk_len"))
+      .orderBy("doc_id"))
+
+  // MERGE-style apply of a snapshot diff (SCD upsert): the new snapshot
+  // annotated with insert/update/keep per key, removed keys dropped —
+  // the write side of dp04's change capture, built on the same
+  // SnapshotOps.snapshotDiff single full-outer join.
+  private val dp05 = Q("dp05_scd_merge", Some("""
+    WITH old AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 7 <> 0),
+    new AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 11 <> 0)
+    SELECT n.c_custkey AS c_custkey,
+      CASE WHEN o.c_custkey IS NULL THEN 'insert'
+           WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update'
+           ELSE 'keep' END AS op,
+      o.c_acctbal AS prev_acctbal,
+      n.c_acctbal AS curr_acctbal
+    FROM new n LEFT JOIN old o ON o.c_custkey = n.c_custkey
+    ORDER BY 1"""),
+    (s, d) => {
+      val cust = T(s, d, "customer")
+      val oldSnap = cust.where(col("c_custkey") % 7 =!= 0)
+        .select("c_custkey", "c_acctbal")
+      val newSnap = cust.where(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") * 2)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      SnapshotOps.snapshotDiff(oldSnap, newSnap,
+          keys = Seq("c_custkey"), compareCols = Seq("c_acctbal"))
+        .where(col("status") =!= "removed")
+        .select(col("c_custkey"),
+          when(col("status") === "added", "insert")
+            .when(col("status") === "changed", "update")
+            .otherwise("keep").as("op"),
+          col("_old_c_acctbal").as("prev_acctbal"),
+          col("_new_c_acctbal").as("curr_acctbal"))
+        .orderBy("c_custkey")
+    })
+
+  // Product-quantization-style ANN: each 64-dim vector becomes 8 block
+  // codes (8-bit sign patterns); similarity = number of matching block
+  // codes. Candidate generation is a banded equi-join on (block, code) —
+  // pairs sharing no block never meet, so the join shuffles by code
+  // bucket instead of forming queries x corpus. The same multi-band
+  // shape MinHash banding uses, applied to vectors.
+  private val ann06 = Q("ann06_pq_topk", Some("""
+    WITH codes AS (
+      SELECT vec_id,
+        list_transform(generate_series(0, 7), b ->
+          array_to_string(list_transform(generate_series(1, 8),
+            i -> CASE WHEN embedding[b*8 + i] >= 0 THEN '1' ELSE '0' END), '')) AS cs
+      FROM embeddings),
+    flat AS (
+      SELECT vec_id, unnest(generate_series(0, 7)) AS blk, unnest(cs) AS code
+      FROM codes),
+    matches AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, count(*) AS n_match
+      FROM flat q JOIN flat c ON q.blk = c.blk AND q.code = c.code
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, n_match, rank FROM (
+      SELECT query_id, neighbor_id, n_match,
+        row_number() OVER (PARTITION BY query_id ORDER BY n_match DESC, neighbor_id) AS rank
+      FROM matches) t
+    WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => {
+      // blk == posexplode position because transform preserves order
+      val flat = Exec.materializeForSelfJoin(T(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(transform(sequence(lit(0), lit(7)), b =>
+            concat_ws("", (1 to 8).map(i =>
+              when(get(col("embedding"), b * 8 + lit(i - 1)) >= 0f, lit("1"))
+                .otherwise(lit("0"))): _*)))
+            .as(Seq("blk", "code"))))
+      val q = flat.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("blk"), col("code"))
+      val c = flat.select(col("vec_id").as("neighbor_id"), col("blk"), col("code"))
+      val m = c.join(broadcast(q), Seq("blk", "code"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("n_match"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("n_match").desc, col("neighbor_id"))
+      m.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    })
+
+  // Corpus-commonness scoring (boilerplate signal for curation): build
+  // the corpus unigram frequency table, then score each doc by the sum
+  // of its tokens' corpus counts. Pure integer arithmetic — exact on any
+  // engine/partitioning. The frequency table is broadcast (a natural-
+  // language term dictionary is small relative to the corpus, same
+  // assumption tx06's tf-idf documents).
+  private val tx08 = Q("tx08_commonness", Some("""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    freq AS (SELECT tok, count(*) AS nf FROM toks GROUP BY tok)
+    SELECT t.doc_id, count(*) AS n_tokens,
+      cast(sum(f.nf) as bigint) AS commonness
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = Exec.materializeForSelfJoin(T(s, d, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("tok")))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("nf"))
+      toks.join(broadcast(freq), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("nf").as("commonness"))
+        .orderBy("doc_id")
+    })
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2172,7 +2317,9 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65,
-    dd01, dd02, dd03, dd04, dd05, dd06, ann01, ann02, ann03, ann04, ann05,
-    tx01, tx02, tx03, tx04, tx05, tx06, tx07, mm01, mm02, mm03, mm04,
-    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04)
+    dd01, dd02, dd03, dd04, dd05, dd06, dd07,
+    ann01, ann02, ann03, ann04, ann05, ann06,
+    tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08,
+    mm01, mm02, mm03, mm04,
+    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05)
 }
