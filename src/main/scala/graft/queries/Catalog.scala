@@ -1362,20 +1362,22 @@ object Catalog {
                 ELSE floor(63.0 * 1152921504606846976.0 / cast(h as double)) END as bigint) AS kmv_est
     FROM r WHERE rn = least(nd, 64) ORDER BY l_returnflag"""),
     (s, d) => {
-      val hashed = T(s, d, "lineitem")
+      // KMV via a k-bounded partial aggregation (functions.KmvAggregator):
+      // no global distinct, no per-group window sort — the shuffle carries
+      // O(groups x 64) sketch values plus countDistinct's dedup, and the
+      // kth-minimum comes out of the sorted sketch array.
+      val kmv = udaf(new graft.functions.KmvAggregator(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      T(s, d, "lineitem")
         .select(col("l_returnflag"),
           conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
             .cast("long").as("h"))
-        .distinct()
-      val byH = Window.partitionBy("l_returnflag").orderBy("h")
-      val grp = Window.partitionBy("l_returnflag")
-      hashed
-        .withColumn("rn", row_number().over(byH))
-        .withColumn("nd", count(lit(1)).over(grp))
-        .where(col("rn") === least(col("nd"), lit(64)))
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("h")).as("nd"), kmv(col("h")).as("ks"))
         .select(col("l_returnflag"), col("nd").as("n_exact"),
           when(col("nd") < 64, col("nd").cast("double"))
-            .otherwise(floor(lit(63.0) * lit(1.152921504606846976e18) / col("h").cast("double")))
+            .otherwise(floor(lit(63.0) * lit(1.152921504606846976e18)
+              / element_at(col("ks"), 64).cast("double")))
             .cast("long").as("kmv_est"))
         .orderBy("l_returnflag")
     })

@@ -33,7 +33,7 @@ object StatefulOps {
     * to an absorbed interval's end, which was already >gap from the
     * rest), so the invariant is self-maintaining.
     */
-  private[streaming] def absorb(intervals: List[(Long, Long)], ts: Long,
+  private[graft] def absorb(intervals: List[(Long, Long)], ts: Long,
       gapUs: Long): List[(Long, Long)] = {
     val (touching, rest) = intervals.partition {
       case (s, e) => ts >= s - gapUs && ts <= e + gapUs

@@ -65,6 +65,41 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: session interval fold is order-insensitive and matches sorted gap count") {
+    import graft.streaming.StatefulOps.absorb
+    val gapUs = 100L
+    val tsGen = Gen.listOfN(25, Gen.choose(0L, 2000L))
+    for (ts <- cases(tsGen, 20); if ts.nonEmpty) {
+      // ground truth: sort, count gaps > gapUs between consecutive events
+      val sorted = ts.sorted
+      val expected = 1 + sorted.zip(sorted.tail).count { case (a, b) => b - a > gapUs }
+      // fold in arbitrary (generated) order, then in reverse, then sorted
+      def foldAll(order: Seq[Long]) =
+        order.foldLeft(List.empty[(Long, Long)])((acc, t) => absorb(acc, t, gapUs))
+      assert(foldAll(ts).size == expected)
+      assert(foldAll(ts.reverse).size == expected)
+      assert(foldAll(sorted).size == expected)
+      // invariant: intervals stay pairwise separated by more than the gap
+      val iv = foldAll(ts).sortBy(_._1)
+      iv.zip(iv.tail).foreach { case ((_, e1), (s2, _)) => assert(s2 - e1 > gapUs) }
+    }
+  }
+
+  test("property: KmvAggregator equals sorted-distinct-take-k for any insert order") {
+    val agg = new graft.functions.KmvAggregator(8)
+    val valsGen = Gen.listOfN(40, Gen.choose(0L, 30L))
+    for (vs <- cases(valsGen, 20)) {
+      val expected = vs.distinct.sorted.take(8)
+      val folded = vs.foldLeft(agg.zero)(agg.reduce)
+      assert(folded == expected)
+      // merge of arbitrary splits must agree with the straight fold
+      val (a, b) = vs.splitAt(vs.length / 3)
+      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expected)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     import org.apache.spark.sql.functions.col
     val shingleSet = Gen.listOfN(8, Gen.choose(0, 15).map(i => s"s$i")).map(_.distinct)
