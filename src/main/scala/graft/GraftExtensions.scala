@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_similarity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    // conf-gated (spark.graft.binnedRangeJoin.width); a no-op otherwise
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }
 }
