@@ -2166,6 +2166,22 @@ object Catalog {
         .orderBy("status")
     })
 
+  // Streaming MERGE: the latest row per user maintained incrementally
+  // across micro-batches (StreamingOps.streamingLatestPerKey, one
+  // parquet generation per batch). Batching is invisible in the result —
+  // the per-key max over (ts, event_id) is associative — so the oracle
+  // is the plain batch latest-per-key (q47's shape).
+  private val q66 = Q("q66_stream_upsert", Some("""
+    WITH r AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, ts_us FROM r WHERE rn = 1 ORDER BY user_id"""),
+    (s, d) => graft.streaming.StreamingOps
+      .streamingLatestPerKey(s, s"$d/events.parquet")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id"))
+
   // Content-defined chunking (CDC): the sub-document dedup primitive —
   // chunk boundaries where a rolling fingerprint of the trailing w=8
   // chars hits 0 mod 64, so boundaries survive insertions/deletions
@@ -2318,7 +2334,7 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64, q65,
+    q59, q60, q61, q62, q63, q64, q65, q66,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07,
     ann01, ann02, ann03, ann04, ann05, ann06,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08,

@@ -108,6 +108,60 @@ object StreamingOps {
         col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** Streaming MERGE (upsert sink): maintain the latest row per key of a
+    * stream in a parquet table, one incremental merge per micro-batch.
+    *
+    * Each batch unions the previous table state with the batch's rows
+    * and keeps the top row per `user_id` by (ts, event_id) — writing a
+    * NEW generation directory (`g<batchId>`) instead of overwriting the
+    * directory being read, which is the classic self-overwrite deadlock
+    * of lazy reads. The reduction is associative, so the final state is
+    * identical for any batching of the input. The source is re-split
+    * into `splits` files and streamed with `maxFilesPerTrigger=1` so the
+    * merge path actually runs incrementally (several batches), not once.
+    *
+    * Scale: per-batch work is one shuffle of (table ∪ batch) on the key;
+    * state lives in the parquet table, not driver or executor memory.
+    * On a real deployment the two-generation dance is what Delta/Iceberg
+    * MERGE does transactionally; this is the pattern with plain parquet.
+    */
+  def streamingLatestPerKey(spark: SparkSession, eventsPath: String,
+      queryName: String = "graft_stream_upsert", splits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = java.nio.file.Files.createTempDirectory(s"graft_upsert_$queryName")
+    val src = base.resolve("src").toString
+    spark.read.parquet(eventsPath).repartition(splits).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("user_id", "event_id", "ts")
+    val genRoot = base.resolve("gen").toString
+    def gen(i: Long) = s"$genRoot/g$i"
+    var lastGen = -1L // foreachBatch runs sequentially on the driver
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val prev =
+          if (lastGen < 0) batch.limit(0)
+          else spark.read.parquet(gen(lastGen))
+        prev.unionByName(batch)
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+          .write.mode("overwrite").parquet(gen(id))
+        lastGen = id
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastGen >= 0, "no micro-batch ran")
+    spark.read.parquet(gen(lastGen))
+  }
+
   /** X1 restated: append a bounded source to a parquet sink in durable
     * micro-batches via foreachBatch (per-chunk flush semantics).
     */

@@ -20,6 +20,20 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/dst").count() == 3)
   }
 
+  test("streamingLatestPerKey merges incrementally and matches the batch result") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.streamingLatestPerKey(spark, s"$dir/events.parquet",
+        queryName = "graft_test_upsert", splits = 4)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val batch = graft.sources.Tables.events(spark, dir)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("windowedEventCounts aggregates a bounded stream in complete mode") {
     val dir = "/root/testdata/sf0.001"
     val out = StreamingOps.windowedEventCounts(spark, s"$dir/events.parquet", "1 day",
