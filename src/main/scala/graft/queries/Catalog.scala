@@ -2327,6 +2327,35 @@ object Catalog {
         .orderBy("doc_id")
     })
 
+  // Domain balancing (stratified cap): keep at most k docs per language,
+  // chosen by salted-md5 order — a deterministic uniform sample that is
+  // identical on any engine, partitioning, or rerun (same discipline as
+  // dp02's hash split; rand() would be neither reproducible nor
+  // task-retry-safe). One shuffle on the group key; per-group state in
+  // the window is just the running row number.
+  private val dp06 = Q("dp06_domain_cap", Some("""
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY md5('cap:' || cast(doc_id as varchar)), doc_id) AS rn
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+      cast(sum(n_chars) as bigint) AS sampled_chars,
+      cast(sum(doc_id) as bigint) AS id_sum
+    FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))), col("doc_id"))
+      T(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 50)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sampled_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    })
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2339,5 +2368,5 @@ object Catalog {
     ann01, ann02, ann03, ann04, ann05, ann06,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08,
     mm01, mm02, mm03, mm04,
-    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05)
+    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05, dp06)
 }
