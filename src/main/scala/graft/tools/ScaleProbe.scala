@@ -15,12 +15,16 @@ object ScaleProbe {
     "q04_multijoin_region", // star join (1 big shuffle + broadcasts)
     "q08_window_topk",      // shuffle + per-key window
     "q31_range_join",       // equi-join + interval filter
-    "q46_kmv_distinct",     // distinct + window sort
+    "q46_kmv_distinct",     // k-bounded KMV aggregation (r3: no window sort)
     "dd02_minhash_lsh",     // shingle/sketch + banded self-join
     "ann01_bruteforce_topk",// broadcast nested-loop scoring
     "tx06_tfidf",           // explode + two aggs + window
     "dd06_dup_clusters",    // iterative label propagation (shuffle/round)
-    "dp01_curation_pipeline") // full multi-stage curation plan
+    "dp01_curation_pipeline", // full multi-stage curation plan
+    "q65_interval_bin_join",// binned point-in-interval equi-join
+    "ann06_pq_topk",        // banded block-code candidate join
+    "tx08_commonness",      // freq table + broadcast join back
+    "dd07_cdc_chunking")    // per-row rolling-fingerprint chunking
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
