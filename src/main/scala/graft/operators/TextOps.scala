@@ -60,25 +60,46 @@ object TextOps {
     round(lenScore * 0.4 + stopwordRatio(text) * 0.4 + (lit(1d) - least(punctRatio * 10d, lit(1d))) * 0.2, 4)
   }
 
-  private def countMatches(text: Column, words: Seq[String]): Column =
-    words.map(w => size(regexp_extract_all(text, lit("(?i)\\b" + w + "\\b"), lit(0))))
-      .reduce(_ + _)
-
-  /** Heuristic language ID: CJK codepoints → zh; otherwise argmax of
-    * marker-word hit counts with fixed precedence (fr, es, de beat en only
-    * on a strict win). Mirrors one-to-one into the oracle SQL.
+  /** One combined alternation regex per language (the oracle's exact
+    * pattern) — one scan of the text per language instead of one per
+    * marker word.
     */
-  def langId(text: Column): Column = {
-    val fr = countMatches(text, Seq("le", "la", "les", "et", "est", "une"))
-    val es = countMatches(text, Seq("el", "los", "las", "es", "una"))
-    val de = countMatches(text, Seq("der", "die", "das", "und", "ist"))
-    val en = countMatches(text, Seq("the", "and", "is", "of", "that"))
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+  private def countMatches(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(text,
+      lit(words.map(w => "(?i)\\b" + w + "\\b").mkString("|")), lit(0)))
+
+  /** All four language scores + the CJK flag evaluated ONCE into a
+    * struct. Stage this through a `select` and branch on the fields:
+    * branching directly on the score expressions would re-run each regex
+    * per CASE-branch reference (no cross-branch common-subexpression
+    * elimination — the expression-inlining trap).
+    */
+  def langScores(text: Column): Column = struct(
+    countMatches(text, Seq("le", "la", "les", "et", "est", "une")).as("fr"),
+    countMatches(text, Seq("el", "los", "las", "es", "una")).as("es"),
+    countMatches(text, Seq("der", "die", "das", "und", "ist")).as("de"),
+    countMatches(text, Seq("the", "and", "is", "of", "that")).as("en"),
+    text.rlike("[\\u4e00-\\u9fff]").as("cjk"))
+
+  /** The argmax/precedence decision over a [[langScores]] struct column
+    * (fr, es, de beat en only on a strict win).
+    */
+  def langIdFromScores(s: Column): Column = {
+    val fr = s.getField("fr"); val es = s.getField("es")
+    val de = s.getField("de"); val en = s.getField("en")
+    when(s.getField("cjk"), lit("zh"))
       .when(fr > en && fr >= es && fr >= de, lit("fr"))
       .when(es > en && es > fr && es >= de, lit("es"))
       .when(de > en && de > fr && de > es, lit("de"))
       .otherwise(lit("en"))
   }
+
+  /** Heuristic language ID: CJK codepoints → zh; otherwise argmax of
+    * marker-word hit counts. Convenience single-Column form; for per-row
+    * hot paths stage [[langScores]] through a projection first (see
+    * tx03) so the scores are computed once.
+    */
+  def langId(text: Column): Column = langIdFromScores(langScores(text))
 
   /** Rolling-hash document fingerprint: minimum md5 over 16-char shingles
     * sampled every 8 chars (winnowing-lite). Two docs sharing large

@@ -961,7 +961,11 @@ object Catalog {
       count(*) AS n
     FROM scored GROUP BY 1, 2 ORDER BY lang, predicted"""),
     (s, d) => T(s, d, "documents")
-      .withColumn("predicted", TextOps.langId(col("text")))
+      // staged projection: the 4 regex scores + CJK flag run once per row;
+      // the CASE then branches over struct fields (CollapseProject keeps
+      // the boundary — the alias is non-cheap and multiply referenced)
+      .select(col("lang"), TextOps.langScores(col("text")).as("_ls"))
+      .withColumn("predicted", TextOps.langIdFromScores(col("_ls")))
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted"))
 
