@@ -1527,11 +1527,19 @@ object Catalog {
     WHERE revenue = (SELECT max(revenue) FROM rev)
     ORDER BY n_name"""),
     (s, d) => {
+      // Catalyst inlines CTEs, so the scalar-subquery form would run the
+      // 4-table join twice (r2 fixed that with an eager localCheckpoint —
+      // one extra materialization pass). Better: argmax as a global
+      // window max over the AGGREGATED result — 25 rows through a single-
+      // partition window, the join runs exactly once, nothing is
+      // materialized. The oracle keeps the subquery form (DuckDB
+      // auto-materializes CTEs); values are identical.
       Tables.registerAll(s, d)
-      s.sql(q56RevSql).localCheckpoint().createOrReplaceTempView("graft_rev_cte")
-      s.sql("""
-        SELECT n_name, revenue FROM graft_rev_cte
-        WHERE revenue = (SELECT max(revenue) FROM graft_rev_cte)
+      s.sql(s"""
+        WITH rev AS ($q56RevSql)
+        SELECT n_name, revenue FROM (
+          SELECT n_name, revenue, max(revenue) OVER () AS _mx FROM rev) t
+        WHERE revenue = _mx
         ORDER BY n_name""")
     })
 

@@ -60,10 +60,19 @@ object Tables {
 
   /** Register every corpus table as a temp view so `spark.sql(...)` — the
     * Athena-replacement surface (SURVEY §3.2) — can name them directly.
+    *
+    * Idempotent per (session, dir): each registration re-reads all ten
+    * parquet footers (schema inference) and re-analyzes ten views, which
+    * measurably taxes every SQL-surface query when repeated per call.
+    * The last-registered dir is tracked in session conf (session-scoped,
+    * no leak), so switching dirs still re-registers correctly.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val key = "spark.graft.registeredDir"
+    if (spark.conf.getOption(key).contains(sfDir)) return
     val names = Seq("lineitem", "orders", "customer", "supplier", "part",
       "nation", "region", "events", "documents", "embeddings")
     names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    spark.conf.set(key, sfDir)
   }
 }
