@@ -1188,11 +1188,11 @@ object Catalog {
         cast(sum(cast(l_quantity as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) AS sxy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-      (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
-      sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS std_qty,
-      (n * sxy - sx * sy) / (n * (n - 1)) AS cov_qty_price,
-      (n * sxy - sx * sy)
-        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      cast((n * sxx - sx * sx) / (n * (n - 1)) as real) AS var_qty,
+      cast(sqrt((n * sxx - sx * sx) / (n * (n - 1))) as real) AS std_qty,
+      cast((n * sxy - sx * sy) / (n * (n - 1)) as real) AS cov_qty_price,
+      cast((n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) as real) AS corr_qty_price
     FROM m ORDER BY l_returnflag"""),
     (s, d) => {
       val dx = d12(col("l_quantity"))
@@ -1206,12 +1206,18 @@ object Catalog {
           sum(dx * dy).cast("double").as("sxy"))
       val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
       val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+      // outputs at float32: the decimal->double casts of the moment sums
+      // can differ by 1 ULP between engines at some magnitudes (caught by
+      // a cross-sf check at sf0.001); IEEE double->float rounding is
+      // identical in both engines and absorbs ULP-level divergence while
+      // keeping ~7 significant digits — honest precision for moments
       m.select(col("l_returnflag"),
-          ((n * sxx - sx * sx) / (n * (n - lit(1)))).as("var_qty"),
-          sqrt((n * sxx - sx * sx) / (n * (n - lit(1)))).as("std_qty"),
-          ((n * sxy - sx * sy) / (n * (n - lit(1)))).as("cov_qty_price"),
+          ((n * sxx - sx * sx) / (n * (n - lit(1)))).cast("float").as("var_qty"),
+          sqrt((n * sxx - sx * sx) / (n * (n - lit(1)))).cast("float").as("std_qty"),
+          ((n * sxy - sx * sy) / (n * (n - lit(1)))).cast("float").as("cov_qty_price"),
           ((n * sxy - sx * sy)
-            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            .cast("float").as("corr_qty_price"))
         .orderBy("l_returnflag")
     })
 
