@@ -2345,6 +2345,40 @@ object Catalog {
         .orderBy("doc_id")
     })
 
+  // Repetition ratio (the duplicate-3-gram fraction): the classic
+  // pretraining quality filter for boilerplate/spam — docs whose shingle
+  // set is mostly duplicates get filtered before training. Narrow
+  // per-row compute over the same shingle kernel dd04 uses; the ratio is
+  // one double division + subtraction, mirrored op-for-op.
+  private val tx09 = Q("tx09_repetition", Some("""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN
+          list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks),
+    c AS (
+      SELECT doc_id, cast(len(shingles) as bigint) AS n_shingles,
+        cast(len(list_distinct(shingles)) as bigint) AS n_distinct
+      FROM sh)
+    SELECT doc_id, n_shingles, n_distinct,
+      1.0 - cast(n_distinct as double) / n_shingles AS rep_ratio
+    FROM c ORDER BY doc_id"""),
+    (s, d) => T(s, d, "documents")
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), DedupOps.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), DedupOps.shinglesFromTokens(col("_toks"), 3).as("_sh"))
+      .select(col("doc_id"),
+        size(col("_sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("_sh"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")).as("rep_ratio"))
+      .orderBy("doc_id"))
+
   // Domain balancing (stratified cap): keep at most k docs per language,
   // chosen by salted-md5 order — a deterministic uniform sample that is
   // identical on any engine, partitioning, or rerun (same discipline as
@@ -2384,7 +2418,7 @@ object Catalog {
     q59, q60, q61, q62, q63, q64, q65, q66,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07,
     ann01, ann02, ann03, ann04, ann05, ann06,
-    tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08,
+    tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09,
     mm01, mm02, mm03, mm04,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05, dp06)
 }
