@@ -38,8 +38,12 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
     if (w <= 0) plan
     else plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
+        // either orientation: points may sit on the left or the right
         extractRange(cond, left, right)
-          .map { case (p, s, e) => rewrite(left, right, p, s, e, cond, w, hint) }
+          .map { case (p, s, e) =>
+            rewrite(left, right, p, s, e, cond, w, hint, pointsOnLeft = true) }
+          .orElse(extractRange(cond, right, left).map { case (p, s, e) =>
+            rewrite(left, right, p, s, e, cond, w, hint, pointsOnLeft = false) })
           .getOrElse(j)
     }
   }
@@ -92,16 +96,21 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
       p: Expression, s: Expression, e: Expression,
-      cond: Expression, w: Long, hint: JoinHint): LogicalPlan = {
-    val lBin = Alias(binOf(p, w), "_graft_bin_l")()
-    val newLeft = Project(left.output :+ lBin, left)
+      cond: Expression, w: Long, hint: JoinHint,
+      pointsOnLeft: Boolean): LogicalPlan = {
+    val pBin = Alias(binOf(p, w), "_graft_bin_p")()
     val bins = Sequence(binOf(s, w), binOf(e, w), None,
       Some(conf.sessionLocalTimeZone))
-    val rBin = AttributeReference("_graft_bin_r", LongType, nullable = true)()
-    val newRight = Generate(Explode(bins), unrequiredChildIndex = Nil,
-      outer = false, qualifier = None, generatorOutput = Seq(rBin), child = right)
+    val iBin = AttributeReference("_graft_bin_i", LongType, nullable = true)()
+    def project(side: LogicalPlan) = Project(side.output :+ pBin, side)
+    def generate(side: LogicalPlan) = Generate(Explode(bins),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(iBin), child = side)
+    val (newLeft, newRight) =
+      if (pointsOnLeft) (project(left), generate(right))
+      else (generate(left), project(right))
     val joined = Join(newLeft, newRight, Inner,
-      Some(And(EqualTo(lBin.toAttribute, rBin), cond)), hint)
+      Some(And(EqualTo(pBin.toAttribute, iBin), cond)), hint)
     // drop the bin columns so downstream operators see the original shape
     Project(left.output ++ right.output, joined)
   }

@@ -59,6 +59,21 @@ class BinnedRangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("mirrored orientation (intervals on the left) also rewrites correctly") {
+    val intervals = Seq((10L, 30L), (200L, 207L)).toDF("s", "e")
+    val points = (0L to 300L).toDF("p")
+    def join() = intervals.join(points, col("p") >= col("s") && col("p") <= col("e"))
+    val expected = join().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    withRule(width = 16) {
+      val rewritten = join()
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
+      val got = rewritten.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(got == expected && got.nonEmpty)
+    }
+  }
+
   test("joins with an equi-key or extra predicates are left untouched") {
     withRule(width = 16) {
       val a = Seq((1L, 5L), (2L, 9L)).toDF("k", "v")
