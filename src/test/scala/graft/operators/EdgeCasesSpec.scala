@@ -74,4 +74,45 @@ class EdgeCasesSpec extends AnyFunSuite {
     val small = Seq((1L, "x")).toDF("k", "name")
     assert(Exec.saltedJoin(skewed, small, "k", "id").isEmpty)
   }
+
+  test("pointInInterval with empty points or empty intervals is empty") {
+    val points = Seq(5L).toDF("p")
+    val intervals = Seq((1L, 10L)).toDF("s", "e")
+    val noPoints = Seq.empty[Long].toDF("p")
+    val noIntervals = Seq.empty[(Long, Long)].toDF("s", "e")
+    assert(IntervalJoin.pointInInterval(noPoints, intervals, "p", "s", "e", 4L).isEmpty)
+    assert(IntervalJoin.pointInInterval(points, noIntervals, "p", "s", "e", 4L).isEmpty)
+  }
+
+  test("snapshotDiff against an empty old snapshot marks everything added") {
+    val old = Seq.empty[(Long, String)].toDF("k", "v")
+    val neu = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val got = SnapshotOps.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .select("status").as[String].collect()
+    assert(got.length == 2 && got.forall(_ == "added"))
+  }
+
+  test("snapshotDiff against an empty new snapshot marks everything removed") {
+    val old = Seq((1L, "a")).toDF("k", "v")
+    val neu = Seq.empty[(Long, String)].toDF("k", "v")
+    val got = SnapshotOps.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .select("status").as[String].collect()
+    assert(got.toSeq == Seq("removed"))
+  }
+
+  test("KmvAggregator: empty fold is empty; k=1 keeps the single minimum") {
+    val agg1 = new graft.functions.KmvAggregator(1)
+    assert(agg1.zero.isEmpty)
+    assert(Seq(9L, 3L, 7L, 3L).foldLeft(agg1.zero)(agg1.reduce) == Seq(3L))
+    assert(agg1.merge(agg1.zero, agg1.zero).isEmpty)
+  }
+
+  test("scaledAxisCount clamps to [4, 16] and grows with corpus size") {
+    import SimilarityOps.scaledAxisCount
+    assert(scaledAxisCount(0) == 4 && scaledAxisCount(500) == 4)
+    assert(scaledAxisCount(2000) == 6)
+    assert(scaledAxisCount(Long.MaxValue / 4) == 16) // cap
+    val widths = Seq(1L, 100L, 10000L, 1000000L).map(scaledAxisCount(_))
+    assert(widths == widths.sorted)
+  }
 }
