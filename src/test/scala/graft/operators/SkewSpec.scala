@@ -52,6 +52,64 @@ class SkewSpec extends AnyFunSuite {
       s"bucket skew too high: ${buckets.mkString(",")}")
   }
 
+  test("salting measurably reduces the largest reducer's shuffle load") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import scala.collection.mutable.ArrayBuffer
+
+    // capture per-task shuffle-read record counts for one action
+    def maxShuffleRead(run: => Unit): Long = {
+      val recs = ArrayBuffer.empty[Long]
+      val l = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null && m.shuffleReadMetrics != null)
+            recs.synchronized { recs += m.shuffleReadMetrics.recordsRead }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        run
+        // listener bus is async: wait until the event stream goes quiet
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val n = recs.synchronized(recs.size)
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      recs.synchronized(if (recs.isEmpty) 0L else recs.max)
+    }
+
+    // force a real shuffle join (broadcast would bypass the shuffle and
+    // hide the skew entirely), and disable AQE: at test scale its
+    // partition coalescing folds the whole shuffle into one partition,
+    // masking exactly the per-reducer distribution this test measures
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(thresholdKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(thresholdKey, "-1")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val facts = skewedFacts
+      val maxPlain = maxShuffleRead {
+        facts.join(dim, Seq("key")).count(): Unit
+      }
+      val maxSalted = maxShuffleRead {
+        Exec.saltedJoin(facts, dim, "key", "id", saltFactor).count(): Unit
+      }
+      // one reducer used to see the hot key's 10k rows in one block;
+      // salted, the hot key spans saltFactor shuffle keys
+      assert(maxPlain > 0 && maxSalted > 0)
+      assert(maxSalted < maxPlain * 0.7,
+        s"salting did not spread the load: plain=$maxPlain salted=$maxSalted")
+    } finally {
+      spark.conf.set(thresholdKey, prev)
+      spark.conf.set(aqeKey, prevAqe)
+    }
+  }
+
   test("connectedComponents labels a hot star graph correctly") {
     // vertex 0 adjacent to half of all vertices (one shuffle key sees 50%
     // of all edges), plus disjoint chains for the rest
