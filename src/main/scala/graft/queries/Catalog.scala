@@ -2147,6 +2147,43 @@ object Catalog {
         .orderBy("o_orderkey")
     })
 
+  // The binned-range-join OPTIMIZER RULE exercised end-to-end against
+  // the oracle: the Spark side writes the naive BETWEEN join (no manual
+  // binning), enables plans.BinnedRangeJoinRule for the scope of an
+  // eager materialization, and returns the rewritten-plan result. Same
+  // containment semantics as q65, different window/keys — proving the
+  // plan-time rewrite is value-preserving, not just shape-preserving.
+  private val q67 = Q("q67_rule_range_join", Some("""
+    SELECT o.o_orderkey, count(*) AS n_items,
+      cast(round(sum(cast(l.l_quantity as decimal(12,2))), 2) as double) AS qty
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 14 DAY
+    WHERE o.o_orderkey % 500 = 0
+    GROUP BY 1 ORDER BY o_orderkey"""),
+    (s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val intervals = T(s, d, "orders")
+        .where(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).as("_start"),
+          (datediff(col("o_orderdate"), epoch) + 14).as("_end"))
+      val points = T(s, d, "lineitem")
+        .select(col("l_quantity"), datediff(col("l_shipdate"), epoch).as("_p"))
+      // the naive no-equi-key BETWEEN join — the rule supplies the bins
+      val naive = points.join(intervals,
+          col("_p") >= col("_start") && col("_p") <= col("_end"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), sumMoney(col("l_quantity")).as("qty"))
+        .orderBy("o_orderkey")
+      val rule = graft.plans.BinnedRangeJoinRule
+      if (!s.experimental.extraOptimizations.exists(_ eq rule))
+        s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+      s.conf.set(rule.WidthConf, "14")
+      try naive.localCheckpoint() // eager: optimized (rewritten) here
+      finally s.conf.unset(rule.WidthConf)
+    })
+
   // SCD-style snapshot diff (SnapshotOps.snapshotDiff): two synthetic
   // snapshots of `customer` — old drops custkey%7==0 (-> "added"), new
   // drops custkey%11==0 (-> "removed") and doubles acctbal for
@@ -2415,7 +2452,7 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64, q65, q66,
+    q59, q60, q61, q62, q63, q64, q65, q66, q67,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07,
     ann01, ann02, ann03, ann04, ann05, ann06,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09,
