@@ -122,6 +122,29 @@ object DedupOps {
       .select("id1", "id2").distinct()
   }
 
+  /** Incremental near-dup candidates: NEW docs against an EXISTING
+    * corpus via the banded index — the production shape for continuous
+    * ingestion (today's batch vs the historical index). Unlike the full
+    * self-join ([[minhashCandidates]]), only new×existing band matches
+    * shuffle, so daily cost is O(batch), not O(corpus).
+    *
+    * At scale the existing side's banded index is persisted once,
+    * bucketed by the band key ([[graft.sinks.ParquetSink.writeBucketed]]
+    * — bucketed joins run with no exchange on the index side, verified
+    * in ParquetSinkSpec), and each ingestion batch joins against it
+    * without recomputing or reshuffling history.
+    */
+  def incrementalNearDupCandidates(newDf: DataFrame, existingDf: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val nb = minhashBands(newDf, textCol, idCol, shingleK, bands, rowsPerBand)
+      .select(col("band_id"), col("band_key"), col(idCol).as("new_id"))
+    val eb = minhashBands(existingDf, textCol, idCol, shingleK, bands, rowsPerBand)
+      .select(col("band_id"), col("band_key"), col(idCol).as("existing_id"))
+    nb.join(eb, Seq("band_id", "band_key"))
+      .select("new_id", "existing_id").distinct()
+  }
+
   /** Exact Jaccard similarity between two *materialized* shingle-set
     * array columns (callers array_distinct first: set semantics).
     */

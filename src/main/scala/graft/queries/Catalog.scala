@@ -2237,6 +2237,26 @@ object Catalog {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .orderBy("user_id"))
 
+  // Incremental near-dup: the newest docs (id >= 400) deduped against
+  // the existing corpus (id < 400) through the banded index — candidate
+  // pairs are new x existing only, never corpus x corpus. The daily-
+  // ingestion shape: batch cost O(new), the history joined via its
+  // (persistable, bucketable) band index.
+  private val dd08 = Q("dd08_incremental_neardup", Some(s"""
+    WITH $minhashCtes
+    SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
+    FROM bands n JOIN bands e
+      ON n.band_id = e.band_id AND n.band_key = e.band_key
+    WHERE n.doc_id >= 400 AND e.doc_id < 400
+    ORDER BY new_id, existing_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      DedupOps.incrementalNearDupCandidates(
+          docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+          "text", "doc_id", shingleK = 3, bands = 4, rowsPerBand = 4)
+        .orderBy("new_id", "existing_id")
+    })
+
   // Content-defined chunking (CDC): the sub-document dedup primitive —
   // chunk boundaries where a rolling fingerprint of the trailing w=8
   // chars hits 0 mod 64, so boundaries survive insertions/deletions
@@ -2453,7 +2473,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    dd01, dd02, dd03, dd04, dd05, dd06, dd07,
+    dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08,
     ann01, ann02, ann03, ann04, ann05, ann06,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09,
     mm01, mm02, mm03, mm04,
