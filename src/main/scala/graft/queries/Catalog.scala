@@ -2290,6 +2290,52 @@ object Catalog {
         (col("doc_len").cast("double") / (col("n_bounds") + 1)).as("avg_chunk_len"))
       .orderBy("doc_id"))
 
+  // The CDC payoff: which content-defined chunks repeat across DIFFERENT
+  // documents — the sub-document dedup signal (shared boilerplate,
+  // quoted passages, templates) that whole-doc hashing can't see.
+  // Chunks are cut at dd07's rolling-fingerprint boundaries, hashed, and
+  // grouped: narrow per-row chunking, then ONE hash aggregation on a
+  // fixed-width md5 key — the shape that survives any corpus size.
+  private val dd09 = Q("dd09_shared_chunks", Some("""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS len,
+        list_filter(generate_series(1, length(text) - 7),
+          i -> i > 1 AND ('0x' || substr(md5(substr(text, i, 8)), 1, 4))::BIGINT % 64 = 0) AS bp
+      FROM documents WHERE doc_id < 200 AND length(text) >= 8),
+    c AS (
+      SELECT doc_id, text, list_concat(list_concat([1], bp), [len + 1]) AS cuts
+      FROM b),
+    ch AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(cuts) - 1),
+        j -> md5(substr(text, cuts[j], cuts[j+1] - cuts[j])))) AS chunk_md5
+      FROM c)
+    SELECT chunk_md5, cast(count(DISTINCT doc_id) as bigint) AS n_docs
+    FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY chunk_md5"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+        .where(col("doc_id") < 200 && length(col("text")) >= 8)
+      // staged: boundary positions -> cut points -> per-chunk md5s
+      val withCuts = docs
+        .select(col("doc_id"), col("text"),
+          filter(sequence(lit(1), length(col("text")) - 7),
+            i => i > 1 &&
+              conv(substring(md5(col("text").substr(i, lit(8))), 1, 4), 16, 10)
+                .cast("long") % 64 === 0L).as("_bp"))
+        .select(col("doc_id"), col("text"),
+          concat(concat(array(lit(1)), col("_bp")),
+            array(length(col("text")) + 1)).as("_cuts"))
+      withCuts
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("_cuts")) - 1),
+            j => md5(col("text").substr(get(col("_cuts"), j - 1),
+              get(col("_cuts"), j) - get(col("_cuts"), j - 1))))).as("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    })
+
   // MERGE-style apply of a snapshot diff (SCD upsert): the new snapshot
   // annotated with insert/update/keep per key, removed keys dropped —
   // the write side of dp04's change capture, built on the same
@@ -2473,7 +2519,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08,
+    dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09,
     ann01, ann02, ann03, ann04, ann05, ann06,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09,
     mm01, mm02, mm03, mm04,
