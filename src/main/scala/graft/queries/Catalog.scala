@@ -35,6 +35,17 @@ object Catalog {
 
   private def T(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
 
+  /** State partition count for the catalog's streaming queries. Stateful
+    * operators materialize one state-store instance per partition (four
+    * per partition for a stream-stream join) and commit cost is per
+    * instance, so this is sized to the test corpus's stream volume, NOT
+    * inherited from the batch shuffle setting — see
+    * [[graft.streaming.StreamingOps.withStatePartitions]] for the
+    * profiled 8.6s → 3.1s effect on q51. On a production stream this is
+    * the knob you raise with throughput.
+    */
+  private val streamStatePartitions: Option[Int] = Some(4)
+
   // =====================================================================
   // A. Relational surface (the Athena-replacement, SURVEY §2.4-2.8, §3.2)
   // =====================================================================
@@ -386,7 +397,8 @@ object Catalog {
     FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
     (s, d) => graft.streaming.StreamingOps
       .windowedEventCounts(s, s"$d/events.parquet", "6 hours",
-        queryName = "graft_stream_agg_" + math.abs(d.hashCode))
+        queryName = "graft_stream_agg_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
       .orderBy("window_start", "event_type"))
 
   private val q24 = Q("q24_cube", Some("""
@@ -1445,7 +1457,8 @@ object Catalog {
     (s, d) => graft.streaming.StatefulOps.streamingDedup(
         s, s"$d/events.parquet", Seq("user_id", "event_type"),
         watermark = "1 hour",
-        queryName = "graft_stream_dedup_" + math.abs(d.hashCode))
+        queryName = "graft_stream_dedup_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
       .groupBy("user_id").agg(count(lit(1)).as("n_unique"))
       .orderBy("user_id"))
 
@@ -1565,7 +1578,8 @@ object Catalog {
     ORDER BY click_id, signup_id"""),
     (s, d) => graft.streaming.StatefulOps.streamStreamIntervalJoin(
         s, s"$d/events.parquet", "click", "signup", 3600L,
-        queryName = "graft_stream_join_" + math.abs(d.hashCode))
+        queryName = "graft_stream_join_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
       .select(col("c_id").as("click_id"), col("s_id").as("signup_id"),
         col("c_user").as("user_id"),
         (unix_micros(col("c_ts")) - unix_micros(col("s_ts"))).as("gap_us"))
@@ -1778,7 +1792,8 @@ object Catalog {
     FROM flagged GROUP BY user_id ORDER BY user_id"""),
     (s, d) => graft.streaming.StatefulOps.streamingSessionStats(
         s, s"$d/events.parquet", gapSeconds = 1800L,
-        queryName = "graft_stream_sessions_" + math.abs(d.hashCode))
+        queryName = "graft_stream_sessions_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
       .orderBy("user_id"))
 
   // Near-dup clustering: minhash candidate pairs (dd02's graph) collapsed
@@ -2233,7 +2248,8 @@ object Catalog {
       FROM events)
     SELECT user_id, event_id, ts_us FROM r WHERE rn = 1 ORDER BY user_id"""),
     (s, d) => graft.streaming.StreamingOps
-      .streamingLatestPerKey(s, s"$d/events.parquet")
+      .streamingLatestPerKey(s, s"$d/events.parquet",
+        statePartitions = streamStatePartitions)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .orderBy("user_id"))
 

@@ -58,7 +58,8 @@ object StatefulOps {
     */
   def streamingSessionStats(spark: SparkSession, eventsPath: String,
       gapSeconds: Long = 1800L,
-      queryName: String = "graft_sessions"): DataFrame = {
+      queryName: String = "graft_sessions",
+      statePartitions: Option[Int] = None): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = StreamingOps.asSourceDir(eventsPath)
@@ -83,7 +84,7 @@ object StatefulOps {
       }
 
     StreamingOps.runViaFileSink(sessions.toDF(), "update", queryName,
-      updateKeys = Seq("user_id"))
+      updateKeys = Seq("user_id"), statePartitions = statePartitions)
   }
 
   /** Streaming exact dedup with watermarked state (`dropDuplicates` on a
@@ -94,7 +95,8 @@ object StatefulOps {
     */
   def streamingDedup(spark: SparkSession, eventsPath: String,
       keyCols: Seq[String], watermark: String = "1 hour",
-      queryName: String = "graft_stream_dedup"): DataFrame = {
+      queryName: String = "graft_stream_dedup",
+      statePartitions: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = StreamingOps.asSourceDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
@@ -102,7 +104,8 @@ object StatefulOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
-    StreamingOps.runViaFileSink(stream, "append", queryName)
+    StreamingOps.runViaFileSink(stream, "append", queryName,
+      statePartitions = statePartitions)
   }
 
   /** Stream-stream interval inner join: click events joined to the
@@ -120,7 +123,8 @@ object StatefulOps {
   def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String,
       leftType: String = "click", rightType: String = "signup",
       intervalSeconds: Long = 3600L,
-      queryName: String = "graft_stream_join"): DataFrame = {
+      queryName: String = "graft_stream_join",
+      statePartitions: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = StreamingOps.asSourceDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
@@ -137,6 +141,7 @@ object StatefulOps {
       col("c_user") === col("s_user")
         && col("c_ts") >= col("s_ts")
         && col("c_ts") <= col("s_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
-    StreamingOps.runViaFileSink(joined, "append", queryName)
+    StreamingOps.runViaFileSink(joined, "append", queryName,
+      statePartitions = statePartitions)
   }
 }

@@ -28,6 +28,30 @@ object StreamingOps {
     }
   }
 
+  /** Stateful-operator partition count is fixed at a streaming query's
+    * first batch from `spark.sql.shuffle.partitions` — and every
+    * partition materializes its own state-store instances (FOUR per
+    * partition for a stream-stream join). Store commit cost is per
+    * *instance*, not per row: profiled at sf0.1, a 2-batch join with 32
+    * partitions (128 stores) spent 60-78s of cumulative commit time
+    * (8.6-15.6s wall) vs 1.7s cumulative (3.1s wall) with 4 — the swing
+    * the round-3 driver bench caught on q51. So state sizing is an
+    * explicit operator parameter, scoped to the streaming query and
+    * restored after: size it to stream throughput/key cardinality (raise
+    * it on a real high-volume stream), never inherit whatever the batch
+    * session happens to use. The checkpoint pins it for the query's
+    * lifetime, which is exactly why it must be a deliberate choice.
+    */
+  private[streaming] def withStatePartitions[T](spark: SparkSession,
+      n: Option[Int])(body: => T): T = n match {
+    case None => body
+    case Some(k) =>
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, k.toString)
+      try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming DataFrame to completion (`AvailableNow`) through a
     * DISTRIBUTED parquet sink and read the result back. A memory sink
     * would collect every result row into driver RAM — O(result) driver
@@ -44,7 +68,8 @@ object StreamingOps {
     *    batch id; the read-back keeps the latest row per `updateKeys`.
     */
   private[streaming] def runViaFileSink(df: DataFrame, mode: String,
-      queryName: String, updateKeys: Seq[String] = Nil): DataFrame = {
+      queryName: String, updateKeys: Seq[String] = Nil,
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val base = java.nio.file.Files.createTempDirectory(s"graft_sink_$queryName")
     val out = base.resolve("out").toString
@@ -66,12 +91,14 @@ object StreamingOps {
               .write.mode("append").parquet(out)
           }
     }
-    val q = writer
-      .option("checkpointLocation", ckpt)
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val q = writer
+        .option("checkpointLocation", ckpt)
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val result = spark.read.parquet(out)
     if (mode == "update") {
       import org.apache.spark.sql.expressions.Window
@@ -89,7 +116,8 @@ object StreamingOps {
     * exactly.
     */
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
-      window: String = "6 hours", queryName: String = "graft_stream_agg"): DataFrame = {
+      window: String = "6 hours", queryName: String = "graft_stream_agg",
+      statePartitions: Option[Int] = None): DataFrame = {
     // ns-precision source: read nanos as long, floor to µs (see Tables.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = asSourceDir(eventsPath)
@@ -101,32 +129,48 @@ object StreamingOps {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))
-    runViaFileSink(agg, "complete", queryName)
+    runViaFileSink(agg, "complete", queryName, statePartitions = statePartitions)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"),
         col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** Per-batch merge record, exposed for observability and for the spec
+    * that proves untouched buckets are never read or rewritten.
+    */
+  final case class BatchMerge(batchId: Long, touchedBuckets: Seq[Int],
+      prevPathsRead: Seq[String])
+
   /** Streaming MERGE (upsert sink): maintain the latest row per key of a
-    * stream in a parquet table, one incremental merge per micro-batch.
+    * stream in a parquet table, one incremental merge per micro-batch —
+    * with BUCKET-PRUNED copy-on-write, so a batch only rewrites the slice
+    * of the table that contains its keys.
     *
-    * Each batch unions the previous table state with the batch's rows
-    * and keeps the top row per `user_id` by (ts, event_id) — writing a
-    * NEW generation directory (`g<batchId>`) instead of overwriting the
-    * directory being read, which is the classic self-overwrite deadlock
-    * of lazy reads. The reduction is associative, so the final state is
+    * The table is hash-bucketed on the key (`pmod(hash(user_id), n)`).
+    * Driver-side metadata (the foreachBatch loop runs sequentially) maps
+    * each bucket to the generation directory that last rewrote it — the
+    * same file-granularity copy-on-write Delta/Iceberg MERGE does with a
+    * transaction log. Per batch:
+    *   1. the batch's touched buckets are computed (≤ `numBuckets` ints —
+    *      partition METADATA, not data, so the driver collect is bounded);
+    *   2. ONLY those buckets' latest files are read back;
+    *   3. (touched-prev ∪ batch) keeps the top row per key by
+    *      (ts, event_id) and writes `g<batchId>/_bucket=<b>` dirs;
+    *   4. untouched buckets carry forward by pointer — zero bytes copied.
+    *
+    * Per-batch cost is O(batch + rows in touched buckets), not O(table):
+    * at 100 TB with keys arriving concentrated (the real-world shape —
+    * recent/hot entities), a batch leaves the cold 99% of the table
+    * untouched. The reduction is associative, so the final state is
     * identical for any batching of the input. The source is re-split
     * into `splits` files and streamed with `maxFilesPerTrigger=1` so the
     * merge path actually runs incrementally (several batches), not once.
-    *
-    * Scale: per-batch work is one shuffle of (table ∪ batch) on the key;
-    * state lives in the parquet table, not driver or executor memory.
-    * On a real deployment the two-generation dance is what Delta/Iceberg
-    * MERGE does transactionally; this is the pattern with plain parquet.
     */
   def streamingLatestPerKey(spark: SparkSession, eventsPath: String,
-      queryName: String = "graft_stream_upsert", splits: Int = 4): DataFrame = {
+      queryName: String = "graft_stream_upsert", splits: Int = 4,
+      statePartitions: Option[Int] = None, numBuckets: Int = 16,
+      diagnostics: Option[scala.collection.mutable.Buffer[BatchMerge]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = java.nio.file.Files.createTempDirectory(s"graft_upsert_$queryName")
@@ -138,28 +182,42 @@ object StreamingOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("user_id", "event_id", "ts")
     val genRoot = base.resolve("gen").toString
-    def gen(i: Long) = s"$genRoot/g$i"
-    var lastGen = -1L // foreachBatch runs sequentially on the driver
+    def bucketPath(g: Long, b: Int) = s"$genRoot/g$g/_bucket=$b"
+    val keyBucket = pmod(hash(col("user_id")), lit(numBuckets))
+    // bucket -> generation that last rewrote it (driver metadata; the
+    // production analog is the table format's transaction log)
+    val bucketGen = scala.collection.mutable.Map.empty[Int, Long]
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val touched = batch.select(keyBucket.as("_bucket"))
+          .distinct().collect().map(_.getInt(0)).sorted.toSeq
+        val prevPaths = touched.flatMap(b => bucketGen.get(b).map(bucketPath(_, b)))
+        // reading leaf `_bucket=` dirs drops the partition column; the
+        // bucket is a pure function of the key, so it is re-derived below
+        val prev =
+          if (prevPaths.isEmpty) batch.select("user_id", "event_id", "ts").limit(0)
+          else spark.read.parquet(prevPaths: _*)
         val w = Window.partitionBy("user_id")
           .orderBy(col("ts").desc, col("event_id").desc)
-        val prev =
-          if (lastGen < 0) batch.limit(0)
-          else spark.read.parquet(gen(lastGen))
-        prev.unionByName(batch)
+        prev.unionByName(batch.select("user_id", "event_id", "ts"))
           .withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1).drop("_rn")
-          .write.mode("overwrite").parquet(gen(id))
-        lastGen = id
+          .withColumn("_bucket", keyBucket)
+          .write.mode("overwrite").partitionBy("_bucket")
+          .parquet(s"$genRoot/g$id")
+        touched.foreach(b => bucketGen(b) = id)
+        diagnostics.foreach(_ += BatchMerge(id, touched, prevPaths))
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    require(lastGen >= 0, "no micro-batch ran")
-    spark.read.parquet(gen(lastGen))
+    withStatePartitions(spark, statePartitions) {
+      q.start().awaitTermination()
+    }
+    require(bucketGen.nonEmpty, "no micro-batch ran")
+    // final state = union of every bucket's latest generation files
+    val latest = bucketGen.toSeq.sortBy(_._1).map { case (b, g) => bucketPath(g, b) }
+    spark.read.parquet(latest: _*)
   }
 
   /** X1 restated: append a bounded source to a parquet sink in durable
