@@ -219,14 +219,17 @@ object DedupOps {
     * its component — the canonical "collapse duplicate clusters" step that
     * follows pair generation (minhash/simhash) in a dedup pipeline.
     *
-    * Each iteration is one shuffle (edges ⋈ labels on src, then a
-    * groupBy(dst) min) — O(E) work per round, O(component diameter)
-    * rounds. Candidate-pair graphs from LSH banding have tiny diameters
-    * (near-dup clusters are dense), so this converges in a handful of
-    * rounds at any scale; for adversarial long-chain graphs the
-    * large-star/small-star variant halves diameter per round, which this
-    * implementation trades away for simplicity. Lineage is cut per
-    * iteration (localCheckpoint) so plans don't grow with the loop.
+    * Each iteration is a neighbor-min pass (edges ⋈ labels on src, then
+    * a groupBy(dst) min) followed by a POINTER-JUMP (label(u) ←
+    * label(label(u)), one labels ⋈ labels shuffle): the neighbor pass
+    * moves the min one hop, the jump halves every pointer chain, so a
+    * component of diameter d converges in O(log d) rounds — the same
+    * contraction large-star/small-star buys, with one extra equi-join
+    * per round. Candidate-pair graphs from LSH banding are dense (2-3
+    * rounds); the jump is what keeps adversarial long chains (a
+    * 1000-vertex path converges in ~11 rounds, see DedupOpsSpec) inside
+    * the iteration bound. Lineage is cut per iteration (localCheckpoint)
+    * so plans don't grow with the loop.
     *
     * @param vertices one column `idCol` (one row per vertex)
     * @param edges    columns `src`, `dst` (undirected; one direction given)
@@ -249,7 +252,19 @@ object DedupOps {
           .select(col("id"), col("label"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("next")))
       converged = updated.where(col("next") < col("label")).isEmpty
-      labels = updated.select(col("id"), col("next").as("label"))
+      val stepped = updated.select(col("id"), col("next").as("label"))
+      // pointer jump: label(u) <- label(label(u)). Every label value is a
+      // vertex id, so the lookup always resolves; labels only decrease
+      // (label(x) <= x), preserving the monotone-convergence argument.
+      // At the neighbor-min fixpoint labels are already constant per
+      // component, so the jump is skipped on the final round.
+      labels =
+        if (converged) stepped
+        else Exec.materializeForSelfJoin(
+          stepped.join(
+            stepped.select(col("id").as("_pid"), col("label").as("_plabel")),
+            col("label") === col("_pid"), "left")
+          .select(col("id"), coalesce(col("_plabel"), col("label")).as("label")))
       iter += 1
     }
     // a silently-unconverged result is a wrong clustering; fail loudly so

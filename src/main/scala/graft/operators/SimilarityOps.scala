@@ -117,13 +117,16 @@ object SimilarityOps {
     * ([[scaledAxisCount]]): expected bucket size stays ~`targetBucket`,
     * so the within-bucket pair count grows O(n · targetBucket) — linear
     * in corpus size — instead of the O(n²/buckets) blow-up a fixed
-    * bucket count gives at 100×. The one `count()` is a metadata-scale
-    * single-column scan.
+    * bucket count gives at 100×. Pass the corpus size as `n` (from table
+    * metadata, e.g. [[graft.sources.Tables.parquetRowCount]], or the
+    * caller's prior knowledge) so the ONLY scan of the table is the real
+    * job; the `df.count()` fallback costs one extra single-column pass.
     */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double,
       axes: Option[Seq[Int]] = None, targetBucket: Int = 32,
-      roundSim: Int = 4): DataFrame = {
-    val ax = axes.getOrElse(0 until scaledAxisCount(df.count(), targetBucket))
+      roundSim: Int = 4, n: Option[Long] = None): DataFrame = {
+    val ax = axes.getOrElse(
+      0 until scaledAxisCount(n.getOrElse(df.count()), targetBucket))
     val withBucket = Exec.materializeForSelfJoin(
       df.select(col("id"), col("vec"), signBucket(col("vec"), ax).as("bucket")))
     val l = withBucket.select(col("bucket"), col("id").as("id1"), col("vec").as("vec1"))

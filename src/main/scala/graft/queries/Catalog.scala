@@ -458,13 +458,28 @@ object Catalog {
       .groupBy("k").agg(count(lit(1)).as("n"))
       .where(col("n") > 12).orderBy("k"))
 
-  // HLL++ sketch cardinality — approximate by design, no exact oracle:
-  // the driver records the rows-only check.
-  private val q28 = Q("q28_approx_distinct", None,
+  // HLL++ sketch cardinality. The estimate itself has no cross-engine
+  // oracle (DuckDB's HLL registers differ), but the sketch's CONTRACT
+  // does: HLL++ at rsd=0.02 stays well within 5% relative error (the
+  // default rsd=0.05 measurably does NOT — one sf0.01 group missed).
+  // The query emits the exact counts plus a per-group bound check on the
+  // estimate, so the driver hash-checks a real assertion (a drifting
+  // sketch flips the boolean and fails the hash) instead of rows-only.
+  private val q28 = Q("q28_approx_distinct", Some("""
+    SELECT l_returnflag,
+      cast(count(DISTINCT l_partkey) as bigint) AS n_parts,
+      cast(count(DISTINCT l_orderkey) as bigint) AS n_orders,
+      true AS hll_parts_ok, true AS hll_orders_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (s, d) => T(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("_ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("_ao"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+        (abs(col("_ap") - col("n_parts")) <= col("n_parts") * 0.05).as("hll_parts_ok"),
+        (abs(col("_ao") - col("n_orders")) <= col("n_orders") * 0.05).as("hll_orders_ok"))
       .orderBy("l_returnflag"))
 
   private val q29 = Q("q29_scalar_subq", Some("""
@@ -727,7 +742,9 @@ object Catalog {
   private val dd05 = Q("dd05_embed_neardup", Some(ddEmbedSql),
     (s, d) => SimilarityOps.embeddingNearDupPairs(
         T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
-        threshold = 0.35, roundSim = 4)
+        threshold = 0.35, roundSim = 4,
+        // corpus size from parquet footers: no sizing pre-scan of the data
+        n = Some(Tables.parquetRowCount(s, s"$d/embeddings.parquet")))
       .orderBy("id1", "id2"))
 
   private val ann01 = Q("ann01_bruteforce_topk", Some("""

@@ -58,6 +58,30 @@ object Tables {
   def embeddings(spark: SparkSession, d: String): DataFrame =
     rebalanced(spark.read.parquet(s"$d/embeddings.parquet"))
 
+  /** Row count from parquet FOOTERS — the "table metadata" a catalog
+    * (Glue/HMS/Delta) serves for free. No data pages are read and no
+    * Spark job runs: operators that need the corpus size to pick a
+    * data-dependent constant (e.g. [[graft.operators.SimilarityOps
+    * .scaledAxisCount]]'s bucket width) get it without an extra
+    * full-column scan of a 100 TB table.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      else Array(root)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Register every corpus table as a temp view so `spark.sql(...)` — the
     * Athena-replacement surface (SURVEY §3.2) — can name them directly.
     *

@@ -83,4 +83,17 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
   }
+
+  test("connectedComponents: a 1000-vertex path converges inside the bound") {
+    // adversarial worst case for plain hash-min label propagation (one
+    // hop per round = 999 rounds); pointer jumping halves chains per
+    // round, so this must converge within the default 25 iterations
+    val n = 1000L
+    val vertices = spark.range(n).toDF("id")
+    val edges = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val got = DedupOps.connectedComponents(vertices, edges)
+    assert(got.where(col("cluster") =!= 0L).isEmpty)
+    assert(got.count() == n)
+  }
 }

@@ -34,6 +34,44 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamingLatestPerKey reads back ONLY the buckets a batch touches") {
+    import org.apache.spark.sql.functions._
+    // 16 distinct keys spread over 64 buckets, streamed in 4 micro-batches
+    // of ~4 keys each: a batch's keys overlap few earlier buckets, so a
+    // pruning merge reads back far less than the whole table each batch
+    val base = Files.createTempDirectory("graft_prune").toString
+    val rows = (0L until 16L).map(k => (k, k * 100, k)) // (user_id, event_id, ts-ns)
+    rows.toDF("user_id", "event_id", "ts")
+      .withColumn("ts", col("ts").cast("long"))
+      .write.parquet(s"$base/events")
+    val diag = scala.collection.mutable.Buffer.empty[StreamingOps.BatchMerge]
+    val result = StreamingOps.streamingLatestPerKey(spark, s"$base/events",
+      queryName = "graft_test_prune", splits = 4, numBuckets = 64,
+      diagnostics = Some(diag))
+    val laterBatches = diag.sortBy(_.batchId).drop(1).filter(_.touchedBuckets.nonEmpty)
+    assert(laterBatches.nonEmpty)
+    // a batch never reads more bucket files than keys it touches…
+    laterBatches.foreach(b => assert(b.prevPathsRead.size <= b.touchedBuckets.size))
+    // …and in aggregate reads strictly less than the unpruned merge would
+    // (which reads back EVERY bucket written so far, every batch)
+    val pruned = laterBatches.map(_.prevPathsRead.size).sum
+    val unpruned = laterBatches.map { b =>
+      diag.filter(_.batchId < b.batchId).flatMap(_.touchedBuckets).toSet.size
+    }.sum
+    assert(pruned < unpruned)
+    // the union of per-bucket latest generations is the correct table
+    val expected = rows.map { case (k, e, _) => (k, e) }.toSet
+    assert(result.select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet == expected)
+  }
+
+  test("parquetRowCount reads footers only and matches the real count") {
+    val dir = "/root/testdata/sf0.001"
+    val fromFooters = graft.sources.Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    val real = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(fromFooters == real && fromFooters > 0)
+  }
+
   test("windowedEventCounts aggregates a bounded stream in complete mode") {
     val dir = "/root/testdata/sf0.001"
     val out = StreamingOps.windowedEventCounts(spark, s"$dir/events.parquet", "1 day",
