@@ -184,25 +184,36 @@ object StreamingOps {
     val genRoot = base.resolve("gen").toString
     def bucketPath(g: Long, b: Int) = s"$genRoot/g$g/_bucket=$b"
     val keyBucket = pmod(hash(col("user_id")), lit(numBuckets))
+    val stateSchema = stream.schema
     // bucket -> generation that last rewrote it (driver metadata; the
     // production analog is the table format's transaction log)
     val bucketGen = scala.collection.mutable.Map.empty[Int, Long]
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // touched buckets in ONE stage (per-partition dedup of <=numBuckets
+        // ints, no exchange) — this is the metadata pass every pruning
+        // MERGE pays to build its file-pruning predicate
         val touched = batch.select(keyBucket.as("_bucket"))
-          .distinct().collect().map(_.getInt(0)).sorted.toSeq
+          .rdd.mapPartitions(it => it.map(_.getInt(0)).toSet.iterator)
+          .collect().toSet.toSeq.sorted
         val prevPaths = touched.flatMap(b => bucketGen.get(b).map(bucketPath(_, b)))
         // reading leaf `_bucket=` dirs drops the partition column; the
-        // bucket is a pure function of the key, so it is re-derived below
+        // bucket is a pure function of the key, so it is re-derived below.
+        // The explicit schema skips per-path footer inference.
         val prev =
           if (prevPaths.isEmpty) batch.select("user_id", "event_id", "ts").limit(0)
-          else spark.read.parquet(prevPaths: _*)
-        val w = Window.partitionBy("user_id")
+          else spark.read.schema(stateSchema).parquet(prevPaths: _*)
+        // single shuffle on the bucket; hash-partitioning on _bucket also
+        // clusters (_bucket, user_id), so the window runs in place and
+        // every bucket dir gets exactly ONE file (no small-file fan-out
+        // from each shuffle task writing into each partition dir)
+        val w = Window.partitionBy("_bucket", "user_id")
           .orderBy(col("ts").desc, col("event_id").desc)
         prev.unionByName(batch.select("user_id", "event_id", "ts"))
+          .withColumn("_bucket", keyBucket)
+          .repartition(col("_bucket"))
           .withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1).drop("_rn")
-          .withColumn("_bucket", keyBucket)
           .write.mode("overwrite").partitionBy("_bucket")
           .parquet(s"$genRoot/g$id")
         touched.foreach(b => bucketGen(b) = id)

@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (VERDICT r3 stretch): extend the ScaleProbe curve one decade
+  * past the driver-generated corpus for the five heaviest operators
+  * (dd06, dp01, tx06, q51, q66) — the first point where per-row compute
+  * should clear the fixed-overhead floor, turning "flat wall time" into
+  * a real scaling slope.
+  *
+  * The sf1 corpus is synthesized in /tmp as 10 structure-preserving
+  * copies of sf0.1 (the driver's testdata is read-only and tops out at
+  * sf0.1):
+  *  - events: user_id/event_id shifted per copy — per-user activity and
+  *    join fan-out stay constant, so totals scale linearly;
+  *  - documents: doc_id shifted AND the text letter-rotated per copy
+  *    (translate over 'a'..'j'), so within-copy near-dup structure is
+  *    preserved exactly while cross-copy texts stop being near-dups —
+  *    cluster count ×10, cluster sizes unchanged. Without the rotation
+  *    every doc would gain 9 identical twins and candidate pairs would
+  *    grow quadratically, probing an adversarial corpus instead of a
+  *    bigger one.
+  */
+object Sf1Probe {
+  private val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
+    "tx06_tfidf", "q51_stream_join", "q66_stream_upsert")
+
+  private def buildSf1(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val fs = java.nio.file.Paths.get(dst)
+    if (java.nio.file.Files.exists(fs.resolve("_DONE"))) return
+    val letters = "abcdefghij"
+    def rotated(i: Int) = letters.drop(i % 10) + letters.take(i % 10)
+
+    val ev = graft.sources.Tables.rawEvents(spark, src)
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    val maxEvent = ev.agg(max("event_id")).head().getLong(0) + 1
+    (0 until copies).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * maxUser))
+        .withColumn("event_id", col("event_id") + lit(i * maxEvent))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until copies).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+        .withColumn("text", translate(col("text"), letters, rotated(i)))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    java.nio.file.Files.createFile(fs.resolve("_DONE"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = "/tmp/graft_sf1"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sf1))
+    println("[sf1probe] building sf1 corpus (10x sf0.1) ...")
+    buildSf1(spark, sf01, sf1, copies = 10)
+    val cat = graft.queries.Catalog.all.map(q => q.name -> q).toMap
+    // warm-up at sf0.01 (JIT + codegen), then time one decade apart
+    probes.foreach(n => cat(n).fn(spark, "/root/testdata/sf0.01")
+      .write.format("noop").mode("overwrite").save())
+    println(f"${"query"}%-24s ${"sf0.1"}%9s ${"sf1"}%9s ${"ratio"}%7s")
+    probes.foreach { n =>
+      val times = Seq(sf01, sf1).map { sf =>
+        val t0 = System.nanoTime()
+        cat(n).fn(spark, sf).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n%-24s ${times(0)}%8.2fs ${times(1)}%8.2fs ${times(1) / times(0)}%6.1fx")
+    }
+    spark.stop()
+  }
+}
