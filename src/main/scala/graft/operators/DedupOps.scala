@@ -38,6 +38,46 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
+  /** Bloom-filter dedup prefilter: classify each batch row as
+    * definitely-new or maybe-duplicate against a historical corpus
+    * WITHOUT joining the batch to the history — the standard first gate
+    * of an incremental dedup pipeline, where the history is 100 TB but
+    * its Bloom filter is megabytes.
+    *
+    * `k` bit positions per document are derived from md5 nibbles of the
+    * text (engine-portable, like every oracle-checked hash here; the
+    * Spark-native production form is `bloom_filter_agg`/`might_contain`,
+    * whose semantics a spec checks against this). The history's set bits
+    * are a ≤`mBits`-row DataFrame — broadcast to the probe join, so the
+    * batch is scanned once and never shuffled on the text.
+    *
+    * Returns (idCol, maybe_dup, actual_dup): the Bloom guarantee is
+    * no false negatives — `actual_dup` implies `maybe_dup` for ANY data
+    * (asserted in DedupOpsSpec); false positives are the m/k trade-off.
+    */
+  def bloomPrefilter(history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, mBits: Int = 4096, k: Int = 4): DataFrame = {
+    // one md5 per row, staged through a projection (expression-inlining
+    // trap); every bit position is a nibble slice of that single hash,
+    // and the 32-char hash — never the document body — is the widest
+    // column any shuffle carries
+    def positions(h: Column): Column = array(
+      (0 until k).map(i =>
+        conv(substring(h, 1 + 4 * i, 4), 16, 10).cast("long") % mBits): _*)
+    val setBits = history.select(md5(col(textCol)).as("_h"))
+      .select(explode(positions(col("_h"))).as("bit")).distinct()
+    val probe = batch.select(col(idCol), md5(col(textCol)).as("_h"))
+      .select(col(idCol), col("_h"), explode(positions(col("_h"))).as("bit"))
+    val maybe = probe
+      .join(broadcast(setBits.withColumn("_hit", lit(1))), Seq("bit"), "left")
+      .groupBy(col(idCol), col("_h"))
+      .agg((count(col("_hit")) === k).as("maybe_dup"))
+    val dups = history.select(md5(col(textCol)).as("_hh")).distinct()
+    maybe
+      .join(broadcast(dups), col("_h") === col("_hh"), "left")
+      .select(col(idCol), col("maybe_dup"), col("_hh").isNotNull.as("actual_dup"))
+  }
+
   /** Whitespace tokens of a trimmed text column. */
   def tokens(textCol: Column): Column = split(trim(textCol), "\\s+")
 

@@ -111,4 +111,22 @@ object TextOps {
     when(n < 16, md5(text)).otherwise(
       array_min(transform(sequence(lit(1), n - 15, lit(8)), i => md5(text.substr(i, lit(16))))))
   }
+
+  /** PII scrubbing: email and phone patterns, kept to the regex subset
+    * RE2 and java.util.regex evaluate identically (character classes and
+    * bounded repetition — no lookaround, no backreferences), so the same
+    * pattern runs in Spark and any RE2-based engine (DuckDB oracle).
+    * Redaction must run EMAIL-FIRST: the phone pattern could otherwise
+    * match digit runs inside an email local part.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** Count of PII matches per kind (for scrub-rate monitoring). */
+  def emailCount(text: Column): Column = size(regexp_extract_all(text, lit(emailRe), lit(0)))
+  def phoneCount(text: Column): Column = size(regexp_extract_all(text, lit(phoneRe), lit(0)))
+
+  /** Redact emails then phones; single pass over the column, codegen'd. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
 }

@@ -2544,6 +2544,155 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // =====================================================================
+  // E. Round-4 widening: Bloom dedup prefilter, PII scrubbing, integer
+  // PageRank (graph importance for link-derived corpora), and Z-order
+  // clustering values for multi-column scan pruning.
+  // =====================================================================
+
+  // Bloom-filter dedup prefilter: the megabytes-sized gate a 100 TB
+  // incremental dedup pipeline probes BEFORE any join against history.
+  // md5-derived bit positions are engine-portable; the no-false-negative
+  // guarantee (actual_dup -> maybe_dup) is asserted in DedupOpsSpec.
+  private val dd10 = Q("dd10_bloom_prefilter", Some("""
+    WITH hist AS (SELECT text FROM documents WHERE doc_id < 400),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+    ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(h.text), 1 + 4*k.i, 4))::BIGINT % 4096 AS bit
+      FROM hist h CROSS JOIN ks k),
+    probe AS (
+      SELECT b.doc_id, ('0x' || substr(md5(b.text), 1 + 4*k.i, 4))::BIGINT % 4096 AS bit
+      FROM batch b CROSS JOIN ks k),
+    maybe AS (
+      SELECT doc_id,
+        count(*) FILTER (WHERE bit IN (SELECT bit FROM bits)) = 4 AS maybe_dup
+      FROM probe GROUP BY doc_id)
+    SELECT m.doc_id, m.maybe_dup,
+      (md5(b.text) IN (SELECT DISTINCT md5(text) FROM hist)) AS actual_dup
+    FROM maybe m JOIN batch b USING (doc_id)
+    ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      DedupOps.bloomPrefilter(
+          docs.where(col("doc_id") < 400),
+          docs.where(col("doc_id") >= 400), "text", "doc_id")
+        .orderBy("doc_id")
+    })
+
+  // PII scrubbing over synthetic contact strings built from the customer
+  // relation (the corpus text carries no PII, so the fixture constructs
+  // it deterministically — same discipline as ref01's built HTML).
+  private val tx10 = Q("tx10_pii_redaction", Some("""
+    WITH c AS (
+      SELECT c_custkey,
+        'Reach ' || c_name || ' at user' || cast(c_custkey as varchar)
+          || '@mail.example.org or +1-'
+          || lpad(cast(c_custkey % 900 + 100 as varchar), 3, '0') || '-'
+          || lpad(cast(c_custkey % 10000 as varchar), 4, '0') AS contact
+      FROM customer WHERE c_custkey <= 500)
+    SELECT c_custkey,
+      regexp_replace(regexp_replace(contact,
+        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+      len(regexp_extract_all(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+      len(regexp_extract_all(contact, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones
+    FROM c ORDER BY c_custkey"""),
+    (s, d) => T(s, d, "customer").where(col("c_custkey") <= 500)
+      .select(col("c_custkey"),
+        concat(lit("Reach "), col("c_name"), lit(" at user"),
+          col("c_custkey").cast("string"), lit("@mail.example.org or +1-"),
+          lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"), lit("-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0")).as("contact"))
+      .select(col("c_custkey"),
+        TextOps.redactPii(col("contact")).as("redacted"),
+        TextOps.emailCount(col("contact")).as("n_emails"),
+        TextOps.phoneCount(col("contact")).as("n_phones"))
+      .orderBy("c_custkey"))
+
+  // Integer PageRank over the customer -> supplier trade graph: 5 damped
+  // power iterations in pure BIGINT micro-units (rank div outdeg floor
+  // division), so both engines compute bit-identical ranks — the usual
+  // float PageRank can never hash-match across engines. Graph importance
+  // scores like this weight link-derived training corpora. Suppliers are
+  // offset into a disjoint id space; dangling mass is dropped (floored)
+  // identically on both sides.
+  private def pagerankIterSql(prev: String): String = s"""
+      SELECT n.node,
+        (15 * (SELECT init FROM meta)) // 100
+          + (85 * coalesce(c.contrib, 0)) // 100 AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, cast(sum(r.pr // d.deg) as bigint) AS contrib
+        FROM $prev r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) c ON c.node = n.node"""
+
+  private val q68 = Q("q68_pagerank", Some(s"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    meta AS (SELECT 1000000000000 // count(*) AS init FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, (SELECT init FROM meta) AS pr FROM nodes),
+    r1 AS (${pagerankIterSql("r0")}),
+    r2 AS (${pagerankIterSql("r1")}),
+    r3 AS (${pagerankIterSql("r2")}),
+    r4 AS (${pagerankIterSql("r3")}),
+    r5 AS (${pagerankIterSql("r4")})
+    SELECT node, pr FROM r5 ORDER BY pr DESC, node LIMIT 100"""),
+    (s, d) => {
+      val edges = Exec.materializeForSelfJoin(
+        T(s, d, "orders").join(T(s, d, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))
+          .distinct())
+      val nodes = Exec.materializeForSelfJoin(
+        edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct())
+      val meta = Exec.materializeForSelfJoin(
+        nodes.agg(expr("1000000000000 div count(*)").as("init")))
+      val deg = Exec.materializeForSelfJoin(
+        edges.groupBy("src").agg(count(lit(1)).as("deg")))
+      var ranks = nodes.crossJoin(broadcast(meta))
+        .select(col("node"), col("init").as("pr"))
+      for (_ <- 1 to 5) {
+        val contribs = ranks.join(edges, col("node") === col("src"))
+          .join(deg, "src")
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("contrib"))
+        ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(meta))
+          .select(col("node"),
+            (expr("(15 * init) div 100")
+              + expr("(85 * coalesce(contrib, 0)) div 100")).as("pr"))
+      }
+      ranks.orderBy(col("pr").desc, col("node")).limit(100)
+        .orderBy(col("pr").desc, col("node"))
+    })
+
+  // Z-order (Morton) clustering value: all-integer bit interleave of
+  // (customer, order-day), exact in any engine. The layout payoff —
+  // per-file min/max ranges shrink on BOTH columns, so point predicates
+  // prune files — is measured in LayoutOpsSpec; this query checks the
+  // curve value itself.
+  private val q69 = Q("q69_zorder_value", Some("""
+    SELECT o_orderkey,
+      cast(list_sum(list_transform(generate_series(0, 15), i ->
+        (((o_custkey >> i) & 1) << (2*i)) + (((days >> i) & 1) << (2*i + 1))))
+        as bigint) AS zval
+    FROM (
+      SELECT o_orderkey, o_custkey,
+        (cast(o_orderdate as date) - DATE '1970-01-01') AS days
+      FROM orders WHERE o_orderkey <= 2000)
+    ORDER BY o_orderkey"""),
+    (s, d) => T(s, d, "orders").where(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"),
+        graft.operators.LayoutOps.zValue2(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")), 16).as("zval"))
+      .orderBy("o_orderkey"))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2551,10 +2700,10 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09,
+    q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
+    dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10,
     ann01, ann02, ann03, ann04, ann05, ann06,
-    tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09,
+    tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10,
     mm01, mm02, mm03, mm04,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05, dp06)
 }

@@ -23,11 +23,12 @@ class PlanAuditSpec extends AnyFunSuite {
   /** BNLJ is legitimate only where the build side is a broadcast scalar
     * or a deliberate 1-row/query-vector side (audited by hand, see each
     * query's scaladoc): q29 broadcasts one scalar row, ann01/ann03
-    * broadcast the query-vector set, tx06 cross-joins a 1-row doc count.
+    * broadcast the query-vector set, tx06 cross-joins a 1-row doc count,
+    * q68 cross-joins the 1-row rank-unit constant each iteration.
     */
   private val designedBnlj = Set(
     "q29_scalar_subq", "ann01_bruteforce_topk", "ann03_topk_aggregator",
-    "tx06_tfidf")
+    "tx06_tfidf", "q68_pagerank")
 
   private lazy val plans: Map[String, String] =
     graft.queries.Catalog.all
