@@ -162,6 +162,37 @@ object DedupOps {
       .select("id1", "id2").distinct()
   }
 
+  /** Directional containment over LSH candidate pairs: for each banded
+    * candidate (id1, id2), |S1 ∩ S2| / |S1| and / |S2| over the DISTINCT
+    * shingle sets. Jaccard misses the quote/subsumption case — a short
+    * doc fully contained in a long one scores low symmetric similarity
+    * but containment ≈ 1 from the short side — and containment is the
+    * standard fix (Broder's resemblance vs containment).
+    *
+    * Cost shape: the shingle sets travel ONLY to the bounded candidate
+    * pairs (band-key equi-join output), never through an all-pairs join;
+    * set sizes are per-document, so the intersection is a narrow per-row
+    * kernel.
+    */
+  def containmentScores(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, shingleK, bands, rowsPerBand)
+    val sets = Exec.materializeForSelfJoin(
+      df.select(col(idCol), tokens(col(textCol)).as("_t"))
+        .select(col(idCol), shinglesFromTokens(col("_t"), shingleK).as("_sh"))
+        .select(col(idCol), array_distinct(col("_sh")).as("s")))
+    cands
+      .join(sets.select(col(idCol).as("id1"), col("s").as("s1")), "id1")
+      .join(sets.select(col(idCol).as("id2"), col("s").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("s1"), col("s2"))).cast("long").as("n_shared"),
+        size(col("s1")).cast("long").as("n1"),
+        size(col("s2")).cast("long").as("n2"))
+      .select(col("id1"), col("id2"), col("n_shared"), col("n1"), col("n2"),
+        (col("n_shared").cast("double") / col("n1")).as("cont1"),
+        (col("n_shared").cast("double") / col("n2")).as("cont2"))
+  }
+
   /** Incremental near-dup candidates: NEW docs against an EXISTING
     * corpus via the banded index — the production shape for continuous
     * ingestion (today's batch vs the historical index). Unlike the full

@@ -2693,6 +2693,102 @@ object Catalog {
             lit("1970-01-01").cast("date")), 16).as("zval"))
       .orderBy("o_orderkey"))
 
+  // Directional containment over the LSH candidate pairs: symmetric
+  // Jaccard misses subsumption (a short doc quoted inside a long one);
+  // |S1∩S2|/|S1| from the short side is ~1 there. Counts are integers,
+  // the two ratios are single IEEE divisions — bit-identical on both
+  // engines.
+  private val dd11 = Q("dd11_containment", Some(s"""
+    WITH $minhashCtes,
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+    SELECT p.id1, p.id2,
+      cast(len(list_filter(a.s, x -> list_contains(b.s, x))) as bigint) AS n_shared,
+      cast(len(a.s) as bigint) AS n1, cast(len(b.s) as bigint) AS n2,
+      cast(len(list_filter(a.s, x -> list_contains(b.s, x))) as double) / len(a.s) AS cont1,
+      cast(len(list_filter(a.s, x -> list_contains(b.s, x))) as double) / len(b.s) AS cont2
+    FROM pairs p
+    JOIN sets a ON a.doc_id = p.id1
+    JOIN sets b ON b.doc_id = p.id2
+    ORDER BY id1, id2"""),
+    (s, d) => DedupOps.containmentScores(T(s, d, "documents"), "text", "doc_id",
+        shingleK = 3, bands = 4, rowsPerBand = 4)
+      .orderBy("id1", "id2"))
+
+  // Vocabulary coverage curve: what share of all token occurrences the
+  // top-k vocabulary covers — the first question of tokenizer/vocab
+  // design over a corpus. Cumulative sums are integer; the share is one
+  // division. The corpus total rides a broadcast 1-row aggregate (at
+  // 100 TB a global single-partition window would bottleneck; the
+  // rank/cumsum window only sees the vocabulary, not the corpus).
+  private val tx11 = Q("tx11_vocab_coverage", Some("""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0),
+    tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    meta AS (SELECT cast(sum(cnt) as bigint) AS total FROM tf),
+    r AS (
+      SELECT term, cnt,
+        row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+        cast(sum(cnt) OVER (ORDER BY cnt DESC, term
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum
+      FROM tf)
+    SELECT rank, term, cast(cnt as bigint) AS cnt,
+      cast(cum as double) / (SELECT total FROM meta) AS coverage
+    FROM r WHERE rank <= 20 ORDER BY rank"""),
+    (s, d) => {
+      val tf = T(s, d, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(explode(DedupOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val meta = tf.agg(sum("cnt").as("total"))
+      val wOrd = Window.orderBy(col("cnt").desc, col("term"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tf.withColumn("rank", row_number().over(wOrd))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .where(col("rank") <= 20)
+        .crossJoin(broadcast(meta))
+        .select(col("rank"), col("term"), col("cnt"),
+          (col("cum").cast("double") / col("total")).as("coverage"))
+        .orderBy("rank")
+    })
+
+  // Size-weighted deterministic sampling: include a doc with probability
+  // proportional to its length, decided by an integer comparison of a
+  // 32-bit md5 draw against n_chars — uniform, reproducible under any
+  // partitioning or retry (same discipline as dp02/dp06), and the
+  // inclusion test is pure integer math so both engines agree exactly.
+  private val dp07 = Q("dp07_weighted_sample", Some("""
+    WITH meta AS (SELECT max(n_chars) AS mx FROM documents),
+    keep AS (
+      SELECT lang, doc_id, n_chars
+      FROM documents
+      WHERE ('0x' || substr(md5('ws:' || cast(doc_id as varchar)), 1, 8))::BIGINT
+              * (SELECT mx FROM meta)
+            < cast(n_chars as bigint) * 4294967296)
+    SELECT lang, count(*) AS n_docs,
+      cast(sum(n_chars) as bigint) AS sampled_chars,
+      cast(sum(doc_id) as bigint) AS id_sum
+    FROM keep GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val meta = docs.agg(max("n_chars").as("mx"))
+      docs.crossJoin(broadcast(meta))
+        .where(
+          conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long") * col("mx")
+            < col("n_chars").cast("long") * lit(4294967296L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sampled_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    })
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2701,9 +2797,9 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10,
+    dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
     ann01, ann02, ann03, ann04, ann05, ann06,
-    tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10,
+    tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04,
-    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05, dp06)
+    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05, dp06, dp07)
 }
