@@ -2661,11 +2661,16 @@ object Catalog {
           .join(deg, "src")
           .select(col("dst"), expr("pr div deg").as("c"))
           .groupBy("dst").agg(sum("c").as("contrib"))
-        ranks = nodes.join(contribs, col("node") === col("dst"), "left")
-          .crossJoin(broadcast(meta))
-          .select(col("node"),
-            (expr("(15 * init) div 100")
-              + expr("(85 * coalesce(contrib, 0)) div 100")).as("pr"))
+        // materialize per iteration: keeps every stage's plan shallow
+        // (a 5-deep join chain costs seconds of Catalyst planning +
+        // codegen) and cuts lineage, the same discipline as
+        // connectedComponents' loop
+        ranks = Exec.materializeForSelfJoin(
+          nodes.join(contribs, col("node") === col("dst"), "left")
+            .crossJoin(broadcast(meta))
+            .select(col("node"),
+              (expr("(15 * init) div 100")
+                + expr("(85 * coalesce(contrib, 0)) div 100")).as("pr")))
       }
       ranks.orderBy(col("pr").desc, col("node")).limit(100)
         .orderBy(col("pr").desc, col("node"))
