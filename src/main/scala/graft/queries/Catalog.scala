@@ -2794,6 +2794,50 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // Recursive CTE on the Spark SQL surface (Spark 4 WITH RECURSIVE): a
+  // data-driven month spine from min to max order month, left-joined to
+  // per-month counts — the classic gap-filling calendar recursion, and
+  // a surface DuckDB users expect. The recursion carries the bound along
+  // (no correlated subquery in the recursive term, which neither engine
+  // guarantees). All-integer month index keeps both engines exact.
+  // (dd06's clustering keeps the explicit checkpointed loop instead of
+  // recursion: iterative graph workloads need per-round lineage control.)
+  private val q70 = Q("q70_recursive_cte", Some("""
+    WITH RECURSIVE bounds AS (
+      SELECT cast(min(year(o_orderdate)*12 + month(o_orderdate) - 1) as int) AS lo,
+             cast(max(year(o_orderdate)*12 + month(o_orderdate) - 1) as int) AS hi
+      FROM orders),
+    spine(ym, hi) AS (
+      SELECT lo, hi FROM bounds
+      UNION ALL
+      SELECT ym + 1, hi FROM spine WHERE ym < hi),
+    per AS (
+      SELECT year(o_orderdate)*12 + month(o_orderdate) - 1 AS ym, count(*) AS n
+      FROM orders GROUP BY year(o_orderdate)*12 + month(o_orderdate) - 1)
+    SELECT cast(s.ym // 12 as bigint) AS yr, cast(s.ym % 12 + 1 as bigint) AS mon,
+           cast(coalesce(p.n, 0) as bigint) AS n_orders
+    FROM spine s LEFT JOIN per p ON p.ym = s.ym
+    ORDER BY s.ym"""),
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        WITH RECURSIVE bounds AS (
+          SELECT cast(min(year(o_orderdate)*12 + month(o_orderdate) - 1) as int) AS lo,
+                 cast(max(year(o_orderdate)*12 + month(o_orderdate) - 1) as int) AS hi
+          FROM orders),
+        spine(ym, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT ym + 1, hi FROM spine WHERE ym < hi),
+        per AS (
+          SELECT year(o_orderdate)*12 + month(o_orderdate) - 1 AS ym, count(*) AS n
+          FROM orders GROUP BY year(o_orderdate)*12 + month(o_orderdate) - 1)
+        SELECT cast(s.ym div 12 as bigint) AS yr, cast(s.ym % 12 + 1 as bigint) AS mon,
+               cast(coalesce(p.n, 0) as bigint) AS n_orders
+        FROM spine s LEFT JOIN per p ON p.ym = s.ym
+        ORDER BY s.ym""")
+    })
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2801,7 +2845,7 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
+    q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
     ann01, ann02, ann03, ann04, ann05, ann06,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
