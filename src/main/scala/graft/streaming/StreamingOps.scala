@@ -170,24 +170,50 @@ object StreamingOps {
   def streamingLatestPerKey(spark: SparkSession, eventsPath: String,
       queryName: String = "graft_stream_upsert", splits: Int = 4,
       statePartitions: Option[Int] = None, numBuckets: Int = 16,
-      diagnostics: Option[scala.collection.mutable.Buffer[BatchMerge]] = None): DataFrame = {
+      diagnostics: Option[scala.collection.mutable.Buffer[BatchMerge]] = None,
+      baseDir: Option[String] = None): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.expressions.Window
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = java.nio.file.Files.createTempDirectory(s"graft_upsert_$queryName")
-    val src = base.resolve("src").toString
-    spark.read.parquet(eventsPath).repartition(splits).write.parquet(src)
-    val schema = spark.read.parquet(src).schema
+    // pass `baseDir` to make the table durable across calls: the
+    // checkpoint skips already-processed source files and the persisted
+    // bucket->generation metadata resumes where the last run committed
+    val base = baseDir match {
+      case Some(d) => val p = Paths.get(d); Files.createDirectories(p); p
+      case None    => Files.createTempDirectory(s"graft_upsert_$queryName")
+    }
+    val src = base.resolve("src")
+    if (!Files.exists(src))
+      spark.read.parquet(eventsPath).repartition(splits).write.parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("user_id", "event_id", "ts")
     val genRoot = base.resolve("gen").toString
     def bucketPath(g: Long, b: Int) = s"$genRoot/g$g/_bucket=$b"
     val keyBucket = pmod(hash(col("user_id")), lit(numBuckets))
     val stateSchema = stream.schema
-    // bucket -> generation that last rewrote it (driver metadata; the
-    // production analog is the table format's transaction log)
+    // bucket -> generation that last rewrote it. This IS the table's
+    // transaction log (what Delta/Iceberg keep in _delta_log/metadata):
+    // persisted atomically after every batch, reloaded on restart, so a
+    // rerun over the same baseDir resumes instead of reprocessing. A
+    // replayed half-applied batch overwrites its own generation dir and
+    // re-commits the same metadata — idempotent, hence exactly-once.
+    Files.createDirectories(Paths.get(genRoot))
+    val metaFile = Paths.get(genRoot).resolve("_bucket_gen.tsv")
     val bucketGen = scala.collection.mutable.Map.empty[Int, Long]
+    if (Files.exists(metaFile))
+      Files.readAllLines(metaFile).asScala.filter(_.nonEmpty).foreach { line =>
+        val Array(b, g) = line.split("\t"); bucketGen(b.toInt) = g.toLong
+      }
+    def commitMeta(): Unit = {
+      val tmp = Files.createTempFile(Paths.get(genRoot), "_bucket_gen", ".tmp")
+      Files.write(tmp, bucketGen.toSeq.sorted.map { case (b, g) => s"$b\t$g" }.asJava)
+      Files.move(tmp, metaFile, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // touched buckets in ONE stage (per-partition dedup of <=numBuckets
@@ -217,6 +243,7 @@ object StreamingOps {
           .write.mode("overwrite").partitionBy("_bucket")
           .parquet(s"$genRoot/g$id")
         touched.foreach(b => bucketGen(b) = id)
+        commitMeta()
         diagnostics.foreach(_ += BatchMerge(id, touched, prevPaths))
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)

@@ -65,4 +65,24 @@ class LayoutOpsSpec extends AnyFunSuite {
     val falsePos = got.count(g => g._2 && !g._3)
     assert(falsePos < 25, s"false positives $falsePos out of 50 new docs")
   }
+
+  test("bloomPrefilter semantics match Spark's native bloom sketch") {
+    // the production form of the same gate is df.stat.bloomFilter +
+    // mightContain (Spark's util.sketch.BloomFilter); both must honor
+    // the identical contract: zero false negatives on actual duplicates
+    val hist = (1 to 300).map(i => s"native parity doc $i").toDF("text")
+    val batchTexts = (250 to 350).map(i => s"native parity doc $i")
+    val native = hist.stat.bloomFilter("text", 300L, 0.03)
+    val inHist = (250 to 300).map(i => s"native parity doc $i").toSet
+    batchTexts.foreach { t =>
+      if (inHist(t)) assert(native.mightContain(t), s"native false negative: $t")
+    }
+    // and our md5 variant agrees on those same actual duplicates
+    val batch = batchTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ours = DedupOps.bloomPrefilter(
+        hist.withColumn("doc_id", lit(0L)), batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(ours.filter(_._3).forall(_._2))
+  }
 }

@@ -65,6 +65,30 @@ class StreamingOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet == expected)
   }
 
+  test("streamingLatestPerKey resumes from its metadata after a restart") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_resume")
+    val base = root.resolve("table").toString
+    val events = root.resolve("events").toString
+    (0L until 12L).map(k => (k, k * 10, k)).toDF("user_id", "event_id", "ts")
+      .withColumn("ts", col("ts").cast("long"))
+      .write.parquet(events)
+    val first = StreamingOps.streamingLatestPerKey(spark, events,
+      queryName = "graft_test_resume", baseDir = Some(base))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    // second run over the SAME baseDir: the checkpoint skips every
+    // processed file and the persisted bucket->generation metadata
+    // reconstructs the table — no batch runs, same result
+    val diag = scala.collection.mutable.Buffer.empty[StreamingOps.BatchMerge]
+    val second = StreamingOps.streamingLatestPerKey(spark, events,
+      queryName = "graft_test_resume", baseDir = Some(base),
+      diagnostics = Some(diag))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(second == first && first.size == 12)
+    assert(diag.forall(_.touchedBuckets.isEmpty),
+      s"resume ran real merges: $diag")
+  }
+
   test("parquetRowCount reads footers only and matches the real count") {
     val dir = "/root/testdata/sf0.001"
     val fromFooters = graft.sources.Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
