@@ -87,6 +87,48 @@ object MultimodalOps {
     (64 + n % 577, 64 + (n * 31) % 419)
   }
 
+  /** STUB model — deterministic integer "inference" over payload bytes
+    * (dot with a tiny cyclic weight vector). A real model would run a
+    * forward pass here; the arithmetic is integer-exact so the oracle
+    * can mirror it byte for byte.
+    */
+  private val scoreWeights = Array(3L, 1L, 4L, 1L)
+  def scoreStub(payload: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    while (i < payload.length) {
+      s += (payload(i) & 0xff).toLong * scoreWeights(i % scoreWeights.length)
+      i += 1
+    }
+    s
+  }
+
+  /** Batched model scoring — the inference-serving shape of a training-
+    * data pipeline: one model instantiation PER PARTITION (the expensive
+    * load a real model has; `modelLoads` lets a spec assert loads ==
+    * partitions, not rows), payloads fed through the model in fixed-size
+    * micro-batches (`grouped(batchSize)` — where a real scorer would
+    * stack a tensor batch), and only the small (id, score) rows leave
+    * the partition. Narrow op: no shuffle, memory bounded by one batch.
+    */
+  def batchScore(df: DataFrame, payloadCol: String, idCol: String,
+      batchSize: Int = 32,
+      modelLoads: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("score", LongType, nullable = false)
+    ))
+    val rdd = df.select(col(idCol).cast("long"), col(payloadCol))
+      .rdd.mapPartitions { it =>
+        modelLoads.foreach(_.add(1)) // the once-per-task model load
+        it.grouped(batchSize).flatMap { batch =>
+          // a real model would score the whole stacked batch here
+          batch.map(r => Row(r.getLong(0), scoreStub(r.getAs[Array[Byte]](1))))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Partition-parallel "decode": mapPartitions over payload batches,
     * one decoder instance per partition (the shape a JNI codec needs).
     */

@@ -2794,6 +2794,27 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // Batched "model inference" over binary payloads: partition-parallel
+  // scoring with per-partition model init and fixed-size micro-batches
+  // (MultimodalOps.batchScore — the serving shape; batching/model-load
+  // behavior is spec-asserted with an accumulator). The stub model's
+  // integer dot is mirrored byte-for-byte by the oracle over character
+  // codes (ASCII corpus, same discipline as mm03).
+  private val mm05 = Q("mm05_batch_infer", Some("""
+    SELECT doc_id,
+      cast(list_sum(list_transform(generate_series(1, length(text)),
+        i -> ascii(substr(text, i, 1)) * ([3, 1, 4, 1])[(i - 1) % 4 + 1]))
+        as bigint) AS score
+    FROM documents
+    WHERE doc_id < 200 AND length(text) > 0
+    ORDER BY doc_id"""),
+    (s, d) => MultimodalOps.batchScore(
+        MultimodalOps.withBinaryPayload(
+          T(s, d, "documents")
+            .where(col("doc_id") < 200 && length(col("text")) > 0), "text"),
+        "payload", "doc_id")
+      .orderBy("doc_id"))
+
   // Recursive CTE on the Spark SQL surface (Spark 4 WITH RECURSIVE): a
   // data-driven month spine from min to max order month, left-joined to
   // per-month counts — the classic gap-filling calendar recursion, and
@@ -2849,6 +2870,6 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
     ann01, ann02, ann03, ann04, ann05, ann06,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
-    mm01, mm02, mm03, mm04,
+    mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05, dp06, dp07)
 }

@@ -69,6 +69,20 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(r == 0)
   }
 
+  test("batchScore loads the model once per partition, not per row") {
+    val docs = (1L to 200L).map(i => (i, s"payload text $i"))
+      .toDF("media_id", "text").repartition(4)
+    val df = MultimodalOps.withBinaryPayload(docs, "text")
+    val loads = spark.sparkContext.longAccumulator("model_loads")
+    val scored = MultimodalOps.batchScore(df, "payload", "media_id",
+      batchSize = 32, modelLoads = Some(loads))
+    assert(scored.count() == 200)
+    assert(loads.value == 4, s"expected one model load per partition, got ${loads.value}")
+    // scores match the driver-side stub on a sample row
+    val one = scored.where(col("media_id") === 7L).select("score").as[Long].head()
+    assert(one == MultimodalOps.scoreStub("payload text 7".getBytes("UTF-8")))
+  }
+
   test("saltedJoin on empty skewed side is empty") {
     val skewed = Seq.empty[(Long, Long)].toDF("k", "id")
     val small = Seq((1L, "x")).toDF("k", "name")
