@@ -2652,13 +2652,15 @@ object Catalog {
           .union(edges.select(col("dst").as("node"))).distinct())
       val meta = Exec.materializeForSelfJoin(
         nodes.agg(expr("1000000000000 div count(*)").as("init")))
-      val deg = Exec.materializeForSelfJoin(
-        edges.groupBy("src").agg(count(lit(1)).as("deg")))
+      // out-degree is joined onto the edge list ONCE, outside the loop —
+      // each iteration then needs a single equi-join + one aggregation
+      // instead of re-joining deg every round
+      val edgesDeg = Exec.materializeForSelfJoin(
+        edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
       var ranks = nodes.crossJoin(broadcast(meta))
         .select(col("node"), col("init").as("pr"))
       for (_ <- 1 to 5) {
-        val contribs = ranks.join(edges, col("node") === col("src"))
-          .join(deg, "src")
+        val contribs = ranks.join(edgesDeg, col("node") === col("src"))
           .select(col("dst"), expr("pr div deg").as("c"))
           .groupBy("dst").agg(sum("c").as("contrib"))
         // materialize per iteration: keeps every stage's plan shallow

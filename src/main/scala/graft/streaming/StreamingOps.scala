@@ -204,13 +204,21 @@ object StreamingOps {
     Files.createDirectories(Paths.get(genRoot))
     val metaFile = Paths.get(genRoot).resolve("_bucket_gen.tsv")
     val bucketGen = scala.collection.mutable.Map.empty[Int, Long]
-    if (Files.exists(metaFile))
-      Files.readAllLines(metaFile).asScala.filter(_.nonEmpty).foreach { line =>
+    if (Files.exists(metaFile)) {
+      val lines = Files.readAllLines(metaFile).asScala.filter(_.nonEmpty)
+      // the bucket fn is pinned at table creation; resuming with a
+      // different width would route keys to the wrong buckets silently
+      val header = lines.headOption.getOrElse("")
+      require(header == s"#numBuckets\t$numBuckets",
+        s"table at $genRoot was written with '$header', resumed with numBuckets=$numBuckets")
+      lines.drop(1).foreach { line =>
         val Array(b, g) = line.split("\t"); bucketGen(b.toInt) = g.toLong
       }
+    }
     def commitMeta(): Unit = {
       val tmp = Files.createTempFile(Paths.get(genRoot), "_bucket_gen", ".tmp")
-      Files.write(tmp, bucketGen.toSeq.sorted.map { case (b, g) => s"$b\t$g" }.asJava)
+      Files.write(tmp, (s"#numBuckets\t$numBuckets" +:
+        bucketGen.toSeq.sorted.map { case (b, g) => s"$b\t$g" }).asJava)
       Files.move(tmp, metaFile, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     }
