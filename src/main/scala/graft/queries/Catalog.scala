@@ -2796,6 +2796,64 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // Round-4 composition capstone: the incremental ingestion gate as ONE
+  // declarative plan. A new batch passes through the Bloom prefilter
+  // (megabytes vs the 100 TB history); definite-new docs skip the exact
+  // check entirely (the fast path — at scale, most of the batch);
+  // Bloom-maybes get the exact md5 anti-join (catching false
+  // positives); survivors are size-weighted sampled. Per-language
+  // tallies of each path make the gate's behavior itself the checked
+  // value.
+  private val dp08 = Q("dp08_ingest_gate", Some("""
+    WITH hist AS (SELECT text FROM documents WHERE doc_id < 400),
+    batch AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id >= 400),
+    ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(h.text), 1 + 4*k.i, 4))::BIGINT % 4096 AS bit
+      FROM hist h CROSS JOIN ks k),
+    probe AS (
+      SELECT b.doc_id, ('0x' || substr(md5(b.text), 1 + 4*k.i, 4))::BIGINT % 4096 AS bit
+      FROM batch b CROSS JOIN ks k),
+    gate AS (
+      SELECT doc_id,
+        count(*) FILTER (WHERE bit IN (SELECT bit FROM bits)) = 4 AS maybe_dup
+      FROM probe GROUP BY doc_id),
+    kept AS (
+      SELECT b.doc_id, b.lang, b.n_chars, g.maybe_dup
+      FROM batch b JOIN gate g USING (doc_id)
+      WHERE NOT g.maybe_dup
+         OR md5(b.text) NOT IN (SELECT DISTINCT md5(text) FROM hist)),
+    meta AS (SELECT max(n_chars) AS mx FROM documents),
+    sampled AS (
+      SELECT * FROM kept
+      WHERE ('0x' || substr(md5('ws:' || cast(doc_id as varchar)), 1, 8))::BIGINT
+              * (SELECT mx FROM meta)
+            < cast(n_chars as bigint) * 4294967296)
+    SELECT lang,
+      cast(count(*) as bigint) AS n_sampled,
+      cast(count(*) FILTER (WHERE NOT maybe_dup) as bigint) AS n_fast_path,
+      cast(sum(doc_id) as bigint) AS id_sum
+    FROM sampled GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val hist = docs.where(col("doc_id") < 400)
+      val batch = docs.where(col("doc_id") >= 400)
+      val gated = DedupOps.bloomPrefilter(hist, batch, "text", "doc_id")
+      val kept = batch.join(gated, "doc_id")
+        .where(!col("maybe_dup") || !col("actual_dup"))
+      val meta = docs.agg(max("n_chars").as("mx"))
+      kept.crossJoin(broadcast(meta))
+        .where(
+          conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long") * col("mx")
+            < col("n_chars").cast("long") * lit(4294967296L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          count(when(!col("maybe_dup"), 1)).as("n_fast_path"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    })
+
   // Batched "model inference" over binary payloads: partition-parallel
   // scoring with per-partition model init and fixed-size micro-batches
   // (MultimodalOps.batchScore — the serving shape; batching/model-load
@@ -2843,6 +2901,10 @@ object Catalog {
     ORDER BY s.ym"""),
     (s, d) => {
       Tables.registerAll(s, d)
+      // the corpus spans ~80 months — near Spark's default recursion
+      // cap of 100 levels; raise it so a wider date range cannot
+      // silently hit the ceiling
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
       s.sql("""
         WITH RECURSIVE bounds AS (
           SELECT cast(min(year(o_orderdate)*12 + month(o_orderdate) - 1) as int) AS lo,
@@ -2873,5 +2935,6 @@ object Catalog {
     ann01, ann02, ann03, ann04, ann05, ann06,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,
-    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05, dp06, dp07)
+    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05, dp06, dp07,
+    dp08)
 }

@@ -24,14 +24,15 @@ class PlanAuditSpec extends AnyFunSuite {
     * or a deliberate 1-row/query-vector side (audited by hand, see each
     * query's scaladoc): q29 broadcasts one scalar row, ann01/ann03
     * broadcast the query-vector set, tx06 cross-joins a 1-row doc count,
-    * tx11/dp07 cross-join a 1-row corpus aggregate (total / max).
+    * tx11/dp07/dp08 cross-join a 1-row corpus aggregate (total / max).
     * (q68's equivalent 1-row cross-joins run eagerly inside its
     * iteration loop behind localCheckpoint, so its final plan is a
     * checkpoint scan and stays off this list.)
     */
   private val designedBnlj = Set(
     "q29_scalar_subq", "ann01_bruteforce_topk", "ann03_topk_aggregator",
-    "tx06_tfidf", "tx11_vocab_coverage", "dp07_weighted_sample")
+    "tx06_tfidf", "tx11_vocab_coverage", "dp07_weighted_sample",
+    "dp08_ingest_gate")
 
   private lazy val plans: Map[String, String] =
     graft.queries.Catalog.all
