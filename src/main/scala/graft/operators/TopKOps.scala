@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed per-group top-k for LOW-cardinality group keys.
+  *
+  * A bare `row_number() OVER (PARTITION BY g ORDER BY ...)` with few
+  * distinct `g` values runs one reducer per group: at 100 TB and ~5
+  * languages each task would sort ~20 TB (VERDICT r4 "What's wrong" #3).
+  * This is the classic two-phase fix:
+  *
+  *  - phase 1 partitions by (group, salt) — `saltBuckets` deterministic
+  *    sub-groups derived by hashing `saltOn` — and keeps each sub-group's
+  *    top k, so no task ever sorts more than ~1/saltBuckets of a group;
+  *  - phase 2 re-ranks the surviving ≤ `saltBuckets * k` rows per group,
+  *    a trivially small input.
+  *
+  * Correct because the true top-k is contained in the union of per-salt
+  * top-k's under ANY disjoint split of a group's rows. The salt is a pure
+  * function of the row (never `rand()`), so the result is identical under
+  * task retry and any physical partitioning — the same determinism
+  * discipline as dp02's hash split.
+  *
+  * `order` must be a TOTAL order (tie-broken down to a unique key), the
+  * same requirement the single-window version has for deterministic
+  * output. The returned frame carries a `rank` column, already filtered
+  * to `rank <= k`.
+  */
+object TopKOps {
+
+  def perGroupTopK(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      k: Int, saltOn: Column, saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0)
+    val salt = pmod(xxhash64(saltOn), lit(saltBuckets))
+    val w1 = Window.partitionBy(groupCols.map(col) :+ salt: _*).orderBy(order: _*)
+    val pruned = df.withColumn("_rn1", row_number().over(w1))
+      .where(col("_rn1") <= k).drop("_rn1")
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    pruned.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+  }
+}

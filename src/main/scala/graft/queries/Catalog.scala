@@ -2006,8 +2006,11 @@ object Catalog {
       val bi = toks.select(col("lang"),
         explode(DedupOps.shinglesFromTokens(col("t"), 2)).as("bigram"))
       val counts = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
-      counts.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      // lang has ~5 values: a bare PARTITION BY lang window would sort a
+      // whole language in one task at scale — two-phase salted top-k
+      // instead (TopKOps), identical output, bounded per-task sort.
+      TopKOps.perGroupTopK(counts, Seq("lang"),
+          Seq(col("n").desc, col("bigram").asc), k = 3, saltOn = col("bigram"))
         .select("lang", "bigram", "n", "rank")
         .orderBy("lang", "rank")
     })
@@ -2458,9 +2461,14 @@ object Catalog {
   // Corpus-commonness scoring (boilerplate signal for curation): build
   // the corpus unigram frequency table, then score each doc by the sum
   // of its tokens' corpus counts. Pure integer arithmetic — exact on any
-  // engine/partitioning. The frequency table is broadcast (a natural-
-  // language term dictionary is small relative to the corpus, same
-  // assumption tx06's tf-idf documents).
+  // engine/partitioning. The token→frequency join carries NO broadcast
+  // hint: at bench scale Catalyst's size estimate broadcasts the small
+  // frequency table on its own, but a 100 TB corpus has a vocabulary of
+  // billions of rows and a forced broadcast() (which bypasses
+  // autoBroadcastJoinThreshold entirely) would OOM the driver. Unhinted,
+  // the plan degrades gracefully to a shuffled hash join on the
+  // fixed-width `tok` key — AQE picks per actual size at runtime.
+  // PlanAuditSpec asserts no user join hint survives in this plan.
   private val tx08 = Q("tx08_commonness", Some("""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -2475,7 +2483,7 @@ object Catalog {
         .where(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("tok")))
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("nf"))
-      toks.join(broadcast(freq), Seq("tok"))
+      toks.join(freq, Seq("tok"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("nf").as("commonness"))
         .orderBy("doc_id")
@@ -2532,12 +2540,14 @@ object Catalog {
       cast(sum(doc_id) as bigint) AS id_sum
     FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang"""),
     (s, d) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))), col("doc_id"))
-      T(s, d, "documents")
+      // same two-phase discipline as tx07: lang is low-cardinality, so
+      // the cap's top-50-by-salted-md5 runs as TopKOps' salted phases
+      // rather than one reducer per language over the whole corpus.
+      val scored = T(s, d, "documents")
         .select(col("lang"), col("doc_id"), col("n_chars"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 50)
+        .withColumn("_ord", md5(concat(lit("cap:"), col("doc_id").cast("string"))))
+      TopKOps.perGroupTopK(scored, Seq("lang"),
+          Seq(col("_ord").asc, col("doc_id").asc), k = 50, saltOn = col("doc_id"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sampled_chars"),
           sum("doc_id").as("id_sum"))
@@ -2729,9 +2739,14 @@ object Catalog {
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
-  // division. The corpus total rides a broadcast 1-row aggregate (at
-  // 100 TB a global single-partition window would bottleneck; the
-  // rank/cumsum window only sees the vocabulary, not the corpus).
+  // division. The top 20 terms come from orderBy().limit(20) —
+  // TakeOrderedAndProject, a distributed partial top-k where every task
+  // keeps only 20 rows and the driver merges — so no task ever sorts the
+  // full vocabulary (the r4 plan ran a global single-partition window
+  // over every distinct term); rank/cumsum then run over just those 20
+  // survivors. The corpus total is a shuffle-free 1-row aggregate taken
+  // directly from per-doc token counts (sum over docs of |tokens| ==
+  // sum over vocabulary of cnt — no second vocabulary shuffle).
   private val tx11 = Q("tx11_vocab_coverage", Some("""
     WITH toks AS (
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -2748,16 +2763,18 @@ object Catalog {
       cast(cum as double) / (SELECT total FROM meta) AS coverage
     FROM r WHERE rank <= 20 ORDER BY rank"""),
     (s, d) => {
-      val tf = T(s, d, "documents")
-        .where(length(trim(col("text"))) > 0)
+      val docs = T(s, d, "documents").where(length(trim(col("text"))) > 0)
+      val tf = docs
         .select(explode(DedupOps.tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
-      val meta = tf.agg(sum("cnt").as("total"))
+      val meta = docs
+        .select(size(DedupOps.tokens(col("text"))).cast("long").as("n"))
+        .agg(sum("n").as("total"))
+      val top = tf.orderBy(col("cnt").desc, col("term")).limit(20)
       val wOrd = Window.orderBy(col("cnt").desc, col("term"))
       val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tf.withColumn("rank", row_number().over(wOrd))
+      top.withColumn("rank", row_number().over(wOrd))
         .withColumn("cum", sum("cnt").over(wCum))
-        .where(col("rank") <= 20)
         .crossJoin(broadcast(meta))
         .select(col("rank"), col("term"), col("cnt"),
           (col("cum").cast("double") / col("total")).as("coverage"))
