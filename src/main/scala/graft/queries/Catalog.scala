@@ -2123,9 +2123,17 @@ object Catalog {
 
   // Sequence packing (context-window assembly): docs streamed in id order
   // per language, binned by exclusive cumulative token count div the
-  // window capacity — deterministic, one window + one aggregation, no
-  // sequential driver loop. Docs may straddle a boundary (overflow-pack
-  // semantics), the standard trade for a fully parallel packer.
+  // window capacity — deterministic, no sequential driver loop. Docs may
+  // straddle a boundary (overflow-pack semantics), the standard trade for
+  // a fully parallel packer.
+  //
+  // The prefix sum runs TWO-PHASE (PrefixSumOps.exclusiveRunningSum), not
+  // as one `sum OVER (PARTITION BY lang)` window: `lang` has ~5 values, so
+  // the single-window form would sort and prefix-sum an entire language in
+  // one task at 100 TB. Per-bucket subtotals -> tiny offset table ->
+  // broadcast back -> local running sum within (lang, bucket); identical
+  // output, bounded per-task state. The oracle keeps the single-window SQL
+  // — same semantics, which is the point of the rewrite.
   private val dp03 = Q("dp03_seq_packing", Some("""
     WITH t AS (
       SELECT lang, doc_id,
@@ -2141,15 +2149,48 @@ object Catalog {
       count(*) AS n_docs, cast(sum(tok) as bigint) AS bin_tokens
     FROM c GROUP BY lang, bin ORDER BY lang, bin"""),
     (s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      T(s, d, "documents")
+      val toks = T(s, d, "documents")
         .select(col("lang"), col("doc_id"), TextOps.tokenCount(col("text")).as("tok"))
-        .withColumn("cum_excl", sum("tok").over(w) - col("tok"))
+      PrefixSumOps.exclusiveRunningSum(toks, Seq("lang"), "doc_id", "tok",
+          outCol = "cum_excl", bucketRows = 256L)
         .withColumn("bin", expr("cum_excl div 4096"))
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"))
         .orderBy("lang", "bin")
+    })
+
+  // Per-shard sequence packing: each (lang, shard) slice packs
+  // independently — bins restart at every shard boundary. This is the
+  // embarrassingly parallel production mode (shards = input splits of a
+  // crawl): no cross-shard offsets at all, the window partition key
+  // (lang, shard) is fine-grained by construction, and a shard can be
+  // re-packed in isolation when its source file is replaced. Trade-off vs
+  // dp03: the last bin of every shard is partially filled.
+  private val dp03b = Q("dp03b_shard_packing", Some("""
+    WITH t AS (
+      SELECT lang, doc_id, doc_id // 64 AS shard,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+      FROM documents),
+    c AS (
+      SELECT lang, shard, doc_id, tok,
+        sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cum_excl
+      FROM t)
+    SELECT lang, shard, cast(cum_excl // 4096 as bigint) AS bin,
+      count(*) AS n_docs, cast(sum(tok) as bigint) AS bin_tokens
+    FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""),
+    (s, d) => {
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "documents")
+        .select(col("lang"), col("doc_id"), expr("doc_id div 64").as("shard"),
+          TextOps.tokenCount(col("text")).as("tok"))
+        .withColumn("cum_excl", sum("tok").over(w) - col("tok"))
+        .withColumn("bin", expr("cum_excl div 4096"))
+        .groupBy("lang", "shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"))
+        .orderBy("lang", "shard", "bin")
     })
 
   // Point-in-interval join executed as a binned EQUI-join
@@ -2468,7 +2509,8 @@ object Catalog {
   // autoBroadcastJoinThreshold entirely) would OOM the driver. Unhinted,
   // the plan degrades gracefully to a shuffled hash join on the
   // fixed-width `tok` key — AQE picks per actual size at runtime.
-  // PlanAuditSpec asserts no user join hint survives in this plan.
+  // PlanAuditSpec's "broadcast hints appear exactly where designed" test
+  // asserts this query's analyzed plan carries NO user join hint.
   private val tx08 = Q("tx08_commonness", Some("""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -2952,6 +2994,6 @@ object Catalog {
     ann01, ann02, ann03, ann04, ann05, ann06,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,
-    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp04, dp05, dp06, dp07,
-    dp08)
+    ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
+    dp07, dp08)
 }

@@ -34,11 +34,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx06_tfidf", "tx11_vocab_coverage", "dp07_weighted_sample",
     "dp08_ingest_gate")
 
-  private lazy val plans: Map[String, String] =
+  private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
       .filterNot(q => streamingQueries(q.name))
-      .map(q => q.name -> q.fn(spark, sfDir).queryExecution.executedPlan.toString)
+      .map(q => q.name -> q.fn(spark, sfDir).queryExecution)
       .toMap
+
+  private lazy val plans: Map[String, String] =
+    executions.map { case (n, qe) => n -> qe.executedPlan.toString }
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = plans.collect {
@@ -53,6 +56,47 @@ class PlanAuditSpec extends AnyFunSuite {
     }.toSet
     assert(bnlj == designedBnlj,
       s"unexpected: ${bnlj -- designedBnlj}; stale allowlist: ${designedBnlj -- bnlj}")
+  }
+
+  /** A user `broadcast()` hint bypasses autoBroadcastJoinThreshold
+    * entirely, so every one is a standing claim that the hinted side is
+    * bounded at ANY data scale — query-vector sets, seed centroids, 1-row
+    * corpus aggregates, fixed dims, or tables reduced by >=R-row
+    * bucketing (dp03's offset table). This test pins the exact set of
+    * catalog plans whose ANALYZED plan carries a hint, so an unaudited
+    * broadcast on an unbounded side (the tx08 scaladoc's scenario: a
+    * corpus-sized vocabulary table) fails the build instead of OOMing a
+    * driver at 100 TB. (Eager queries — q67/q68 — return checkpoint scans,
+    * so their loop-internal hints are out of scope here; they are audited
+    * by their own specs.)
+    */
+  private val designedHints = Set(
+    "q04_multijoin_region",    // region+nation: fixed 5/25-row dims
+    "q05_broadcast_dim",       // filtered part dim — the hint IS the query
+    "q29_scalar_subq",         // 1-row scalar threshold
+    "q53_correlated_avg",      // 1-row per-group-avg threshold
+    "ann01_bruteforce_topk",   // query-vector set (bounded by query count)
+    "ann02_lsh_topk",          // query-vector set
+    "ann03_topk_aggregator",   // query-vector set
+    "ann04_ivf",               // 16 seed centroids + probed query/neighbor vecs
+    "ann06_pq_topk",           // query-side block codes
+    "dd10_bloom_prefilter",    // broadcast bit-set (the operator's point)
+    "tx06_tfidf",              // doc-frequency table + 1-row doc count
+    "tx11_vocab_coverage",     // 1-row corpus aggregate
+    "dp03_seq_packing",        // offset table: one row per >=256-row bucket
+    "dp07_weighted_sample",    // 1-row total-weight aggregate
+    "dp08_ingest_gate")        // 1-row corpus max
+
+  test("broadcast hints appear exactly where designed (tx08 carries none)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hinted = executions.collect {
+      case (name, qe) if qe.analyzed.collectFirst { case h: ResolvedHint => h }.isDefined =>
+        name
+    }.toSet
+    assert(!hinted.contains("tx08_commonness"),
+      "tx08_commonness must stay unhinted (see its scaladoc: vocabulary is corpus-sized)")
+    assert(hinted == designedHints,
+      s"unexpected hints: ${hinted -- designedHints}; stale allowlist: ${designedHints -- hinted}")
   }
 
   test("the detector catches a deliberately cartesian plan") {
