@@ -2260,6 +2260,27 @@ object Catalog {
       finally s.conf.unset(rule.WidthConf)
     })
 
+  // Z-order layout x binned-range-join rule, composed (see
+  // queries.ZOrderRangeJoin): selective predicates on both z-clustered
+  // columns prune the scan, the bin-free BETWEEN join is rewritten to a
+  // binned equi-join at plan time. The oracle runs the same predicates and
+  // join on the ORIGINAL lineitem — the z-ordered copy holds the same
+  // rows, so identical results prove the layout + rewrite are both
+  // value-preserving.
+  private val q71 = Q("q71_zorder_range_join", Some("""
+    WITH pts AS (
+      SELECT l_shipdate, l_quantity FROM lineitem
+      WHERE l_partkey BETWEEN 50 AND 500 AND l_suppkey BETWEEN 2 AND 40),
+    iv AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 200 = 0)
+    SELECT o_orderkey, count(*) AS n_items,
+      cast(round(sum(cast(l_quantity as decimal(12,2))), 2) as double) AS qty
+    FROM iv JOIN pts
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1 ORDER BY o_orderkey"""),
+    (s, d) => ZOrderRangeJoin.run(s, d))
+
   // SCD-style snapshot diff (SnapshotOps.snapshotDiff): two synthetic
   // snapshots of `customer` — old drops custkey%7==0 (-> "added"), new
   // drops custkey%11==0 (-> "removed") and doubles acctbal for
@@ -2497,6 +2518,132 @@ object Catalog {
         .orderBy(col("n_match").desc, col("neighbor_id"))
       m.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
         .orderBy("query_id", "rank")
+    })
+
+  // ANN recall harness (VERDICT r5/r6 stretch): grade each approximate
+  // config — LSH (ann02), IVF (ann04), PQ (ann06) — against brute-force
+  // cosine ground truth on ITS OWN query set and k. recall = sum over
+  // queries of |approx ∩ truth| / (n_queries * k); integer counts + one
+  // final double division, so the value is exact on any engine. This is
+  // the query you re-run when tuning bucket axes / probe count / block
+  // size: correctness of the approximation becomes a measured, asserted
+  // number (AnnRecallSpec pins floors) instead of a hope.
+  private val annBruteSql =
+    """SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+             * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * c.e[i])))), 6)
+          DESC, c.vec_id) AS rank
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE %s) t WHERE rank <= %d"""
+  private val ann07 = Q("ann07_recall", Some(s"""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    t_lsh AS (${annBruteSql.format("q.vec_id < 50", 5)}),
+    t_ivf AS (${annBruteSql.format("q.vec_id >= 20 AND q.vec_id < 30", 5)}),
+    t_pq AS (${annBruteSql.format("q.vec_id < 5", 10)}),
+    vb AS (SELECT vec_id, e,
+             array_to_string(list_transform(generate_series(1, 8),
+               i -> CASE WHEN e[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM v),
+    a_lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+              / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * c.e[i])))), 6)
+            DESC, c.vec_id) AS rank
+        FROM vb q JOIN vb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 50) t WHERE rank <= 5),
+    cent AS (SELECT vec_id AS cent_id, e FROM v WHERE vec_id < 16),
+    scoredc AS (
+      SELECT v.vec_id, cent.cent_id,
+        ${ivfCos.format("v", "cent", "v", "v", "cent", "cent")} AS csim
+      FROM v CROSS JOIN cent),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        FROM scoredc) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        FROM scoredc WHERE vec_id >= 20 AND vec_id < 30) t WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    a_ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+          row_number() OVER (PARTITION BY c.query_id ORDER BY
+            ${ivfCos.format("q", "n", "q", "q", "n", "n")} DESC, c.neighbor_id) AS rank
+        FROM cand c JOIN v q ON q.vec_id = c.query_id
+                    JOIN v n ON n.vec_id = c.neighbor_id) t
+      WHERE rank <= 5),
+    codes AS (
+      SELECT vec_id,
+        list_transform(generate_series(0, 7), b ->
+          array_to_string(list_transform(generate_series(1, 8),
+            i -> CASE WHEN embedding[b*8 + i] >= 0 THEN '1' ELSE '0' END), '')) AS cs
+      FROM embeddings),
+    flat AS (
+      SELECT vec_id, unnest(generate_series(0, 7)) AS blk, unnest(cs) AS code
+      FROM codes),
+    matches AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, count(*) AS n_match
+      FROM flat q JOIN flat c ON q.blk = c.blk AND q.code = c.code
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    a_pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY n_match DESC, neighbor_id) AS rank
+        FROM matches) t
+      WHERE rank <= 10),
+    r AS (
+      SELECT 'ivf' AS method,
+        (SELECT count(DISTINCT query_id) FROM t_ivf) AS n_queries,
+        (SELECT count(*) FROM a_ivf a JOIN t_ivf t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS total_hits,
+        5 AS k
+      UNION ALL SELECT 'lsh',
+        (SELECT count(DISTINCT query_id) FROM t_lsh),
+        (SELECT count(*) FROM a_lsh a JOIN t_lsh t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 5
+      UNION ALL SELECT 'pq',
+        (SELECT count(DISTINCT query_id) FROM t_pq),
+        (SELECT count(*) FROM a_pq a JOIN t_pq t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 10)
+    SELECT method, n_queries, total_hits,
+      cast(total_hits as double) / (n_queries * k) AS recall
+    FROM r ORDER BY method"""),
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      def truth(qFilter: Column, k: Int): DataFrame =
+        SimilarityOps.bruteForceTopK(emb.where(qFilter), emb, k = k, roundSim = 6)
+          .select("query_id", "neighbor_id")
+      def recallOf(method: String, approx: DataFrame, qFilter: Column,
+          k: Int): DataFrame = {
+        val t = truth(qFilter, k)
+        val hits = approx.select("query_id", "neighbor_id")
+          .join(t, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        // two 1-row aggregates; the cross join is a designed broadcast
+        // BNLJ (PlanAuditSpec allowlist), same shape as tx11/dp07/dp08
+        t.agg(countDistinct("query_id").as("n_queries")).crossJoin(hits)
+          .select(lit(method).as("method"), col("n_queries"), col("total_hits"),
+            (col("total_hits").cast("double") / (col("n_queries") * lit(k)))
+              .as("recall"))
+      }
+      recallOf("ivf", ann04.fn(s, d), col("id") >= 20 && col("id") < 30, 5)
+        .unionByName(recallOf("lsh", ann02.fn(s, d), col("id") < 50, 5))
+        .unionByName(recallOf("pq", ann06.fn(s, d), col("id") < 5, 10))
+        .orderBy("method")
     })
 
   // Corpus-commonness scoring (boilerplate signal for curation): build
@@ -2989,9 +3136,9 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
-    ann01, ann02, ann03, ann04, ann05, ann06,
+    ann01, ann02, ann03, ann04, ann05, ann06, ann07,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,

@@ -26,7 +26,11 @@ object Sf1Probe {
   private val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
     "tx06_tfidf", "q51_stream_join", "q66_stream_upsert")
 
-  private def buildSf1(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+  /** Also called by graft.Bench's optional sf1 section. Idempotent: the
+    * `_DONE` marker caches the built corpus across runs/rounds.
+    */
+  private[graft] def buildSf1(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
     val fs = java.nio.file.Paths.get(dst)
     if (java.nio.file.Files.exists(fs.resolve("_DONE"))) return
     val letters = "abcdefghij"

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Recall floors for the approximate ANN configs, measured by the ann07
+  * harness (recall vs brute-force cosine top-k on each config's own query
+  * set). The floors are the measured values on the driver corpus minus a
+  * small margin — deliberately honest: the catalog's demo configs use 8
+  * coordinate-axis sign projections / 16 seed centroids / 8-bit sign
+  * blocks on near-random embeddings, so absolute recall is LOW. The
+  * spec's job is to fail when a parameter change (axes, probes, blocks)
+  * silently tanks retrieval quality, not to certify production recall.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val recalls: Map[String, (Long, Long, Double)] =
+    graft.queries.Catalog.all.find(_.name == "ann07_recall").get
+      .fn(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("every configured method is graded over its full query set") {
+    assert(recalls.keySet == Set("lsh", "ivf", "pq"))
+    assert(recalls("lsh")._1 == 50 && recalls("ivf")._1 == 10 && recalls("pq")._1 == 5)
+  }
+
+  test("recall is a valid fraction and meets each config's floor") {
+    val floors = Map("ivf" -> 0.25, "lsh" -> 0.01, "pq" -> 0.05)
+    for ((method, (_, _, recall)) <- recalls) {
+      assert(recall >= 0.0 && recall <= 1.0, s"$method recall out of range: $recall")
+      assert(recall >= floors(method),
+        s"$method recall $recall fell below its floor ${floors(method)} — " +
+          "an approximate-config change degraded retrieval quality")
+    }
+  }
+
+  test("ivf probing beats a single-cell lookup's ceiling on this corpus") {
+    // top-2 probes must find strictly more than the 'pq' sign-block join
+    // finds with ten times the candidate bands — a cheap cross-config
+    // sanity ordering that held for every corpus size tested
+    assert(recalls("ivf")._3 > recalls("pq")._3)
+  }
+}

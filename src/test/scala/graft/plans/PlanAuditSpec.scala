@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val designedBnlj = Set(
     "q29_scalar_subq", "ann01_bruteforce_topk", "ann03_topk_aggregator",
+    "ann07_recall", // 1-row (n_queries x hits) cross joins, one per method
     "tx06_tfidf", "tx11_vocab_coverage", "dp07_weighted_sample",
     "dp08_ingest_gate")
 
@@ -80,6 +81,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann03_topk_aggregator",   // query-vector set
     "ann04_ivf",               // 16 seed centroids + probed query/neighbor vecs
     "ann06_pq_topk",           // query-side block codes
+    "ann07_recall",            // query-vector sets of the graded configs
     "dd10_bloom_prefilter",    // broadcast bit-set (the operator's point)
     "tx06_tfidf",              // doc-frequency table + 1-row doc count
     "tx11_vocab_coverage",     // 1-row corpus aggregate

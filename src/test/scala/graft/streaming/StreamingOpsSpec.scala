@@ -89,6 +89,67 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"resume ran real merges: $diag")
   }
 
+  test("streamingLatestPerKey recovers exactly-once from a crash between " +
+      "generation write and metadata commit") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_crash")
+    val base = root.resolve("table").toString
+    val events = root.resolve("events").toString
+    // 16 keys x 4 occurrences: every micro-batch touches (nearly) every
+    // bucket, so the final batch certainly rewrites buckets that earlier
+    // generations own — the case where a lost metadata commit matters
+    (0L until 64L).map(i => (i % 16, i, i)).toDF("user_id", "event_id", "ts")
+      .withColumn("ts", col("ts").cast("long"))
+      .write.parquet(events)
+    val diag1 = scala.collection.mutable.Buffer.empty[StreamingOps.BatchMerge]
+    val expected = StreamingOps.streamingLatestPerKey(spark, events,
+        queryName = "graft_test_crash", baseDir = Some(base), numBuckets = 4,
+        diagnostics = Some(diag1))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val metaFile = Paths.get(base, "gen", "_bucket_gen.tsv")
+    val committedMeta = JFiles.readAllLines(metaFile).asScala.toList
+    val last = diag1.maxBy(_.batchId)
+    assert(last.prevPathsRead.nonEmpty,
+      "precondition: the final batch must rewrite earlier generations' buckets")
+
+    // Simulate the crash AFTER g<last> was written but BEFORE commitMeta():
+    //  - the streaming commit log loses the final batch (so restart
+    //    replays it from its recorded offsets),
+    //  - the bucket->generation metadata rolls back to its pre-batch
+    //    state (reconstructed from the earlier batches' diagnostics),
+    //  - the half-applied g<last> directory REMAINS on disk.
+    JFiles.delete(Paths.get(base, "ckpt", "commits", last.batchId.toString))
+    // ... including the local-FS checksum sidecar, which a crash would
+    // never have written either (leaving it fails the re-commit's rename)
+    JFiles.deleteIfExists(
+      Paths.get(base, "ckpt", "commits", s".${last.batchId}.crc"))
+    val preBatch = diag1.filter(_.batchId < last.batchId)
+      .flatMap(b => b.touchedBuckets.map(_ -> b.batchId))
+      .groupBy(_._1).map { case (b, gs) => b -> gs.map(_._2).max }
+    JFiles.write(metaFile, (s"#numBuckets\t4" +:
+      preBatch.toSeq.sorted.map { case (b, g) => s"$b\t$g" }).asJava)
+
+    // Restart over the same table dir: the replayed batch must read the
+    // PRE-crash bucket state (not the orphaned g<last> files), overwrite
+    // g<last>, and re-commit identical metadata — exactly-once.
+    val diag2 = scala.collection.mutable.Buffer.empty[StreamingOps.BatchMerge]
+    val recovered = StreamingOps.streamingLatestPerKey(spark, events,
+        queryName = "graft_test_crash", baseDir = Some(base), numBuckets = 4,
+        diagnostics = Some(diag2))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val replayed = diag2.filter(_.touchedBuckets.nonEmpty)
+    assert(replayed.map(_.batchId) == Seq(last.batchId),
+      s"expected exactly one replay of batch ${last.batchId}, got $diag2")
+    assert(replayed.head.touchedBuckets == last.touchedBuckets)
+    assert(replayed.head.prevPathsRead == last.prevPathsRead,
+      "replay must read the pre-crash generations, not the orphaned dir")
+    assert(recovered == expected)
+    assert(JFiles.readAllLines(metaFile).asScala.toList == committedMeta,
+      "re-committed metadata must be identical to the pre-crash commit")
+  }
+
   test("parquetRowCount reads footers only and matches the real count") {
     val dir = "/root/testdata/sf0.001"
     val fromFooters = graft.sources.Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
