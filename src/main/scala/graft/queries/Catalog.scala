@@ -2193,6 +2193,47 @@ object Catalog {
         .orderBy("lang", "shard", "bin")
     })
 
+  // Benchmark decontamination (test-set overlap removal): the standard
+  // pretraining hygiene step — a training doc sharing any 4-token shingle
+  // with an eval/benchmark doc is flagged with its overlap count, so it
+  // can be dropped or audited before training. Candidate generation is an
+  // equi-join on a FIXED-WIDTH md5 shingle key (mirrored digit-for-digit
+  // in the oracle), never a similarity scan: the train side shuffles once
+  // on the 16-char hash, and the eval side (bounded — benchmarks are
+  // small) joins UNHINTED, the tx08 discipline — AQE broadcasts it when
+  // it fits, degrades to a shuffled hash join when it doesn't.
+  private val dp09 = Q("dp09_decontam", Some("""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id, substr(md5(s), 1, 16) AS h FROM (
+        SELECT doc_id, unnest(CASE WHEN len(tk) >= 4 THEN
+            list_transform(generate_series(1, len(tk) - 3),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+          ELSE [array_to_string(tk, ' ')] END) AS s
+        FROM t) u),
+    ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 11 = 0),
+    hits AS (
+      SELECT s.doc_id, count(DISTINCT s.h) AS n_overlap
+      FROM sh s JOIN ev e ON s.h = e.h
+      WHERE s.doc_id % 11 <> 0
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_overlap FROM hits ORDER BY doc_id"""),
+    (s, d) => {
+      val sh = Exec.materializeForSelfJoin(T(s, d, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), DedupOps.tokens(col("text")).as("_tk"))
+        .select(col("doc_id"),
+          explode(DedupOps.shinglesFromTokens(col("_tk"), 4)).as("_s"))
+        .select(col("doc_id"), substring(md5(col("_s")), 1, 16).as("h")))
+      val ev = sh.where(col("doc_id") % 11 === 0).select("h").distinct()
+      sh.where(col("doc_id") % 11 =!= 0)
+        .join(ev, Seq("h"))
+        .groupBy("doc_id").agg(countDistinct("h").as("n_overlap"))
+        .orderBy("doc_id")
+    })
+
   // Point-in-interval join executed as a binned EQUI-join
   // (IntervalJoin.pointInInterval): intervals replicate to the fixed-width
   // bins they overlap, points hash to their own bin, containment runs as a
@@ -3142,5 +3183,5 @@ object Catalog {
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08)
+    dp07, dp08, dp09)
 }

@@ -29,15 +29,22 @@ object ZOrderRangeJoin {
     * reruns skip the write.
     */
   def ensureZOrderedLineitem(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val dst = s"/tmp/graft_zorder/$key"
-    val done = java.nio.file.Paths.get(dst, "_GRAFT_ZDONE")
-    if (!java.nio.file.Files.exists(done)) {
+    val done = Paths.get(dst, "_GRAFT_ZDONE")
+    // cache key includes the source's size+mtime: a regenerated corpus at
+    // the same path invalidates the copy instead of serving stale rows
+    val src = Paths.get(sfDir, "lineitem.parquet")
+    val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    val fresh = Files.exists(done) && Files.readString(done) == stamp
+    if (!fresh) {
       val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
       LayoutOps.writeZOrdered(li, s"$dst/lineitem", "l_partkey", "l_suppkey",
         numFiles = 8)
-      java.nio.file.Files.createFile(done)
+      Files.createDirectories(Paths.get(dst))
+      Files.writeString(done, stamp)
     }
     s"$dst/lineitem"
   }

@@ -31,8 +31,16 @@ object Sf1Probe {
     */
   private[graft] def buildSf1(spark: SparkSession, src: String, dst: String,
       copies: Int): Unit = {
-    val fs = java.nio.file.Paths.get(dst)
-    if (java.nio.file.Files.exists(fs.resolve("_DONE"))) return
+    import java.nio.file.{Files => JF, Paths}
+    val fs = Paths.get(dst)
+    // cache stamp covers the sources' size+mtime: a regenerated corpus at
+    // the same path rebuilds the 10x copy instead of serving stale rows
+    val stamp = Seq("events.parquet", "documents.parquet").map { f =>
+      val p = Paths.get(src, f)
+      s"${JF.size(p)}:${JF.getLastModifiedTime(p).toMillis}"
+    }.mkString(",") + s":$copies"
+    val marker = fs.resolve("_DONE")
+    if (JF.exists(marker) && JF.readString(marker) == stamp) return
     val letters = "abcdefghij"
     def rotated(i: Int) = letters.drop(i % 10) + letters.take(i % 10)
 
@@ -52,7 +60,7 @@ object Sf1Probe {
         .withColumn("text", translate(col("text"), letters, rotated(i)))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    java.nio.file.Files.createFile(fs.resolve("_DONE"))
+    JF.writeString(marker, stamp)
   }
 
   def main(args: Array[String]): Unit = {
