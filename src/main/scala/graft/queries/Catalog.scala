@@ -2193,6 +2193,70 @@ object Catalog {
         .orderBy("lang", "shard", "bin")
     })
 
+  // Per-language quality-threshold calibration (the "compute stats, then
+  // filter by them" pipeline step): the p90 quality cutoff per language
+  // via QuantileOps' histogram quantile — NOT percentile_disc, whose agg
+  // state buffers a whole language's values (an OOM at corpus scale), and
+  // NOT approx_percentile, whose sketch merge is engine-specific and so
+  // uncheckable across engines. 256 power-of-two bins make the float
+  // binning IEEE-exact on both engines; everything after the first
+  // aggregation runs on the <= 5x256-row bin table.
+  private val dp10 = Q("dp10_quality_threshold", Some("""
+    WITH f AS (
+      SELECT lang,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok_cnt,
+        length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+        len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          x -> list_contains(['a','an','the','and','or','of','in','to','is'], lower(x)))) AS stop_cnt,
+        length(text) AS n_len
+      FROM documents),
+    q AS (
+      SELECT lang,
+        0.5 * least(n_len / 512.0, 1.0)
+          + 0.25 * (CASE WHEN tok_cnt = 0 THEN 0.0
+                         ELSE cast(stop_cnt as double) / tok_cnt END)
+          + 0.25 * (1.0 - least(punct_cnt * 16.0 / n_len, 1.0)) AS quality
+      FROM f),
+    b AS (SELECT lang, least(cast(floor(quality * 256.0) as bigint), 255) AS bin FROM q),
+    c AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+    w AS (
+      SELECT lang, bin, cnt,
+        sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM c),
+    t AS (
+      SELECT lang, max(n) AS n,
+        min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS thr_bin,
+        max(n) - min(CASE WHEN cum * 10 >= n * 9 THEN cum - cnt END) AS n_kept
+      FROM w GROUP BY lang)
+    SELECT lang, cast(n as bigint) AS n_docs, thr_bin,
+      thr_bin / 256.0 AS threshold, cast(n_kept as bigint) AS n_kept
+    FROM t ORDER BY lang"""),
+    (s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val stops = Seq("a", "an", "the", "and", "or", "of", "in", "to", "is")
+      // tx02's quality expression, staged then combined — same IEEE ops
+      val feats = T(s, d, "documents")
+        .select(col("lang"),
+          TextOps.tokenCount(col("text")).as("tok_cnt"),
+          TextOps.punctCount(col("text")).as("punct_cnt"),
+          size(filter(toks, x => lower(x).isInCollection(stops))).as("stop_cnt"),
+          length(col("text")).as("n_len"))
+      val scored = feats.select(col("lang"),
+        (lit(0.5) * least(col("n_len") / 512.0, lit(1.0))
+          + lit(0.25) * when(col("tok_cnt") === 0, 0.0)
+              .otherwise(col("stop_cnt").cast("double") / col("tok_cnt"))
+          + lit(0.25) * (lit(1.0) - least(col("punct_cnt") * 16.0 / col("n_len"), lit(1.0))))
+          .as("quality"))
+      QuantileOps.histogramThreshold(scored, Seq("lang"), col("quality"),
+          lo = 0.0, hi = 1.0, bins = 256, num = 9, den = 10)
+        .select(col("lang"), col("n").as("n_docs"), col("thr_bin"),
+          (col("thr_bin") / lit(256.0)).as("threshold"), col("n_kept"))
+        .orderBy("lang")
+    })
+
   // Benchmark decontamination (test-set overlap removal): the standard
   // pretraining hygiene step — a training doc sharing any 4-token shingle
   // with an eval/benchmark doc is flagged with its overlap count, so it
@@ -3183,5 +3247,5 @@ object Catalog {
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09)
+    dp07, dp08, dp09, dp10)
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** [[QuantileOps.histogramThreshold]] vs the exact rank statistic: the
+  * returned bin must be exactly the bin containing the ceil(q*n)-th
+  * smallest value (the histogram loses resolution WITHIN a bin, never
+  * across bins), and n_kept must count precisely the rows at or above
+  * that bin. Checked for several quantiles on irregular, tie-heavy data.
+  */
+class QuantileOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val bins = 256
+  private lazy val rows: Seq[(String, Double)] =
+    (0 until 2000).map { i =>
+      (s"g${i % 3}", math.abs(i * 2654435761L % 997).toDouble / 997.0)
+    }
+  private lazy val df = {
+    import spark.implicits._
+    rows.toDF("g", "v")
+  }
+
+  private def binOf(v: Double): Long =
+    math.min(math.floor(v / (1.0 / bins)).toLong, bins - 1L)
+
+  test("threshold bin equals the exact rank statistic's bin (q in {1/2, 9/10, 99/100})") {
+    for ((num, den) <- Seq((1, 2), (9, 10), (99, 100))) {
+      val got = QuantileOps.histogramThreshold(df, Seq("g"), col("v"),
+          lo = 0.0, hi = 1.0, bins = bins, num = num, den = den)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      for ((g, vals) <- rows.groupBy(_._1)) {
+        val sorted = vals.map(_._2).sorted
+        val n = sorted.size
+        val rank = (num.toLong * n + den - 1) / den // ceil(num*n/den)
+        val exactBin = binOf(sorted(rank.toInt - 1))
+        val (gotN, gotThr, gotKept) = got(g)
+        assert(gotN == n)
+        assert(gotThr == exactBin,
+          s"group $g q=$num/$den: threshold bin $gotThr != exact-quantile bin $exactBin")
+        assert(gotKept == sorted.count(binOf(_) >= exactBin),
+          s"group $g q=$num/$den: n_kept mismatch")
+      }
+    }
+  }
+
+  test("values at the upper bound clamp into the last bin") {
+    import spark.implicits._
+    val edge = Seq(("g", 0.0), ("g", 0.5), ("g", 1.0)).toDF("g", "v")
+    val r = QuantileOps.histogramThreshold(edge, Seq("g"), col("v"),
+      lo = 0.0, hi = 1.0, bins = bins, num = 1, den = 1).collect().head
+    // q=1 -> the threshold is the max value's bin, which must be the
+    // clamped last bin despite v == hi
+    assert(r.getLong(1) == 3 && r.getLong(2) == bins - 1 && r.getLong(3) >= 1)
+  }
+}
