@@ -1074,6 +1074,10 @@ object Catalog {
   // TF-IDF: term frequencies per doc, document frequencies, top-3 terms
   // per doc ranked by tf*ln((N+1)/(df+1)). Output carries only the
   // integer tf/df (the float tfidf orders but never leaves the engine).
+  // The tf x df join is UNHINTED (df is vocabulary-sized — billions of
+  // terms at corpus scale, the tx08 rule); only the 1-row doc count is
+  // broadcast. toks is materialized once: tf and df both derive from it,
+  // and without the checkpoint Catalyst re-tokenizes the corpus twice.
   private val tx06 = Q("tx06_tfidf", Some("""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -1092,12 +1096,12 @@ object Catalog {
       FROM scored) t
     WHERE rank <= 3 ORDER BY doc_id, rank"""),
     (s, d) => {
-      val toks = T(s, d, "documents")
-        .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
+      val toks = Exec.materializeForSelfJoin(T(s, d, "documents")
+        .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term")))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val n = T(s, d, "documents").agg(count(lit(1)).as("n"))
-      val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .where(col("doc_id") < 100)
         .withColumn("tfidf", col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)

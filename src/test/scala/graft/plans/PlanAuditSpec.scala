@@ -83,7 +83,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann06_pq_topk",           // query-side block codes
     "ann07_recall",            // query-vector sets of the graded configs
     "dd10_bloom_prefilter",    // broadcast bit-set (the operator's point)
-    "tx06_tfidf",              // doc-frequency table + 1-row doc count
+    "tx06_tfidf",              // 1-row doc count only (df joins unhinted)
     "tx11_vocab_coverage",     // 1-row corpus aggregate
     "dp03_seq_packing",        // offset table: one row per >=256-row bucket
     "dp07_weighted_sample",    // 1-row total-weight aggregate
