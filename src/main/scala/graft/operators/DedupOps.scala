@@ -72,9 +72,13 @@ object DedupOps {
       .join(broadcast(setBits.withColumn("_hit", lit(1))), Seq("bit"), "left")
       .groupBy(col(idCol), col("_h"))
       .agg((count(col("_hit")) === k).as("maybe_dup"))
+    // the exact ground-truth side is the WHOLE history's distinct hashes
+    // — unbounded, so the join is deliberately unhinted (fixed-width _h
+    // shuffle key; AQE broadcasts it only when it actually fits). Only
+    // the <= mBits-row bit set above is broadcast by contract.
     val dups = history.select(md5(col(textCol)).as("_hh")).distinct()
     maybe
-      .join(broadcast(dups), col("_h") === col("_hh"), "left")
+      .join(dups, col("_h") === col("_hh"), "left")
       .select(col(idCol), col("maybe_dup"), col("_hh").isNotNull.as("actual_dup"))
   }
 
