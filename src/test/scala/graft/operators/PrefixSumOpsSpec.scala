@@ -9,7 +9,9 @@ import graft.TestSpark
   * running sum for ANY bucket width — the bucketed decomposition argument
   * (offset of a row = earlier buckets' total + earlier rows in its own
   * bucket) made executable, including widths that degenerate to one row
-  * per bucket (1) and one bucket per group (10^6).
+  * per bucket (1) and one bucket per group (10^6). The auto variant must
+  * additionally keep the offsets table ~sqrt(range) and plan UNHINTED
+  * (the round-7 verdict's last unbounded forced broadcast).
   */
 class PrefixSumOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -30,18 +32,59 @@ class PrefixSumOpsSpec extends AnyFunSuite {
       .select("g", "ord", "cum").collect().toSet
   }
 
-  test("matches the single-window form for bucketRows in {1, 3, 256, 1000000}") {
+  test("matches the single-window form for bucketWidth in {1, 3, 256, 1000000}") {
     for (b <- Seq(1L, 3L, 256L, 1000000L)) {
       val got = PrefixSumOps.exclusiveRunningSum(df, Seq("g"), "ord", "v",
-          outCol = "cum", bucketRows = b)
+          outCol = "cum", bucketWidth = b)
         .select("g", "ord", "cum").collect().toSet
-      assert(got == expected, s"diverged from the single window at bucketRows=$b")
+      assert(got == expected, s"diverged from the single window at bucketWidth=$b")
     }
+  }
+
+  test("auto variant matches the single-window form") {
+    val got = PrefixSumOps.exclusiveRunningSumAuto(df, Seq("g"), "ord", "v",
+        outCol = "cum")
+      .select("g", "ord", "cum").collect().toSet
+    assert(got == expected)
+  }
+
+  test("auto bucket width bounds the offsets table at ~sqrt(range) per group") {
+    // Order keys span ~[0, 1200*7); auto width = ceil(sqrt(range)), so the
+    // offsets table (one row per non-empty bucket per group) is at most
+    // groups * ceil(range/width) ≈ 3 * sqrt(8400) ≈ 276 rows — NOT the
+    // ~n/width a fixed small width gives. Recompute the bound exactly from
+    // the data and assert the phase-2 reduction honours it.
+    val Array(lo, hi) = df.agg(min("ord"), max("ord")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val range = hi - lo + 1
+    val width = PrefixSumOps.bucketWidthFor(range)
+    assert(width >= math.sqrt(range.toDouble).toLong,
+      "width must scale with the order range, not stay fixed")
+    val offsetsRows = df
+      .groupBy(col("g"), expr(s"ord div $width")).count().count()
+    val groups = 3L
+    assert(offsetsRows <= groups * (range / width + 1),
+      s"offsets table $offsetsRows rows exceeds the per-group range/width bound")
+  }
+
+  test("auto variant plans no broadcast hint (AQE decides — tx08 discipline)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val qe = PrefixSumOps.exclusiveRunningSumAuto(df, Seq("g"), "ord", "v",
+      outCol = "cum").queryExecution
+    assert(qe.analyzed.collectFirst { case h: ResolvedHint => h }.isEmpty,
+      "the offsets join must stay unhinted: a forced broadcast is only " +
+        "bounded if the width scales, which the hint cannot express")
+  }
+
+  test("empty input yields an empty result, not a crash") {
+    val out = PrefixSumOps.exclusiveRunningSumAuto(df.where(lit(false)),
+      Seq("g"), "ord", "v", outCol = "cum")
+    assert(out.count() == 0)
   }
 
   test("passes input columns through and appends only outCol") {
     val out = PrefixSumOps.exclusiveRunningSum(df, Seq("g"), "ord", "v",
-      outCol = "cum", bucketRows = 64)
+      outCol = "cum", bucketWidth = 64)
     assert(out.columns.toSet == Set("g", "ord", "v", "cum"))
     assert(out.count() == df.count())
   }

@@ -62,8 +62,11 @@ class PlanAuditSpec extends AnyFunSuite {
   /** A user `broadcast()` hint bypasses autoBroadcastJoinThreshold
     * entirely, so every one is a standing claim that the hinted side is
     * bounded at ANY data scale — query-vector sets, seed centroids, 1-row
-    * corpus aggregates, fixed dims, or tables reduced by >=R-row
-    * bucketing (dp03's offset table). This test pins the exact set of
+    * corpus aggregates, or fixed dims. (dp03's offset table left this
+    * list in round 8: value-range bucketing reduces by key density, not
+    * by a fixed factor, so its join is now unhinted and the bucket width
+    * derives from the data — PrefixSumOps scaladoc.) This test pins the
+    * exact set of
     * catalog plans whose ANALYZED plan carries a hint, so an unaudited
     * broadcast on an unbounded side (the tx08 scaladoc's scenario: a
     * corpus-sized vocabulary table) fails the build instead of OOMing a
@@ -85,7 +88,6 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd10_bloom_prefilter",    // broadcast bit-set (the operator's point)
     "tx06_tfidf",              // 1-row doc count only (df joins unhinted)
     "tx11_vocab_coverage",     // 1-row corpus aggregate
-    "dp03_seq_packing",        // offset table: one row per >=256-row bucket
     "dp07_weighted_sample",    // 1-row total-weight aggregate
     "dp08_ingest_gate")        // 1-row corpus max
 
