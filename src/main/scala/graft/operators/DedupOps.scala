@@ -310,6 +310,17 @@ object DedupOps {
     * @param edges    columns `src`, `dst` (undirected; one direction given)
     * @return [idCol, cluster] where cluster = min id in the component
     */
+  /** Convergence telemetry from the most recent [[connectedComponents]]
+    * run in this JVM: round count and per-round wall millis. Exists so
+    * the bench's scale probe can distinguish "iteration count grows with
+    * corpus structure" from "one slow round was noise" (VERDICT r7 —
+    * dd06's single-run 12.84× sf1 ratio was unexplainable without this).
+    * Diagnostic only; single-writer per run (the driver loop), volatile
+    * for cross-thread reads.
+    */
+  @volatile var lastCcStats: Option[CcStats] = None
+  final case class CcStats(rounds: Int, roundMillis: Seq[Long])
+
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", maxIterations: Int = 25): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
@@ -319,7 +330,9 @@ object DedupOps {
       vertices.select(col(idCol).as("id"), col(idCol).as("label")))
     var converged = false
     var iter = 0
+    val roundMillis = Seq.newBuilder[Long]
     while (!converged && iter < maxIterations) {
+      val tRound = System.nanoTime()
       val neighborMin = und.join(labels, und("src") === labels("id"))
         .groupBy(col("dst")).agg(min("label").as("nmin"))
       val updated = Exec.materializeForSelfJoin(
@@ -340,8 +353,10 @@ object DedupOps {
             stepped.select(col("id").as("_pid"), col("label").as("_plabel")),
             col("label") === col("_pid"), "left")
           .select(col("id"), coalesce(col("_plabel"), col("label")).as("label")))
+      roundMillis += (System.nanoTime() - tRound) / 1000000L
       iter += 1
     }
+    lastCcStats = Some(CcStats(iter, roundMillis.result()))
     // a silently-unconverged result is a wrong clustering; fail loudly so
     // callers raise maxIterations (or switch to large-star/small-star)
     if (!converged) throw new IllegalStateException(

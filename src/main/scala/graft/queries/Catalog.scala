@@ -1077,7 +1077,11 @@ object Catalog {
   // The tf x df join is UNHINTED (df is vocabulary-sized — billions of
   // terms at corpus scale, the tx08 rule); only the 1-row doc count is
   // broadcast. toks is materialized once: tf and df both derive from it,
-  // and without the checkpoint Catalyst re-tokenizes the corpus twice.
+  // and without materialization Catalyst re-tokenizes the corpus twice.
+  // The exploded token table is O(corpus)-sized, so it persists DISK_ONLY
+  // with lineage kept (materializeLarge) — a localCheckpoint here pinned
+  // several corpus-sizes of blocks in executor storage and made a lost
+  // executor fatal (VERDICT r7 #2).
   private val tx06 = Q("tx06_tfidf", Some("""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -1096,7 +1100,7 @@ object Catalog {
       FROM scored) t
     WHERE rank <= 3 ORDER BY doc_id, rank"""),
     (s, d) => {
-      val toks = Exec.materializeForSelfJoin(T(s, d, "documents")
+      val toks = Exec.materializeLarge(T(s, d, "documents")
         .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term")))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
@@ -2299,7 +2303,9 @@ object Catalog {
       GROUP BY s.doc_id)
     SELECT doc_id, n_overlap FROM hits ORDER BY doc_id"""),
     (s, d) => {
-      val sh = Exec.materializeForSelfJoin(T(s, d, "documents")
+      // the exploded shingle table is O(corpus): DISK_ONLY + lineage
+      // (materializeLarge), not localCheckpoint — see tx06's note
+      val sh = Exec.materializeLarge(T(s, d, "documents")
         .where(length(trim(col("text"))) > 0)
         .select(col("doc_id"), DedupOps.tokens(col("text")).as("_tk"))
         .select(col("doc_id"),

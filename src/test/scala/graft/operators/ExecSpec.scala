@@ -20,4 +20,48 @@ class ExecSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(plain.size == 1050)
   }
+
+  test("materializeLarge persists DISK_ONLY with lineage kept") {
+    import org.apache.spark.storage.StorageLevel
+    val df = (1 to 100).map(i => (i, s"v$i")).toDF("id", "v")
+    val out = Exec.materializeLarge(df)
+    try {
+      // DISK_ONLY: no executor-heap pinning for O(corpus) tables; persist
+      // (not localCheckpoint) keeps lineage so a lost block recomputes
+      // instead of failing the job (VERDICT r7 #2)
+      assert(out.storageLevel == StorageLevel.DISK_ONLY)
+      assert(out.count() == 100)
+      // the analyzed plan still carries the source, i.e. lineage is intact
+      // (a localCheckpoint plan would be a bare LogicalRDD)
+      assert(out.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }.isDefined)
+    } finally out.unpersist()
+  }
+
+  test("tx06 and dp09 materialize their corpus-sized tables DISK_ONLY, not localCheckpoint") {
+    import org.apache.spark.storage.StorageLevel
+    val sfDir = "/root/testdata/sf0.001"
+    for (q <- Seq("tx06_tfidf", "dp09_decontam")) {
+      val qe = graft.queries.Catalog.all.find(_.name == q).get
+        .fn(spark, sfDir).queryExecution
+      val cached = qe.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(cached.nonEmpty, s"$q: expected a persisted corpus-derived table")
+      cached.foreach { r =>
+        assert(r.cacheBuilder.storageLevel == StorageLevel.DISK_ONLY,
+          s"$q: corpus-sized cache must be DISK_ONLY, was ${r.cacheBuilder.storageLevel}")
+      }
+    }
+  }
+
+  test("connectedComponents records round telemetry") {
+    val vertices = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    DedupOps.connectedComponents(vertices, edges)
+    val stats = DedupOps.lastCcStats
+    assert(stats.isDefined)
+    assert(stats.get.rounds >= 1 && stats.get.roundMillis.size == stats.get.rounds)
+  }
 }
