@@ -27,24 +27,50 @@ object ZOrderRangeJoin {
     * clustered on (l_partkey, l_suppkey). Cached under /tmp keyed by the
     * source dir; `_GRAFT_ZDONE` marks a completed build so verify/bench
     * reruns skip the write.
+    *
+    * Concurrency: the original check-then-build raced — two sessions
+    * (test suite + bench) could both see a missing/stale stamp, and one
+    * would read a half-written copy while the other overwrote it
+    * (ADVICE r7). Builders now serialize on an inter-process file lock
+    * (plus this object's monitor for same-JVM threads), build into a
+    * UNIQUE temp dir, and atomically rename into place — the stamp file
+    * travels inside the renamed dir, so it exists iff the copy is whole.
     */
-  def ensureZOrderedLineitem(spark: SparkSession, sfDir: String): String = {
-    import java.nio.file.{Files, Paths}
+  def ensureZOrderedLineitem(spark: SparkSession, sfDir: String): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dst = s"/tmp/graft_zorder/$key"
-    val done = Paths.get(dst, "_GRAFT_ZDONE")
+    val root = Paths.get("/tmp/graft_zorder")
+    Files.createDirectories(root)
+    val dst = root.resolve(key)
     // cache key includes the source's size+mtime: a regenerated corpus at
     // the same path invalidates the copy instead of serving stale rows
     val src = Paths.get(sfDir, "lineitem.parquet")
     val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
-    val fresh = Files.exists(done) && Files.readString(done) == stamp
+    def fresh: Boolean = {
+      val done = dst.resolve("_GRAFT_ZDONE")
+      Files.exists(done) && Files.readString(done) == stamp
+    }
     if (!fresh) {
-      val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
-        .select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
-      LayoutOps.writeZOrdered(li, s"$dst/lineitem", "l_partkey", "l_suppkey",
-        numFiles = 8)
-      Files.createDirectories(Paths.get(dst))
-      Files.writeString(done, stamp)
+      val ch = java.nio.channels.FileChannel.open(root.resolve(s"$key.lock"), CREATE, WRITE)
+      try {
+        val lock = ch.lock()
+        try if (!fresh) { // re-check: the previous lock holder may have built it
+          val tmp = root.resolve(s"$key.tmp-${java.util.UUID.randomUUID()}")
+          val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+            .select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
+          LayoutOps.writeZOrdered(li, tmp.resolve("lineitem").toString,
+            "l_partkey", "l_suppkey", numFiles = 8)
+          Files.writeString(tmp.resolve("_GRAFT_ZDONE"), stamp)
+          // replace any stale copy, then move the whole build into place
+          if (Files.exists(dst)) {
+            val trash = root.resolve(s"$key.old-${java.util.UUID.randomUUID()}")
+            Files.move(dst, trash, StandardCopyOption.ATOMIC_MOVE)
+            org.apache.commons.io.FileUtils.deleteQuietly(trash.toFile)
+          }
+          Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+        } finally lock.release()
+      } finally ch.close()
     }
     s"$dst/lineitem"
   }

@@ -38,10 +38,9 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
-  test("ivf probing beats a single-cell lookup's ceiling on this corpus") {
-    // top-2 probes must find strictly more than the 'pq' sign-block join
-    // finds with ten times the candidate bands — a cheap cross-config
-    // sanity ordering that held for every corpus size tested
-    assert(recalls("ivf")._3 > recalls("pq")._3)
-  }
+  // NOTE: no cross-config ordering (e.g. ivf > pq) is asserted. On
+  // near-random embeddings that ordering is a property of the particular
+  // corpus draw, not of the code — a regenerated corpus could flip it and
+  // fail CI with no regression (ADVICE r7). The per-config floors above
+  // are the real guard: each method is held to its own measured quality.
 }
