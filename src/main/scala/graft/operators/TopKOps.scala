@@ -25,8 +25,13 @@ import org.apache.spark.sql.functions._
   *
   * `order` must be a TOTAL order (tie-broken down to a unique key), the
   * same requirement the single-window version has for deterministic
-  * output. The returned frame carries a `rank` column, already filtered
-  * to `rank <= k`.
+  * output. If the caller violates that (unresolved ties at the k-th
+  * value), the returned VALUE multiset is still exactly the k largest —
+  * per-salt pruning keeps a valid top-k-by-value under any tie-break —
+  * but row IDENTITY among tied rows is undefined, exactly as with a bare
+  * window (RankStatPropertiesSpec pins both halves of this contract).
+  * The returned frame carries a `rank` column, already filtered to
+  * `rank <= k`.
   */
 object TopKOps {
 
