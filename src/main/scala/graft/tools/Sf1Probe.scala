@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   *    cluster count ×10, cluster sizes unchanged. Without the rotation
   *    every doc would gain 9 identical twins and candidate pairs would
   *    grow quadratically, probing an adversarial corpus instead of a
-  *    bigger one.
+  *    bigger one;
+  *  - orders/lineitem: order/customer/supplier keys shifted per copy —
+  *    ten disjoint copies of the q68 bipartite graph, so node count and
+  *    per-iteration join work scale linearly with component structure
+  *    unchanged;
+  *  - embeddings: vec_id shifted, coordinates CYCLICALLY ROTATED per
+  *    copy — norms and within-copy geometry are exact, cross-copy
+  *    vectors decorrelate, so ANN bucket occupancy scales like a bigger
+  *    corpus instead of 10 stacked identical ones.
   */
 object Sf1Probe {
   private val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
@@ -35,10 +43,11 @@ object Sf1Probe {
     val fs = Paths.get(dst)
     // cache stamp covers the sources' size+mtime: a regenerated corpus at
     // the same path rebuilds the 10x copy instead of serving stale rows
-    val stamp = Seq("events.parquet", "documents.parquet").map { f =>
+    val stamp = Seq("events.parquet", "documents.parquet", "orders.parquet",
+      "lineitem.parquet", "embeddings.parquet").map { f =>
       val p = Paths.get(src, f)
       s"${JF.size(p)}:${JF.getLastModifiedTime(p).toMillis}"
-    }.mkString(",") + s":$copies"
+    }.mkString(",") + s":$copies:v2"
     val marker = fs.resolve("_DONE")
     if (JF.exists(marker) && JF.readString(marker) == stamp) return
     val letters = "abcdefghij"
@@ -60,6 +69,35 @@ object Sf1Probe {
         .withColumn("text", translate(col("text"), letters, rotated(i)))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxOrder = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    val maxCust = orders.agg(max("o_custkey")).head().getLong(0) + 1
+    val maxSupp = lineitem.agg(max("l_suppkey")).head().getLong(0) + 1
+    (0 until copies).map { i =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    (0 until copies).map { i =>
+      lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * maxSupp))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until copies).map { i =>
+      val base = emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+      val off = i % dim
+      if (off == 0) base
+      else base.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${off + 1}, size(embedding) - $off), " +
+          s"slice(embedding, 1, $off))"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     JF.writeString(marker, stamp)
   }
 
