@@ -181,7 +181,11 @@ object DedupOps {
   def containmentScores(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, shingleK, bands, rowsPerBand)
-    val sets = Exec.materializeForSelfJoin(
+    // shingle SETS are O(corpus) bytes (≈ shingleK x the text): DISK_ONLY
+    // with lineage kept, not executor-pinned localCheckpoint (the r7
+    // tx06/dp09 lesson; the banded table above stays checkpointed — it
+    // is fixed-width per doc)
+    val sets = Exec.materializeLarge(
       df.select(col(idCol), tokens(col(textCol)).as("_t"))
         .select(col(idCol), shinglesFromTokens(col("_t"), shingleK).as("_sh"))
         .select(col(idCol), array_distinct(col("_sh")).as("s")))

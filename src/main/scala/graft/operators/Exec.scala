@@ -23,8 +23,15 @@ object Exec {
     * corpus; at 100 TB this is exactly the "persist the pair-candidate
     * input" step a production dedup pipeline takes anyway. Trade-off:
     * cached blocks are not fault-tolerant (lost executor => recompute
-    * fails) — swap for `persist(DISK_ONLY)` + checkpoint where tasks are
-    * long and executors preemptible.
+    * fails).
+    *
+    * Boundary vs [[materializeLarge]]: use THIS for fixed-width derived
+    * tables (signatures, band keys, simhash blocks, graph labels) and
+    * for iterative loops, where the lineage CUT is the point — a persist
+    * inside a loop accumulates plan depth every round. Use
+    * materializeLarge whenever the table holds O(corpus) bytes (exploded
+    * tokens/shingles, shingle sets, full text, vector copies): ExecSpec
+    * audits the catalog's plans for exactly this split.
     */
   def materializeForSelfJoin(df: DataFrame): DataFrame =
     df.localCheckpoint()

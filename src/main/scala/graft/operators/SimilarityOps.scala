@@ -127,7 +127,9 @@ object SimilarityOps {
       roundSim: Int = 4, n: Option[Long] = None): DataFrame = {
     val ax = axes.getOrElse(
       0 until scaledAxisCount(n.getOrElse(df.count()), targetBucket))
-    val withBucket = Exec.materializeForSelfJoin(
+    // carries the full vectors — a copy of the embedding corpus, so
+    // DISK_ONLY with lineage kept rather than executor-pinned (r7 lesson)
+    val withBucket = Exec.materializeLarge(
       df.select(col("id"), col("vec"), signBucket(col("vec"), ax).as("bucket")))
     val l = withBucket.select(col("bucket"), col("id").as("id1"), col("vec").as("vec1"))
     val r = withBucket.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"))

@@ -699,7 +699,8 @@ object Catalog {
     WHERE l.doc_id < r.doc_id
     ORDER BY id1, id2"""),
     (s, d) => {
-      val sh = Exec.materializeForSelfJoin(T(s, d, "documents")
+      // shingle arrays are O(corpus) bytes: DISK_ONLY + lineage (r7 rule)
+      val sh = Exec.materializeLarge(T(s, d, "documents")
         .select(col("doc_id"), DedupOps.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
           array_distinct(DedupOps.shinglesFromTokens(col("_toks"), 3)).as("shingles"))
@@ -892,8 +893,10 @@ object Catalog {
         .select(col("vec_id"), col("cent_id"), col("embedding"),
           round(SimilarityOps.cosine(col("embedding"), col("cvec")), 6).as("csim"))
       val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
-      // materialize: `ranked` feeds both assigned and probes branches
-      val ranked = Exec.materializeForSelfJoin(
+      // materialize: `ranked` feeds both assigned and probes branches.
+      // It carries the embedding vector on every (vec, centroid) row —
+      // 16x the embedding corpus — so DISK_ONLY + lineage (r7 rule)
+      val ranked = Exec.materializeLarge(
         scoredC.withColumn("rn", row_number().over(byVec)))
       val assigned = ranked.where(col("rn") === 1)
         .select(col("vec_id"), col("cent_id").as("cell"))
@@ -1986,7 +1989,10 @@ object Catalog {
         .select("doc_id", "text")
       val exactKept = DedupOps.exactDedup(eligible, "text", "doc_id")
         .select(col("keep_id").as("doc_id"))
-      val docs2 = Exec.materializeForSelfJoin(
+      // full text of every quality-surviving doc — O(corpus) bytes, so
+      // DISK_ONLY + lineage (r7 rule); the banded signature table inside
+      // minhashCandidates stays checkpointed (fixed-width per doc)
+      val docs2 = Exec.materializeLarge(
         eligible.join(exactKept, Seq("doc_id")))
       val pairs = DedupOps.minhashCandidates(docs2, "text", "doc_id",
         shingleK = 3, bands = 4, rowsPerBand = 4)
@@ -2793,7 +2799,9 @@ object Catalog {
     FROM toks t JOIN freq f ON t.tok = f.tok
     GROUP BY t.doc_id ORDER BY doc_id"""),
     (s, d) => {
-      val toks = Exec.materializeForSelfJoin(T(s, d, "documents")
+      // exploded token table is O(corpus) bytes: DISK_ONLY + lineage
+      // (same class as tx06's toks — the r7 rule)
+      val toks = Exec.materializeLarge(T(s, d, "documents")
         .where(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("tok")))
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("nf"))

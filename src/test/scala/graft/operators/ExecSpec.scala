@@ -39,10 +39,17 @@ class ExecSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
-  test("tx06 and dp09 materialize their corpus-sized tables DISK_ONLY, not localCheckpoint") {
+  test("corpus-sized materializations are DISK_ONLY, not localCheckpoint") {
+    // every catalog query whose materialized table holds O(corpus) bytes
+    // (exploded tokens/shingles, shingle sets, full text, vector copies);
+    // fixed-width derived tables (simhash blocks, band keys, PQ codes)
+    // and iterative loops (dd06/q68 — lineage cut is the point) stay on
+    // localCheckpoint, which plans as LogicalRDD, not InMemoryRelation
     import org.apache.spark.storage.StorageLevel
     val sfDir = "/root/testdata/sf0.001"
-    for (q <- Seq("tx06_tfidf", "dp09_decontam")) {
+    for (q <- Seq("tx06_tfidf", "dp09_decontam", "tx08_commonness",
+        "dd04_ngram_jaccard", "dd05_embed_neardup", "dd11_containment",
+        "ann04_ivf")) {
       val qe = graft.queries.Catalog.all.find(_.name == q).get
         .fn(spark, sfDir).queryExecution
       val cached = qe.optimizedPlan.collect {

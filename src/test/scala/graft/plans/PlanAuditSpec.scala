@@ -31,6 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val designedBnlj = Set(
     "q29_scalar_subq", "ann01_bruteforce_topk", "ann03_topk_aggregator",
+    "ann04_ivf",    // 16-row seed-centroid cross join (was hidden behind a
+                    // localCheckpoint; DISK_ONLY persist keeps it visible)
     "ann07_recall", // 1-row (n_queries x hits) cross joins, one per method
     "tx06_tfidf", "tx11_vocab_coverage", "dp07_weighted_sample",
     "dp08_ingest_gate")
