@@ -66,12 +66,19 @@ object Bench {
           "dp03_seq_packing", "q68_pagerank", "ann07_recall",
           "dp09_decontam", "tx08_commonness")
         // Some(seconds) on success, None on failure — a failed probe must
-        // not publish its time-to-failure as a measurement
-        def timed(dir: String): Seq[(String, Option[Double])] = probes.map { n =>
-          val t0 = System.nanoTime()
-          val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
-                   catch { case _: Throwable => false }
-          n -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        // not publish its time-to-failure as a measurement. The cache is
+        // cleared first: persisted (DISK_ONLY) tables from the main loop
+        // are keyed by analyzed plan and would be silently reused by the
+        // sf0.1 pass but not the sf1 pass, flattering the ratio — both
+        // scales must pay their materialization cost cold.
+        def timed(dir: String): Seq[(String, Option[Double])] = {
+          spark.catalog.clearCache()
+          probes.map { n =>
+            val t0 = System.nanoTime()
+            val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
+                     catch { case _: Throwable => false }
+            n -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+          }
         }
         // dd06 convergence telemetry: rounds + per-round wall millis from
         // the run just timed, so a super-linear sf1 ratio is attributable
