@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop persisted (DISK_ONLY) corpus-sized tables between queries:
+      // 120 queries in one session would otherwise accumulate every
+      // materializeLarge cache for the whole run
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
