@@ -175,4 +175,63 @@ object SimilarityOps {
       .withColumn("mean", col("qsum").cast("double") / (col("n_vectors") * scale))
       .drop("qsum")
   }
+
+  /** Deterministic distributed Lloyd's iterations — the IVF index
+    * TRAINING step the seed-centroid demo (ann04) stops short of. Each
+    * iteration is: assign every vector to its nearest centroid by
+    * cosine (k-row centroid broadcast, rank per vector), then re-estimate
+    * centroids with the fixed-point M-step ([[quantizedCentroids]] —
+    * exact under any partitioning). A cell that loses every vector keeps
+    * its previous centroid (the standard empty-cluster fallback).
+    *
+    * Determinism end to end, so the result is engine- and
+    * partitioning-independent and DuckDB-oracle-checkable:
+    *  - seeds are the `k` smallest-id vectors (sort+limit — bounded);
+    *  - assignment ranks by cosine ROUNDED to `roundSim` decimals with
+    *    cent_id as tie-break (the ann01/ann04 discipline);
+    *  - the M-step sums exact scaled longs; the mean is one double
+    *    division.
+    *
+    * Scale shape per iteration: one k-row broadcast join + one window
+    * keyed by vec_id (high cardinality) + one partial-aggregatable
+    * explode-agg — no all-pairs stage, no driver loop over data. The
+    * tiny centroid table is checkpointed per round (loop discipline:
+    * lineage cut, like dd06/q68).
+    *
+    * @return long-form centroids after `iters` rounds:
+    *         (cell, dim, n_vectors, mean) — cell is the seed vector's id
+    */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, shift: Int = 20, roundSim: Int = 6): DataFrame = {
+    require(k > 0 && iters > 0)
+    val vecs = df.select(col(idCol).as("_km_id"),
+      col(vecCol).cast("array<double>").as("_km_vec"))
+    var centroids = Exec.materializeForSelfJoin(
+      vecs.orderBy(col("_km_id")).limit(k)
+        .select(col("_km_id").as("cell"), col("_km_vec").as("_km_cvec")))
+    var lastM: DataFrame = null
+    for (_ <- 1 to iters) {
+      val byVec = org.apache.spark.sql.expressions.Window
+        .partitionBy("_km_id")
+        .orderBy(col("_km_sim").desc, col("cell").asc)
+      val assigned = vecs.crossJoin(broadcast(centroids))
+        .withColumn("_km_sim", round(cosine(col("_km_vec"), col("_km_cvec")), roundSim))
+        .withColumn("_km_rn", row_number().over(byVec))
+        .where(col("_km_rn") === 1)
+        .select(col("_km_id"), col("cell"))
+      lastM = Exec.materializeForSelfJoin(
+        quantizedCentroids(vecs.join(assigned, "_km_id"), "cell", "_km_vec", shift))
+      val updated = lastM
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("_km_cvec"))
+      // empty-cluster fallback: keep the previous centroid for cells the
+      // assignment starved (left join preserves all k cells every round)
+      centroids = Exec.materializeForSelfJoin(
+        centroids.select(col("cell"), col("_km_cvec").as("_km_prev"))
+          .join(updated, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("_km_cvec"), col("_km_prev")).as("_km_cvec")))
+    }
+    lastM
+  }
 }

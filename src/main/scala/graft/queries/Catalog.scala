@@ -2777,6 +2777,58 @@ object Catalog {
         .orderBy("method")
     })
 
+  // K-means IVF index TRAINING (SimilarityOps.kmeansFit): two full
+  // Lloyd's iterations from the 4 smallest-id seeds over 16-dim slices —
+  // assign by rounded cosine (ties to the lower cell id), re-estimate by
+  // the fixed-point M-step, empty cells keep their previous centroid.
+  // Every step is deterministic, so the oracle replays both iterations
+  // CTE-by-CTE and the final long-form centroid table hash-matches
+  // exactly. The per-iteration plans run eagerly behind localCheckpoint
+  // (loop discipline, like q68), so the k-row centroid broadcast stays
+  // out of the final audited plan.
+  private val km16Cos = """round(list_sum(list_transform(generate_series(1, 16), i -> %s.e[i] * %s.ce[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> %s.e[i] * %s.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> %s.ce[i] * %s.ce[i])))), 6)"""
+  private val ann08 = Q("ann08_kmeans_train", Some(s"""
+    WITH v AS (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 4),
+    s1 AS (SELECT v.vec_id, c0.cell,
+             ${km16Cos.format("v", "c0", "v", "v", "c0", "c0")} AS csim
+           FROM v CROSS JOIN c0),
+    a1 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s1) t WHERE rn = 1),
+    x1 AS (SELECT a1.cell, unnest(generate_series(0, 15)) AS dim,
+             unnest(list_transform(v.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
+           FROM a1 JOIN v USING (vec_id)),
+    m1 AS (SELECT cell, dim, count(*) AS n_vectors,
+             cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+           FROM x1 GROUP BY cell, dim),
+    c1 AS (SELECT c0.cell, coalesce(cm.ce, c0.ce) AS ce
+           FROM c0 LEFT JOIN (SELECT cell, list(mean ORDER BY dim) AS ce
+                              FROM m1 GROUP BY cell) cm USING (cell)),
+    s2 AS (SELECT v.vec_id, c1.cell,
+             ${km16Cos.format("v", "c1", "v", "v", "c1", "c1")} AS csim
+           FROM v CROSS JOIN c1),
+    a2 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s2) t WHERE rn = 1),
+    x2 AS (SELECT a2.cell, unnest(generate_series(0, 15)) AS dim,
+             unnest(list_transform(v.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
+           FROM a2 JOIN v USING (vec_id)),
+    m2 AS (SELECT cell, dim, count(*) AS n_vectors,
+             cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+           FROM x2 GROUP BY cell, dim)
+    SELECT cell, dim, n_vectors, mean FROM m2 ORDER BY cell, dim"""),
+    (s, d) => SimilarityOps.kmeansFit(
+        T(s, d, "embeddings")
+          .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16")),
+        "vec_id", "v16", k = 4, iters = 2)
+      .orderBy("cell", "dim"))
+
   // Corpus-commonness scoring (boilerplate signal for curation): build
   // the corpus unigram frequency table, then score each doc by the sum
   // of its tokens' corpus counts. Pure integer arithmetic — exact on any
@@ -3271,7 +3323,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
-    ann01, ann02, ann03, ann04, ann05, ann06, ann07,
+    ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
