@@ -2281,6 +2281,57 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // Mixture re-sampling (source re-weighting): assemble a training mix
+  // by sampling each language down to its target share of a global token
+  // budget (here: half the corpus, split en 35 / zh 25 / de 20 / fr 15 /
+  // es 5) — the standard corpus-assembly step between curation and
+  // packing. fraction_l = min(1, budget_l / available_l), applied with
+  // the dp02 salted-md5 threshold, so membership is a pure function of
+  // doc_id: reproducible on any engine, partitioning, or rerun, and
+  // languages whose budget exceeds supply keep everything (the min cap).
+  // The per-language fraction table is 5 rows built by one aggregation +
+  // a window over that reduced table — no 1-row cross join, no hint; the
+  // fraction join back to the corpus auto-broadcasts at runtime.
+  private val dp11 = Q("dp11_mixture_sample", Some("""
+    WITH t AS (
+      SELECT lang, doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+      FROM documents),
+    w AS (SELECT * FROM (VALUES ('en', 0.35), ('zh', 0.25), ('de', 0.20),
+                                ('fr', 0.15), ('es', 0.05)) AS w(lang, wt)),
+    avail AS (SELECT lang, cast(sum(tok) as bigint) AS avail FROM t GROUP BY lang),
+    f AS (SELECT a.lang,
+            least(1.0, (0.5 * sum(a.avail) OVER () * w.wt) / a.avail) AS frac
+          FROM avail a JOIN w USING (lang)),
+    kept AS (
+      SELECT t.lang, t.tok
+      FROM t JOIN f USING (lang)
+      WHERE ('0x' || substr(md5('mix:' || cast(t.doc_id as varchar)), 1, 15))::BIGINT
+              / 1152921504606846976.0 < f.frac)
+    SELECT lang, count(*) AS n_docs, cast(sum(tok) as bigint) AS kept_tokens
+    FROM kept GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      import s.implicits._
+      val toks = T(s, d, "documents")
+        .select(col("lang"), col("doc_id"), TextOps.tokenCount(col("text")).as("tok"))
+      val weights = Seq(("en", 0.35), ("zh", 0.25), ("de", 0.20),
+        ("fr", 0.15), ("es", 0.05)).toDF("lang", "wt")
+      val avail = toks.groupBy("lang").agg(sum("tok").as("avail"))
+      val fracs = avail.join(weights, "lang")
+        .withColumn("total", sum("avail").over(Window.partitionBy()))
+        .select(col("lang"),
+          least(lit(1.0), (lit(0.5) * col("total") * col("wt")) / col("avail"))
+            .as("frac"))
+      toks.join(fracs, "lang")
+        .where(conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long").cast("double")
+          / 1.152921504606846976e18 < col("frac"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").cast("long").as("kept_tokens"))
+        .orderBy("lang")
+    })
+
   // Benchmark decontamination (test-set overlap removal): the standard
   // pretraining hygiene step — a training doc sharing any 4-token shingle
   // with an eval/benchmark doc is flagged with its overlap count, so it
@@ -3327,5 +3378,5 @@ object Catalog {
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10)
+    dp07, dp08, dp09, dp10, dp11)
 }
