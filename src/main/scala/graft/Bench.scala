@@ -65,6 +65,16 @@ object Bench {
           "tx06_tfidf", "q51_stream_join", "q66_stream_upsert",
           "dp03_seq_packing", "q68_pagerank", "ann07_recall",
           "dp09_decontam", "tx08_commonness")
+        // dd06 convergence telemetry: rounds + per-round wall millis, so a
+        // super-linear sf1 ratio is attributable to iteration growth vs
+        // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY
+        // after the dd06 probe runs — dp01 later in the list also runs
+        // connectedComponents and would overwrite lastCcStats.
+        var ccSnapshot: String = "null"
+        def ccJson(): String =
+          graft.operators.DedupOps.lastCcStats.map { s =>
+            s"""{"rounds":${s.rounds},"round_millis":${s.roundMillis.mkString("[", ",", "]")}}"""
+          }.getOrElse("null")
         // Some(seconds) on success, None on failure — a failed probe must
         // not publish its time-to-failure as a measurement. The cache is
         // cleared first: persisted (DISK_ONLY) tables from the main loop
@@ -77,21 +87,15 @@ object Bench {
             val t0 = System.nanoTime()
             val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
                      catch { case _: Throwable => false }
+            if (n == "dd06_dup_clusters") ccSnapshot = ccJson()
             n -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
           }
         }
-        // dd06 convergence telemetry: rounds + per-round wall millis from
-        // the run just timed, so a super-linear sf1 ratio is attributable
-        // to iteration growth vs per-round cost vs noise (VERDICT r7 #2)
-        def ccJson(): String =
-          graft.operators.DedupOps.lastCcStats.map { s =>
-            s"""{"rounds":${s.rounds},"round_millis":${s.roundMillis.mkString("[", ",", "]")}}"""
-          }.getOrElse("null")
         // time BOTH scales fresh, back-to-back, in the same warmed state —
         // reusing the main loop's timings made the ratio compare a cold
         // first measurement against a warm one (observed ratios < 1)
-        val at01 = timed(sf01); val cc01 = ccJson()
-        val at1 = timed(sf1Dir); val cc1 = ccJson()
+        val at01 = timed(sf01); val cc01 = ccSnapshot
+        val at1 = timed(sf1Dir); val cc1 = ccSnapshot
         def obj(ts: Seq[(String, Option[Double])]) = ts.map {
           case (k, Some(v)) => s"\"" + k + "\":" + v
           case (k, None)    => s"\"" + k + "\":\"error\""
