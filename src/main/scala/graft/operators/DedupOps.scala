@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators.
@@ -314,6 +315,62 @@ object DedupOps {
     * @param edges    columns `src`, `dst` (undirected; one direction given)
     * @return [idCol, cluster] where cluster = min id in the component
     */
+  /** Exact duplicated-substring spans between documents — the
+    * "repeated passage" primitive of substring-level training-data dedup
+    * (suffix-array dedup's relational cousin): for each doc pair sharing
+    * rare positional k-token shingles, the total shared-shingle count and
+    * the longest CONSECUTIVE run. A run of r consecutive k-shingles is an
+    * exact shared span of k+r-1 tokens, so `minRun` = 2 with k = 8 flags
+    * verbatim passages of ≥9 tokens — boilerplate, licenses, syndicated
+    * text — which near-dup scoring over whole documents (dd02/dd04)
+    * deliberately ignores.
+    *
+    * Scale shape: shingles carry their POSITION; the only join is a
+    * self-equi-join on the fixed-width md5 shingle key, pre-filtered to
+    * shingles that are SHARED but RARE (2..maxDocsPerShingle distinct
+    * docs AND ≤ maxOcc total occurrences) — the stop-shingle filter that
+    * drops corpus-wide boilerplate shingles before they can fan out, so
+    * per-key join output is ≤ maxOcc² rows and the total is linear in
+    * true overlap. Run detection is the islands trick on the (id1, id2,
+    * p1-p2) diagonal: row_number per diagonal, group by p1 - rn, count —
+    * a window over fine-grained keys, never over a whole corpus slice.
+    * Every step is deterministic and mirrored in the dd12 oracle.
+    */
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, maxDocsPerShingle: Int = 8, maxOcc: Int = 32,
+      minRun: Int = 2): DataFrame = {
+    require(k >= 2 && maxDocsPerShingle >= 2 && minRun >= 1)
+    val sh = Exec.materializeLarge(
+      df.where(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+        .where(size(col("_tk")) >= k)
+        .select(col("_id"), posexplode(transform(
+            sequence(lit(0), size(col("_tk")) - k),
+            i => concat_ws(" ", (0 until k).map(j => get(col("_tk"), i + j)): _*)))
+          .as(Seq("_p0", "_s")))
+        .select(col("_id"), (col("_p0") + 1).as("_p"),
+          substring(md5(col("_s")), 1, 16).as("_h")))
+    val keep = sh.groupBy("_h")
+      .agg(countDistinct("_id").as("_nd"), count(lit(1)).as("_occ"))
+      .where(col("_nd") >= 2 && col("_nd") <= maxDocsPerShingle
+        && col("_occ") <= maxOcc)
+      .select("_h")
+    val m = sh.join(keep, "_h") // unhinted: AQE broadcasts keep if it fits
+    val pairs = m.select(col("_h"), col("_id").as("id1"), col("_p").as("p1"))
+      .join(m.select(col("_h"), col("_id").as("id2"), col("_p").as("p2")), Seq("_h"))
+      .where(col("id1") < col("id2"))
+    val wRun = Window.partitionBy(col("id1"), col("id2"), col("_diag"))
+      .orderBy(col("p1"))
+    pairs.withColumn("_diag", col("p1") - col("p2"))
+      .withColumn("_grp", col("p1") - row_number().over(wRun))
+      .groupBy("id1", "id2", "_diag", "_grp")
+      .agg(count(lit(1)).as("_run"))
+      .groupBy("id1", "id2")
+      .agg(sum("_run").cast("long").as("n_shared"),
+        max("_run").cast("long").as("max_run"))
+      .where(col("max_run") >= minRun)
+  }
+
   /** Convergence telemetry from the most recent [[connectedComponents]]
     * run in this JVM: round count and per-round wall millis. Exists so
     * the bench's scale probe can distinguish "iteration count grows with

@@ -3161,6 +3161,45 @@ object Catalog {
         shingleK = 3, bands = 4, rowsPerBand = 4)
       .orderBy("id1", "id2"))
 
+  // Exact duplicated-substring spans (DedupOps.substringSpans): doc pairs
+  // sharing runs of consecutive positional 8-token shingles — verbatim
+  // passages whole-document near-dup scoring ignores. The stop-shingle
+  // filter (shared by 2..8 docs, ≤32 occurrences) bounds the self-join
+  // fan-out before it happens; run detection is the islands trick per
+  // (pair, diagonal). minRun=1 keeps every sharing pair and reports its
+  // longest span, so the corpus's true span distribution is visible.
+  private val dd12 = Q("dd12_substring_spans", Some("""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+        unnest(generate_series(1, len(tk) - 7)) AS p,
+        unnest(list_transform(generate_series(1, len(tk) - 7),
+          i -> substr(md5(array_to_string(list_slice(tk, i, i + 7), ' ')), 1, 16))) AS h
+      FROM t WHERE len(tk) >= 8),
+    keep AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd, count(*) AS occ
+        FROM sh GROUP BY h)
+      WHERE nd BETWEEN 2 AND 8 AND occ <= 32),
+    m AS (SELECT sh.doc_id, sh.p, sh.h FROM sh JOIN keep USING (h)),
+    pr AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.p AS p1, b.p AS p2
+      FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT id1, id2, p1 - p2 AS diag,
+        p1 - row_number() OVER (PARTITION BY id1, id2, p1 - p2 ORDER BY p1) AS grp
+      FROM pr),
+    agg AS (SELECT id1, id2, diag, grp, count(*) AS run
+            FROM runs GROUP BY 1, 2, 3, 4)
+    SELECT id1, id2, cast(sum(run) as bigint) AS n_shared,
+      cast(max(run) as bigint) AS max_run
+    FROM agg GROUP BY id1, id2 HAVING max(run) >= 1 ORDER BY id1, id2"""),
+    (s, d) => DedupOps.substringSpans(T(s, d, "documents"), "text", "doc_id",
+        k = 8, maxDocsPerShingle = 8, maxOcc = 32, minRun = 1)
+      .orderBy("id1", "id2"))
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -3373,7 +3412,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
-    dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
+    dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,

@@ -96,4 +96,51 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.where(col("cluster") =!= 0L).isEmpty)
     assert(got.count() == n)
   }
+
+  test("substringSpans: a shared verbatim passage yields run = span - k + 1") {
+    // d1 and d2 embed the same 7-token passage at DIFFERENT offsets
+    // (the diagonal trick must align them); d3 shares nothing
+    val passage = "the quick brown fox jumps over dogs"
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma delta epsilon"),
+      (2L, s"one two three four $passage five"),
+      (3L, "entirely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substringSpans(docs, "text", "doc_id",
+        k = 4, minRun = 1)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // 7-token passage, k=4 -> 4 consecutive shingles; nothing else shared
+    assert(got == List((1L, 2L, 4L, 4L)), s"got $got")
+  }
+
+  test("substringSpans: corpus-wide boilerplate shingles are stop-filtered") {
+    // the same passage in MORE docs than maxDocsPerShingle: every one of
+    // its shingles fails the rarity filter, so no pair survives — the
+    // bound that keeps the self-join linear at corpus scale
+    val docs = (1 to 5).map(i =>
+        (i.toLong, s"header one two three four five six tail$i"))
+      .toDF("doc_id", "text")
+    val flagged = DedupOps.substringSpans(docs, "text", "doc_id",
+      k = 4, maxDocsPerShingle = 3, minRun = 1)
+    assert(flagged.isEmpty)
+    // with the cap raised the same corpus pairs up
+    val kept = DedupOps.substringSpans(docs, "text", "doc_id",
+      k = 4, maxDocsPerShingle = 8, minRun = 1)
+    assert(kept.count() == 10) // all C(5,2) pairs share the passage
+  }
+
+  test("substringSpans: interrupted repeats split into separate runs") {
+    // shared shingles at positions forming two islands on one diagonal:
+    // d2 repeats d1's text but replaces one middle token, so the shared
+    // region splits into two shorter runs instead of one long one
+    val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val broken = "a1 a2 a3 a4 a5 a6 XX a8 a9 a10 a11 a12"
+    val docs = Seq((1L, base), (2L, broken)).toDF("doc_id", "text")
+    val got = DedupOps.substringSpans(docs, "text", "doc_id",
+        k = 3, minRun = 1)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // prefix a1..a6: shingle starts 1..4 (run 4); suffix a8..a12: starts
+    // 8..10 (run 3); the XX position breaks shingles 5..7
+    assert(got == List((1L, 2L, 7L, 4L)), s"got $got")
+  }
 }
