@@ -64,7 +64,7 @@ object Bench {
         val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
           "tx06_tfidf", "q51_stream_join", "q66_stream_upsert",
           "dp03_seq_packing", "q68_pagerank", "ann07_recall",
-          "dp09_decontam", "tx08_commonness")
+          "dp09_decontam", "tx08_commonness", "dd12_substring_spans")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY
