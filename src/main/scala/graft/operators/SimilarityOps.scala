@@ -201,6 +201,25 @@ object SimilarityOps {
     * @return long-form centroids after `iters` rounds:
     *         (cell, dim, n_vectors, mean) — cell is the seed vector's id
     */
+  /** Nearest-centroid assignment for a trained/seeded centroid table
+    * (`cell`, `cvec array<double>`): the ranking half of one Lloyd's
+    * round, exposed so pipelines can reuse trained centroids — IVF
+    * probing, semantic dedup's cell partitioning. Same determinism
+    * contract as [[kmeansFit]] (rounded cosine, cent_id tie-break).
+    */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, roundSim: Int = 6): DataFrame = {
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("_ka_id")
+      .orderBy(col("_ka_sim").desc, col("cell").asc)
+    df.select(col(idCol).as("_ka_id"), col(vecCol).cast("array<double>").as("_ka_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_ka_sim", round(cosine(col("_ka_vec"), col("cvec")), roundSim))
+      .withColumn("_ka_rn", row_number().over(byVec))
+      .where(col("_ka_rn") === 1)
+      .select(col("_ka_id").as(idCol), col("cell"))
+  }
+
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, shift: Int = 20, roundSim: Int = 6): DataFrame = {
     require(k > 0 && iters > 0)

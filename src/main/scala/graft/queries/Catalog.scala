@@ -2840,8 +2840,11 @@ object Catalog {
   private val km16Cos = """round(list_sum(list_transform(generate_series(1, 16), i -> %s.e[i] * %s.ce[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> %s.e[i] * %s.e[i])))
            * sqrt(list_sum(list_transform(generate_series(1, 16), i -> %s.ce[i] * %s.ce[i])))), 6)"""
-  private val ann08 = Q("ann08_kmeans_train", Some(s"""
-    WITH v AS (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
+  /** Shared oracle CTE chain for the 2-iteration k-means (through m2 —
+    * the second M-step); ann08 reads m2 directly, dd13 extends it with
+    * the trained-centroid assignment and within-cell pair scan.
+    */
+  private val kmeansCtes = s"""v AS (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
                FROM embeddings),
     c0 AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 4),
     s1 AS (SELECT v.vec_id, c0.cell,
@@ -2872,13 +2875,68 @@ object Catalog {
            FROM a2 JOIN v USING (vec_id)),
     m2 AS (SELECT cell, dim, count(*) AS n_vectors,
              cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
-           FROM x2 GROUP BY cell, dim)
+           FROM x2 GROUP BY cell, dim)"""
+  private val ann08 = Q("ann08_kmeans_train", Some(s"""
+    WITH $kmeansCtes
     SELECT cell, dim, n_vectors, mean FROM m2 ORDER BY cell, dim"""),
     (s, d) => SimilarityOps.kmeansFit(
         T(s, d, "embeddings")
           .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16")),
         "vec_id", "v16", k = 4, iters = 2)
       .orderBy("cell", "dim"))
+
+  // Semantic dedup (SemDeDup-style): near-dup pairs discovered WITHIN
+  // trained k-means cells only — the cell partition bounds the pair scan
+  // (per-cell candidates, never corpus x corpus), which is the entire
+  // scale argument of clustering-based semantic dedup. Centroids come
+  // from the ann08 training run (cells present in the final M-step; no
+  // fallback cells — mirrored exactly), vectors re-assign against them,
+  // and same-cell pairs score by the same rounded cosine. At 100 TB the
+  // cell count scales with the corpus (k chosen per shard/index), so
+  // per-cell populations stay bounded the same way dd05's sign buckets
+  // do — with centroids that track the data instead of fixed planes.
+  private val dd13 = Q("dd13_semantic_dedup", Some(s"""
+    WITH $kmeansCtes,
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    s3 AS (SELECT v.vec_id, c2.cell,
+             ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
+           FROM v CROSS JOIN c2),
+    a3 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn = 1),
+    pairs AS (
+      SELECT x.cell, x.vec_id AS id1, y.vec_id AS id2,
+        round(list_sum(list_transform(generate_series(1, 16), i -> v1.e[i] * v2.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> v1.e[i] * v1.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> v2.e[i] * v2.e[i])))), 6) AS sim
+      FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN v v1 ON v1.vec_id = x.vec_id
+      JOIN v v2 ON v2.vec_id = y.vec_id)
+    SELECT cell, id1, id2, sim FROM pairs WHERE sim >= 0.6
+    ORDER BY cell, id1, id2"""),
+    (s, d) => {
+      val emb16 = T(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      // trained centroids: cells present in the final M-step, rebuilt to
+      // arrays (matches the oracle's c2 — no fallback cells)
+      val cent = SimilarityOps.kmeansFit(emb16, "vec_id", "v16", k = 4, iters = 2)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+      val assigned = SimilarityOps.assignToCentroids(emb16, "vec_id", "v16",
+        graft.operators.Exec.materializeForSelfJoin(cent))
+      val withVec = assigned
+        .join(emb16, "vec_id")
+        .select(col("cell"), col("vec_id"), col("v16").cast("array<double>").as("e"))
+      val l = withVec.select(col("cell"), col("vec_id").as("id1"), col("e").as("e1"))
+      val r = withVec.select(col("cell"), col("vec_id").as("id2"), col("e").as("e2"))
+      l.join(r, Seq("cell")).where(col("id1") < col("id2"))
+        .withColumn("sim", round(SimilarityOps.cosine(col("e1"), col("e2")), 6))
+        .where(col("sim") >= 0.6)
+        .select("cell", "id1", "id2", "sim")
+        .orderBy("cell", "id1", "id2")
+    })
 
   // Corpus-commonness scoring (boilerplate signal for curation): build
   // the corpus unigram frequency table, then score each doc by the sum
@@ -3413,6 +3471,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
+    dd13,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,

@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q29_scalar_subq", "ann01_bruteforce_topk", "ann03_topk_aggregator",
     "ann04_ivf",    // 16-row seed-centroid cross join (was hidden behind a
                     // localCheckpoint; DISK_ONLY persist keeps it visible)
+    "dd13_semantic_dedup", // k-row TRAINED centroid cross join (assignment)
     "ann07_recall", // 1-row (n_queries x hits) cross joins, one per method
     "tx06_tfidf", "tx11_vocab_coverage", "dp07_weighted_sample",
     "dp08_ingest_gate")
@@ -88,6 +89,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann06_pq_topk",           // query-side block codes
     "ann07_recall",            // query-vector sets of the graded configs
     "dd10_bloom_prefilter",    // broadcast bit-set (the operator's point)
+    "dd13_semantic_dedup",     // k-row trained centroid set (bounded by k)
     "tx06_tfidf",              // 1-row doc count only (df joins unhinted)
     "tx11_vocab_coverage",     // 1-row corpus aggregate
     "dp07_weighted_sample",    // 1-row total-weight aggregate
