@@ -49,7 +49,7 @@ class ExecSpec extends AnyFunSuite {
     val sfDir = "/root/testdata/sf0.001"
     for (q <- Seq("tx06_tfidf", "dp09_decontam", "tx08_commonness",
         "dd04_ngram_jaccard", "dd05_embed_neardup", "dd11_containment",
-        "ann04_ivf")) {
+        "ann04_ivf", "dd12_substring_spans")) {
       val qe = graft.queries.Catalog.all.find(_.name == q).get
         .fn(spark, sfDir).queryExecution
       val cached = qe.optimizedPlan.collect {
