@@ -101,6 +101,56 @@ class RankStatPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- substringSpans -------------------------------------------------
+
+  /** Random docs over a TINY token alphabet (dense shared shingles, runs
+    * arising by chance) checked against a brute-force oracle that
+    * recomputes the whole contract in plain Scala: positional k-shingles,
+    * the stop-shingle rarity filter, diagonal islands, per-pair
+    * (n_shared, max_run). Exercises interactions the constructed unit
+    * cases can't: shingles repeated WITHIN a doc, multiple diagonals per
+    * pair, filter boundaries hit by chance.
+    */
+  test("property: substringSpans == brute-force positional-shingle runs") {
+    val k = 3
+    val docGen = Gen.choose(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, docGen))
+    for ((texts, ci) <- cases(corpusGen, 12).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      val maxDocs = 4; val maxOcc = 10; val minRun = 1
+      // brute force
+      val shingles = docs.flatMap { case (id, t) =>
+        val tk = t.trim.split("\\s+").toSeq
+        if (tk.size < k) Nil
+        else (0 to tk.size - k).map(i => (id, i + 1, tk.slice(i, i + k).mkString(" ")))
+      }
+      val byShingle = shingles.groupBy(_._3)
+      val keep = byShingle.filter { case (_, occ) =>
+        val nd = occ.map(_._1).distinct.size
+        nd >= 2 && nd <= maxDocs && occ.size <= maxOcc
+      }.keySet
+      val m = shingles.filter(s => keep(s._3))
+      val matches = for {
+        (id1, p1, h1) <- m; (id2, p2, h2) <- m
+        if h1 == h2 && id1 < id2
+      } yield (id1, id2, p1, p2)
+      val expected = matches.groupBy(t => (t._1, t._2)).map { case (pair, ms) =>
+        val runs = ms.groupBy(t => t._3 - t._4).values.flatMap { diag =>
+          // islands over sorted p1 within one diagonal
+          val ps = diag.map(_._3).sorted
+          ps.zipWithIndex.groupBy { case (p, i) => p - i }.values.map(_.size)
+        }
+        (pair._1, pair._2, ms.size.toLong, runs.max.toLong)
+      }.filter(_._4 >= minRun).toSet
+      val got = DedupOps.substringSpans(docs.toDF("doc_id", "text"),
+          "text", "doc_id", k = k, maxDocsPerShingle = maxDocs,
+          maxOcc = maxOcc, minRun = minRun)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"case $ci: got ${got.size} pairs, want ${expected.size}")
+    }
+  }
+
   test("property: totalizing the order restores exact row-level equality under ties") {
     val caseGen = Gen.zip(tieRowsGen, Gen.oneOf(1, 4, 32), Gen.choose(1, 15))
     for (((rows, buckets, k), i) <- cases(caseGen, 20).zipWithIndex) {
