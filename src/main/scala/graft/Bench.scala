@@ -60,11 +60,15 @@ object Bench {
         tools.Sf1Probe.buildSf1(spark, sf01, sf1Dir, copies = 10)
         val buildSec = (System.nanoTime() - tb) / 1e9
         // top-by-median catalog queries (BASELINE.md round 7) so every
-        // heavy operator has a measured 10x ratio, not just the original 6
+        // heavy operator has a measured 10x ratio, not just the original 6;
+        // dd13 + ann08 joined in round 9 — they were the only heavies with
+        // no measured ratio, exactly where the fixed-k quadratic hid
+        // (VERDICT r8 #1/#2)
         val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
           "tx06_tfidf", "q51_stream_join", "q66_stream_upsert",
           "dp03_seq_packing", "q68_pagerank", "ann07_recall",
-          "dp09_decontam", "tx08_commonness", "dd12_substring_spans")
+          "dp09_decontam", "tx08_commonness", "dd12_substring_spans",
+          "dd13_semantic_dedup", "ann08_kmeans_train")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY
@@ -84,10 +88,15 @@ object Bench {
         def timed(dir: String): Seq[(String, Option[Double])] = {
           spark.catalog.clearCache()
           probes.map { n =>
+            // dp01 also runs connectedComponents: clear the slot before
+            // dd06 so a dd06 failure can't republish an earlier query's
+            // telemetry under dd06_cc (ADVICE r8)
+            if (n == "dd06_dup_clusters") graft.operators.DedupOps.lastCcStats = None
             val t0 = System.nanoTime()
             val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
                      catch { case _: Throwable => false }
-            if (n == "dd06_dup_clusters") ccSnapshot = ccJson()
+            if (n == "dd06_dup_clusters")
+              ccSnapshot = if (ok) ccJson() else "null"
             n -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
           }
         }

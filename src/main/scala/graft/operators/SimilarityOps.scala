@@ -176,31 +176,24 @@ object SimilarityOps {
       .drop("qsum")
   }
 
-  /** Deterministic distributed Lloyd's iterations — the IVF index
-    * TRAINING step the seed-centroid demo (ann04) stops short of. Each
-    * iteration is: assign every vector to its nearest centroid by
-    * cosine (k-row centroid broadcast, rank per vector), then re-estimate
-    * centroids with the fixed-point M-step ([[quantizedCentroids]] —
-    * exact under any partitioning). A cell that loses every vector keeps
-    * its previous centroid (the standard empty-cluster fallback).
-    *
-    * Determinism end to end, so the result is engine- and
-    * partitioning-independent and DuckDB-oracle-checkable:
-    *  - seeds are the `k` smallest-id vectors (sort+limit — bounded);
-    *  - assignment ranks by cosine ROUNDED to `roundSim` decimals with
-    *    cent_id as tie-break (the ann01/ann04 discipline);
-    *  - the M-step sums exact scaled longs; the mean is one double
-    *    division.
-    *
-    * Scale shape per iteration: one k-row broadcast join + one window
-    * keyed by vec_id (high cardinality) + one partial-aggregatable
-    * explode-agg — no all-pairs stage, no driver loop over data. The
-    * tiny centroid table is checkpointed per round (loop discipline:
-    * lineage cut, like dd06/q68).
-    *
-    * @return long-form centroids after `iters` rounds:
-    *         (cell, dim, n_vectors, mean) — cell is the seed vector's id
+  /** Map-side-combinable nearest-centroid argmax: `max_by(cell,
+    * struct(sim, -cell))` picks the highest rounded cosine with the
+    * SMALLEST cell id on ties (max of −cell = min cell) — the exact
+    * ordering the previous `row_number()` window encoded, but as a
+    * declarative aggregate Spark partial-aggregates before the exchange.
+    * The window shipped all k scored copies of every vector through the
+    * shuffle and discarded k−1 after; this shuffles one partially-reduced
+    * row per vector per map partition — a k× shuffle-volume cut that
+    * matters at 100 TB where assignment runs once per Lloyd's round.
+    * Deterministic under any partitioning: the ordering struct is unique
+    * per centroid (cell ids are distinct), so there is no tie for max_by
+    * to break arbitrarily.
     */
+  private def nearestCell(scored: DataFrame, idCol: String, simCol: String,
+      cellCol: String): DataFrame =
+    scored.groupBy(col(idCol))
+      .agg(max_by(col(cellCol), struct(col(simCol), -col(cellCol))).as(cellCol))
+
   /** Nearest-centroid assignment for a trained/seeded centroid table
     * (`cell`, `cvec array<double>`): the ranking half of one Lloyd's
     * round, exposed so pipelines can reuse trained centroids — IVF
@@ -209,17 +202,42 @@ object SimilarityOps {
     */
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, roundSim: Int = 6): DataFrame = {
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy("_ka_id")
-      .orderBy(col("_ka_sim").desc, col("cell").asc)
-    df.select(col(idCol).as("_ka_id"), col(vecCol).cast("array<double>").as("_ka_vec"))
+    val scored = df
+      .select(col(idCol).as("_ka_id"), col(vecCol).cast("array<double>").as("_ka_vec"))
       .crossJoin(broadcast(centroids))
       .withColumn("_ka_sim", round(cosine(col("_ka_vec"), col("cvec")), roundSim))
-      .withColumn("_ka_rn", row_number().over(byVec))
-      .where(col("_ka_rn") === 1)
+    nearestCell(scored, "_ka_id", "_ka_sim", "cell")
       .select(col("_ka_id").as(idCol), col("cell"))
   }
 
+  /** Deterministic distributed Lloyd's iterations — the IVF index
+    * TRAINING step the seed-centroid demo (ann04) stops short of. Each
+    * iteration is: assign every vector to its nearest centroid by
+    * cosine (k-row centroid broadcast, map-side-combinable argmax), then
+    * re-estimate centroids with the fixed-point M-step
+    * ([[quantizedCentroids]] — exact under any partitioning). A cell that
+    * loses every vector keeps its previous centroid (the standard
+    * empty-cluster fallback).
+    *
+    * Determinism end to end, so the result is engine- and
+    * partitioning-independent and DuckDB-oracle-checkable:
+    *  - seeds are the `k` smallest-id vectors (sort+limit — bounded);
+    *  - assignment picks the max cosine ROUNDED to `roundSim` decimals
+    *    with cent_id as tie-break (the ann01/ann04 discipline), via the
+    *    partial-aggregatable [[nearestCell]] argmax;
+    *  - the M-step sums exact scaled longs; the mean is one double
+    *    division.
+    *
+    * Scale shape per iteration: one k-row broadcast join + one
+    * partial-aggregatable argmax keyed by vec_id + one
+    * partial-aggregatable explode-agg — no all-pairs stage, no window
+    * shuffle of n×k scored rows, no driver loop over data. The tiny
+    * centroid table is checkpointed per round (loop discipline: lineage
+    * cut, like dd06/q68).
+    *
+    * @return long-form centroids after `iters` rounds:
+    *         (cell, dim, n_vectors, mean) — cell is the seed vector's id
+    */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, shift: Int = 20, roundSim: Int = 6): DataFrame = {
     require(k > 0 && iters > 0)
@@ -230,13 +248,9 @@ object SimilarityOps {
         .select(col("_km_id").as("cell"), col("_km_vec").as("_km_cvec")))
     var lastM: DataFrame = null
     for (_ <- 1 to iters) {
-      val byVec = org.apache.spark.sql.expressions.Window
-        .partitionBy("_km_id")
-        .orderBy(col("_km_sim").desc, col("cell").asc)
-      val assigned = vecs.crossJoin(broadcast(centroids))
+      val scored = vecs.crossJoin(broadcast(centroids))
         .withColumn("_km_sim", round(cosine(col("_km_vec"), col("_km_cvec")), roundSim))
-        .withColumn("_km_rn", row_number().over(byVec))
-        .where(col("_km_rn") === 1)
+      val assigned = nearestCell(scored, "_km_id", "_km_sim", "cell")
         .select(col("_km_id"), col("cell"))
       lastM = Exec.materializeForSelfJoin(
         quantizedCentroids(vecs.join(assigned, "_km_id"), "cell", "_km_vec", shift))
@@ -252,5 +266,115 @@ object SimilarityOps {
           .select(col("cell"), coalesce(col("_km_cvec"), col("_km_prev")).as("_km_cvec")))
     }
     lastM
+  }
+
+  /** Cell count for corpus-scaled k-means (the [[scaledAxisCount]] move
+    * applied to SemDeDup): k = clamp(ceil(n / targetCell), 4, 4096), so
+    * expected cell population stays ~`targetCell` as the corpus grows
+    * instead of cells growing O(n) at fixed k — which made the
+    * within-cell pair scan O(n²/k), quadratic (VERDICT r8 #1). Pure
+    * integer math so an engine mirroring the formula (the dd13 oracle's
+    * `kp` CTE) lands on the identical k. The 4096 cap bounds the
+    * centroid broadcast (4096 × dim doubles ≪ a megabyte) and the n×k
+    * assignment compute; past it, per-cell population grows again and
+    * [[subBucketAxisCount]]'s within-cell sign-plane split takes over as
+    * the pair-scan bound — so the pair count stays ~linear at ANY n
+    * while the broadcast stays bounded.
+    */
+  def scaledCellCount(n: Long, targetCell: Int = 64): Int =
+    math.min(4096L, math.max(4L, (n + targetCell - 1) / targetCell)).toInt
+
+  /** Within-cell sub-bucket width, derived from the CELL'S OWN size: the
+    * number of sign-plane axes (0..`maxAxes`) such that 2^axes
+    * sub-buckets hold ~`targetCell` vectors each. 0 for cells already at
+    * target (no split — empty bucket string), growing log2 with cell
+    * size so one dense/skewed cell cannot go quadratic even when the
+    * global k is right on average. Integer CASE ladder, mirrored
+    * verbatim in the dd13 oracle — no float-log boundary risk.
+    * `cellSize / targetCell` is exact in doubles when `targetCell` is a
+    * power of two; callers keep the default 64.
+    */
+  def subBucketAxisCount(cellSize: Column, targetCell: Int = 64,
+      maxAxes: Int = 8): Column = {
+    val m = floor((cellSize + lit(targetCell - 1)) / lit(targetCell)).cast("long")
+    val ladder = (1 to maxAxes).foldLeft(when(m <= 1, lit(0))) {
+      case (acc, a) => acc.when(m <= (1L << a), lit(a))
+    }
+    ladder.otherwise(lit(maxAxes))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: vectors assign to
+    * trained centroids ([[assignToCentroids]]), then pairs are scored
+    * ONLY within a (cell, sub-bucket) partition — never corpus × corpus.
+    * Two nested bounds keep the pair scan ~linear in n at any scale:
+    *  1. the CALLER derives the cell count from the corpus size
+    *     ([[scaledCellCount]]) so expected cell population is ~target;
+    *  2. cells that still come out dense (skewed data, or n past the
+    *     4096-cell broadcast cap) are split by [[subBucketAxisCount]]
+    *     sign-plane sub-buckets sized from each cell's own population.
+    * Pairs across sub-buckets are unscored by design — the approximation
+    * every clustering dedup makes, mirrored op-for-op in the oracle.
+    *
+    * Scale shape: one bounded centroid broadcast + argmax, one count per
+    * cell (tiny, k rows), one equi-join on the fixed-width
+    * (cell, bucket) key. The assigned-vector table is O(corpus) bytes →
+    * [[Exec.materializeLarge]] (DISK_ONLY, lineage kept).
+    *
+    * @param maxSignAxes sign string is built once from the first
+    *        `maxSignAxes` coordinates; each cell keeps a prefix of it
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double, roundSim: Int = 6,
+      targetCell: Int = 64, maxSignAxes: Int = 8): DataFrame = {
+    val assigned = assignToCentroids(df, idCol, vecCol, centroids, roundSim)
+    val withVec = Exec.materializeLarge(
+      assigned.join(df.select(col(idCol), col(vecCol)), idCol)
+        .select(col("cell"), col(idCol).as("_sd_id"),
+          col(vecCol).cast("array<double>").as("_sd_vec"))
+        .withColumn("_sd_sign", signBucket(col("_sd_vec"), 0 until maxSignAxes)))
+    val cellSizes = withVec.groupBy("cell").agg(count(lit(1)).as("_sd_cn"))
+      .withColumn("_sd_axes", subBucketAxisCount(col("_sd_cn"), targetCell, maxSignAxes))
+      .select(col("cell"), col("_sd_axes"))
+    // k rows — bounded by scaledCellCount's cap, safe to broadcast
+    val keyed = withVec.join(broadcast(cellSizes), "cell")
+      .withColumn("_sd_bucket", col("_sd_sign").substr(lit(1), col("_sd_axes")))
+      .select(col("cell"), col("_sd_bucket"), col("_sd_id"), col("_sd_vec"))
+    val l = keyed.select(col("cell"), col("_sd_bucket"),
+      col("_sd_id").as("id1"), col("_sd_vec").as("_sd_v1"))
+    val r = keyed.select(col("cell"), col("_sd_bucket"),
+      col("_sd_id").as("id2"), col("_sd_vec").as("_sd_v2"))
+    l.join(r, Seq("cell", "_sd_bucket"))
+      .where(col("id1") < col("id2"))
+      .withColumn("sim", round(cosine(col("_sd_v1"), col("_sd_v2")), roundSim))
+      .where(col("sim") >= threshold)
+      .select(col("cell"), col("id1"), col("id2"), col("sim"))
+  }
+
+  /** Diagnostic (spec support): within-(cell, sub-bucket) candidate pair
+    * count for a corpus assigned with [[scaledCellCount]]-many trained
+    * cells — the number that must grow ~linearly with n for
+    * [[semanticNearDupPairs]] to survive a 100× scale-up — plus the
+    * largest single partition the pair scan would see (the pinned
+    * cell-size bound).
+    *
+    * @return (candidatePairs, maxPartitionRows)
+    */
+  def semanticCandidateStats(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, targetCell: Int = 64,
+      maxSignAxes: Int = 8): (Long, Long) = {
+    val assigned = assignToCentroids(df, idCol, vecCol, centroids)
+    val withVec = assigned.join(df.select(col(idCol), col(vecCol)), idCol)
+      .select(col("cell"),
+        signBucket(col(vecCol).cast("array<double>"), 0 until maxSignAxes).as("_sd_sign"))
+    val cellSizes = withVec.groupBy("cell").agg(count(lit(1)).as("_sd_cn"))
+      .withColumn("_sd_axes", subBucketAxisCount(col("_sd_cn"), targetCell, maxSignAxes))
+      .select(col("cell"), col("_sd_axes"))
+    val row = withVec.join(broadcast(cellSizes), "cell")
+      .select(col("cell"), col("_sd_sign").substr(lit(1), col("_sd_axes")).as("_sd_bucket"))
+      .groupBy("cell", "_sd_bucket").agg(count(lit(1)).as("c"))
+      .select(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("pairs"),
+        max(col("c")).as("maxPart"))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
   }
 }

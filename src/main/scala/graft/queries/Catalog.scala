@@ -2298,11 +2298,12 @@ object Catalog {
         CASE WHEN length(trim(text)) = 0 THEN 0
              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
       FROM documents),
-    w AS (SELECT * FROM (VALUES ('en', 0.35), ('zh', 0.25), ('de', 0.20),
-                                ('fr', 0.15), ('es', 0.05)) AS w(lang, wt)),
+    w AS (SELECT lang, cast(wt as double) AS wt
+          FROM (VALUES ('en', 0.35), ('zh', 0.25), ('de', 0.20),
+                       ('fr', 0.15), ('es', 0.05)) AS w(lang, wt)),
     avail AS (SELECT lang, cast(sum(tok) as bigint) AS avail FROM t GROUP BY lang),
     f AS (SELECT a.lang,
-            least(1.0, (0.5 * sum(a.avail) OVER () * w.wt) / a.avail) AS frac
+            least(1.0, (cast(0.5 as double) * sum(a.avail) OVER () * w.wt) / a.avail) AS frac
           FROM avail a JOIN w USING (lang)),
     kept AS (
       SELECT t.lang, t.tok
@@ -2842,11 +2843,15 @@ object Catalog {
            * sqrt(list_sum(list_transform(generate_series(1, 16), i -> %s.ce[i] * %s.ce[i])))), 6)"""
   /** Shared oracle CTE chain for the 2-iteration k-means (through m2 —
     * the second M-step); ann08 reads m2 directly, dd13 extends it with
-    * the trained-centroid assignment and within-cell pair scan.
+    * the trained-centroid assignment and within-cell pair scan. The seed
+    * CTE(s) are a parameter: ann08 trains a fixed 4-cell demo index
+    * (`vec_id < 4`), dd13 derives k from the corpus size
+    * ([[graft.operators.SimilarityOps.scaledCellCount]] mirrored in its
+    * `kp` CTE) so cell population stays bounded as n grows.
     */
-  private val kmeansCtes = s"""v AS (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
+  private def kmeansCtes(seedCtes: String) = s"""v AS (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
                FROM embeddings),
-    c0 AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 4),
+    $seedCtes,
     s1 AS (SELECT v.vec_id, c0.cell,
              ${km16Cos.format("v", "c0", "v", "v", "c0", "c0")} AS csim
            FROM v CROSS JOIN c0),
@@ -2877,7 +2882,7 @@ object Catalog {
              cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
            FROM x2 GROUP BY cell, dim)"""
   private val ann08 = Q("ann08_kmeans_train", Some(s"""
-    WITH $kmeansCtes
+    WITH ${kmeansCtes("c0 AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 4)")}
     SELECT cell, dim, n_vectors, mean FROM m2 ORDER BY cell, dim"""),
     (s, d) => SimilarityOps.kmeansFit(
         T(s, d, "embeddings")
@@ -2889,14 +2894,23 @@ object Catalog {
   // trained k-means cells only — the cell partition bounds the pair scan
   // (per-cell candidates, never corpus x corpus), which is the entire
   // scale argument of clustering-based semantic dedup. Centroids come
-  // from the ann08 training run (cells present in the final M-step; no
-  // fallback cells — mirrored exactly), vectors re-assign against them,
-  // and same-cell pairs score by the same rounded cosine. At 100 TB the
-  // cell count scales with the corpus (k chosen per shard/index), so
-  // per-cell populations stay bounded the same way dd05's sign buckets
-  // do — with centroids that track the data instead of fixed planes.
+  // from a training run whose cell count DERIVES FROM THE CORPUS SIZE
+  // (kp CTE = SimilarityOps.scaledCellCount: clamp(ceil(n/64), 4, 4096),
+  // pure integer math mirrored op-for-op), so expected cell population
+  // stays ~64 as n grows — fixed k made the pair scan O(n²/k)
+  // (VERDICT r8 #1). Cells that still come out dense (skew, or n past
+  // the 4096-cell broadcast cap) are split by sign-plane sub-buckets
+  // sized from each cell's own population (ax CTE =
+  // SimilarityOps.subBucketAxisCount's CASE ladder), so no single cell
+  // can go quadratic. Cells present in the final M-step only (no
+  // fallback cells — mirrored exactly); vectors re-assign against them;
+  // same-(cell, sub-bucket) pairs score by the same rounded cosine.
   private val dd13 = Q("dd13_semantic_dedup", Some(s"""
-    WITH $kmeansCtes,
+    WITH ${kmeansCtes("""kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM v) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
     s3 AS (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
@@ -2905,36 +2919,42 @@ object Catalog {
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
+    w AS (SELECT a3.cell, a3.vec_id, v.e,
+            array_to_string(list_transform(generate_series(1, 8),
+              i -> CASE WHEN v.e[i] >= 0 THEN '1' ELSE '0' END), '') AS sgn
+          FROM a3 JOIN v USING (vec_id)),
+    ax AS (SELECT cell,
+             CASE WHEN m <= 1 THEN 0 WHEN m <= 2 THEN 1 WHEN m <= 4 THEN 2
+                  WHEN m <= 8 THEN 3 WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5
+                  WHEN m <= 64 THEN 6 WHEN m <= 128 THEN 7 ELSE 8 END AS saxes
+           FROM (SELECT cell, cast(floor((count(*) + 63) / 64.0) as bigint) AS m
+                 FROM w GROUP BY cell)),
+    b AS (SELECT w.cell, w.vec_id, w.e, substring(w.sgn, 1, ax.saxes) AS bkt
+          FROM w JOIN ax USING (cell)),
     pairs AS (
       SELECT x.cell, x.vec_id AS id1, y.vec_id AS id2,
-        round(list_sum(list_transform(generate_series(1, 16), i -> v1.e[i] * v2.e[i]))
-          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> v1.e[i] * v1.e[i])))
-           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> v2.e[i] * v2.e[i])))), 6) AS sim
-      FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
-      JOIN v v1 ON v1.vec_id = x.vec_id
-      JOIN v v2 ON v2.vec_id = y.vec_id)
+        round(list_sum(list_transform(generate_series(1, 16), i -> x.e[i] * y.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> x.e[i] * x.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> y.e[i] * y.e[i])))), 6) AS sim
+      FROM b x JOIN b y ON x.cell = y.cell AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
     SELECT cell, id1, id2, sim FROM pairs WHERE sim >= 0.6
     ORDER BY cell, id1, id2"""),
     (s, d) => {
       val emb16 = T(s, d, "embeddings")
         .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      // corpus size from parquet footers (no sizing pre-scan); k mirrors
+      // the oracle's kp CTE exactly — pure integer arithmetic both sides
+      val k = SimilarityOps.scaledCellCount(
+        Tables.parquetRowCount(s, s"$d/embeddings.parquet"), targetCell = 64)
       // trained centroids: cells present in the final M-step, rebuilt to
       // arrays (matches the oracle's c2 — no fallback cells)
-      val cent = SimilarityOps.kmeansFit(emb16, "vec_id", "v16", k = 4, iters = 2)
+      val cent = SimilarityOps.kmeansFit(emb16, "vec_id", "v16", k = k, iters = 2)
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
           x => x.getField("mean")).as("cvec"))
-      val assigned = SimilarityOps.assignToCentroids(emb16, "vec_id", "v16",
-        graft.operators.Exec.materializeForSelfJoin(cent))
-      val withVec = assigned
-        .join(emb16, "vec_id")
-        .select(col("cell"), col("vec_id"), col("v16").cast("array<double>").as("e"))
-      val l = withVec.select(col("cell"), col("vec_id").as("id1"), col("e").as("e1"))
-      val r = withVec.select(col("cell"), col("vec_id").as("id2"), col("e").as("e2"))
-      l.join(r, Seq("cell")).where(col("id1") < col("id2"))
-        .withColumn("sim", round(SimilarityOps.cosine(col("e1"), col("e2")), 6))
-        .where(col("sim") >= 0.6)
-        .select("cell", "id1", "id2", "sim")
+      SimilarityOps.semanticNearDupPairs(emb16, "vec_id", "v16",
+          graft.operators.Exec.materializeForSelfJoin(cent),
+          threshold = 0.6, roundSim = 6, targetCell = 64)
         .orderBy("cell", "id1", "id2")
     })
 

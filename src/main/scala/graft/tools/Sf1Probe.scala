@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   */
 object Sf1Probe {
   private val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
-    "tx06_tfidf", "q51_stream_join", "q66_stream_upsert")
+    "tx06_tfidf", "q51_stream_join", "q66_stream_upsert",
+    "dd13_semantic_dedup", "ann08_kmeans_train")
 
   /** Also called by graft.Bench's optional sf1 section. Idempotent: the
     * `_DONE` marker caches the built corpus across runs/rounds.

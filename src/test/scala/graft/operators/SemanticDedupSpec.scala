@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Scale contract of [[SimilarityOps.semanticNearDupPairs]] (dd13) —
+  * the VERDICT r8 #1 fix. Fixed k=4 made the within-cell pair scan
+  * O(n²/k); the rework derives the cell count from the corpus size
+  * ([[SimilarityOps.scaledCellCount]]) and splits residual dense cells
+  * with size-derived sign-plane sub-buckets
+  * ([[SimilarityOps.subBucketAxisCount]]). These tests pin:
+  *  - the integer k formula and its clamps (the oracle's kp CTE mirror);
+  *  - the sub-bucket CASE ladder;
+  *  - ~linear candidate-pair growth with corpus size (the dd05
+  *    ScaleProbe pattern applied to semantic dedup);
+  *  - the pinned per-partition bound: one dense, skewed cell cannot go
+  *    quadratic because its own population drives the split;
+  *  - the assignment plan: partial (map-side-combinable) argmax before
+  *    the exchange, no n×k window shuffle (VERDICT r8 #2).
+  */
+class SemanticDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic pseudo-uniform corpus: 8-d vectors, coords in
+    * [-1, 1), signs diverse (Knuth-hash jitter — no RNG).
+    */
+  private def corpus(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, (0 until 8).map { d =>
+        (((i * 2654435761L + d * 40503L) % 1000L) / 500.0f) - 1.0f
+      })
+    }.toDF("id", "vec")
+
+  private def trainedCentroids(df: org.apache.spark.sql.DataFrame, k: Int) =
+    SimilarityOps.kmeansFit(df, "id", "vec", k = k, iters = 1)
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+        x => x.getField("mean")).as("cvec"))
+
+  test("scaledCellCount clamps to [4, 4096] and tracks ceil(n/target)") {
+    import SimilarityOps.scaledCellCount
+    assert(scaledCellCount(0) == 4 && scaledCellCount(256) == 4)
+    assert(scaledCellCount(500) == 8)   // ceil(500/64)
+    assert(scaledCellCount(2000) == 32) // ceil(2000/64)
+    assert(scaledCellCount(Long.MaxValue / 4) == 4096) // broadcast cap
+    val ks = Seq(1L, 1000L, 100000L, 10000000L).map(scaledCellCount(_))
+    assert(ks == ks.sorted)
+  }
+
+  test("subBucketAxisCount ladder: 0 at target, +1 per doubling, capped") {
+    val sizes = Seq(1L, 64L, 65L, 128L, 129L, 4096L, 1000000L).toDF("cn")
+    val got = sizes
+      .select(SimilarityOps.subBucketAxisCount(col("cn"), 64, 8).as("a"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 1, 1, 2, 6, 8), s"ladder: $got")
+  }
+
+  test("candidate pairs grow ~linearly with corpus size (4x data, not 16x pairs)") {
+    val n1 = 1024; val n2 = 4 * n1
+    val (p1, _) = SimilarityOps.semanticCandidateStats(
+      corpus(n1), "id", "vec",
+      trainedCentroids(corpus(n1), SimilarityOps.scaledCellCount(n1)))
+    val (p2, max2) = SimilarityOps.semanticCandidateStats(
+      corpus(n2), "id", "vec",
+      trainedCentroids(corpus(n2), SimilarityOps.scaledCellCount(n2)))
+    assert(p1 > 0, "probe corpus produced no candidates — not probing anything")
+    // quadratic would be ~16x for 4x data; linear is 4x. 8x = generous
+    // slack for cluster-shape drift between the two corpora.
+    assert(p2 <= 8L * p1, s"pair growth ${p2.toDouble / p1}x for 4x data (p1=$p1 p2=$p2)")
+    // the pinned partition bound: no (cell, sub-bucket) group far above
+    // the ~64-row target (16x slack absorbs cluster skew)
+    assert(max2 <= 1024, s"largest pair-scan partition $max2")
+  }
+
+  test("one dense skewed cell is split by its own size — never quadratic") {
+    // every vector is near one direction (coord 0 = 10) so cells collapse;
+    // coords 1..7 carry sign-diverse jitter the sub-bucket split keys on
+    val n = 2048
+    val df = (0 until n).map { i =>
+      (i.toLong, Seq(10.0f) ++ (1 until 8).map { d =>
+        (((i * 2654435761L + d * 40503L) % 1000L) / 500.0f) - 1.0f
+      })
+    }.toDF("id", "vec")
+    val (pairs, maxPart) = SimilarityOps.semanticCandidateStats(
+      df, "id", "vec",
+      trainedCentroids(df, SimilarityOps.scaledCellCount(n.toLong)))
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(pairs < allPairs / 10,
+      s"pair scan ~quadratic: $pairs of $allPairs all-pairs")
+    assert(maxPart <= 512, s"largest pair-scan partition $maxPart")
+  }
+
+  test("assignment partial-aggregates before the exchange (no n×k window shuffle)") {
+    val df = corpus(256)
+    val cents = trainedCentroids(df, 4)
+    val plan = SimilarityOps.assignToCentroids(df, "id", "vec", cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"),
+      s"no partial max_by aggregation in plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window (full n×k shuffle) back in the assignment plan:\n$plan")
+  }
+}
