@@ -336,20 +336,29 @@ object DedupOps {
     * a window over fine-grained keys, never over a whole corpus slice.
     * Every step is deterministic and mirrored in the dd12 oracle.
     */
+  /** Positional k-token shingle table (_id, _p, _h): 1-based token
+    * position + fixed-width md5-prefix key — the shared kernel of
+    * [[substringSpans]] and [[incrementalSubstringSpans]]. Fan-out is
+    * one row per token (narrow); the 16-char key is what every
+    * downstream join shuffles on.
+    */
+  private[operators] def positionalShingles(df: DataFrame, textCol: String,
+      idCol: String, k: Int): DataFrame =
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+      .where(size(col("_tk")) >= k)
+      .select(col("_id"), posexplode(transform(
+          sequence(lit(0), size(col("_tk")) - k),
+          i => concat_ws(" ", (0 until k).map(j => get(col("_tk"), i + j)): _*)))
+        .as(Seq("_p0", "_s")))
+      .select(col("_id"), (col("_p0") + 1).as("_p"),
+        substring(md5(col("_s")), 1, 16).as("_h"))
+
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, maxDocsPerShingle: Int = 8, maxOcc: Int = 32,
       minRun: Int = 2): DataFrame = {
     require(k >= 2 && maxDocsPerShingle >= 2 && minRun >= 1)
-    val sh = Exec.materializeLarge(
-      df.where(length(trim(col(textCol))) > 0)
-        .select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
-        .where(size(col("_tk")) >= k)
-        .select(col("_id"), posexplode(transform(
-            sequence(lit(0), size(col("_tk")) - k),
-            i => concat_ws(" ", (0 until k).map(j => get(col("_tk"), i + j)): _*)))
-          .as(Seq("_p0", "_s")))
-        .select(col("_id"), (col("_p0") + 1).as("_p"),
-          substring(md5(col("_s")), 1, 16).as("_h")))
+    val sh = Exec.materializeLarge(positionalShingles(df, textCol, idCol, k))
     val keep = sh.groupBy("_h")
       .agg(countDistinct("_id").as("_nd"), count(lit(1)).as("_occ"))
       .where(col("_nd") >= 2 && col("_nd") <= maxDocsPerShingle
