@@ -79,6 +79,15 @@ object Bench {
           graft.operators.DedupOps.lastCcStats.map { s =>
             s"""{"rounds":${s.rounds},"round_millis":${s.roundMillis.mkString("[", ",", "]")}}"""
           }.getOrElse("null")
+        // dd13 pair-scan telemetry (cells, candidate pairs, max partition):
+        // the spec-pinned ~linear bound ships as measured numbers at both
+        // SFs every round (VERDICT r9 #6) — same reset/snapshot discipline
+        // as dd06_cc (a failed probe publishes null, never stale stats)
+        var semSnapshot: String = "null"
+        def semJson(): String =
+          graft.operators.SimilarityOps.lastSemanticStats.map { s =>
+            s"""{"cells":${s.cells},"pairs":${s.candidatePairs},"max_partition":${s.maxPartitionRows}}"""
+          }.getOrElse("null")
         // Some(seconds) on success, None on failure — a failed probe must
         // not publish its time-to-failure as a measurement. The cache is
         // cleared first: persisted (DISK_ONLY) tables from the main loop
@@ -92,19 +101,23 @@ object Bench {
             // dd06 so a dd06 failure can't republish an earlier query's
             // telemetry under dd06_cc (ADVICE r8)
             if (n == "dd06_dup_clusters") graft.operators.DedupOps.lastCcStats = None
+            if (n == "dd13_semantic_dedup")
+              graft.operators.SimilarityOps.lastSemanticStats = None
             val t0 = System.nanoTime()
             val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
                      catch { case _: Throwable => false }
             if (n == "dd06_dup_clusters")
               ccSnapshot = if (ok) ccJson() else "null"
+            if (n == "dd13_semantic_dedup")
+              semSnapshot = if (ok) semJson() else "null"
             n -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
           }
         }
         // time BOTH scales fresh, back-to-back, in the same warmed state —
         // reusing the main loop's timings made the ratio compare a cold
         // first measurement against a warm one (observed ratios < 1)
-        val at01 = timed(sf01); val cc01 = ccSnapshot
-        val at1 = timed(sf1Dir); val cc1 = ccSnapshot
+        val at01 = timed(sf01); val cc01 = ccSnapshot; val sem01 = semSnapshot
+        val at1 = timed(sf1Dir); val cc1 = ccSnapshot; val sem1 = semSnapshot
         def obj(ts: Seq[(String, Option[Double])]) = ts.map {
           case (k, Some(v)) => s"\"" + k + "\":" + v
           case (k, None)    => s"\"" + k + "\":\"error\""
@@ -114,7 +127,7 @@ object Bench {
           for (a <- m1(n); b <- m01(n)) yield
             s"\"" + n + "\":" + (math.round(a / math.max(1e-9, b) * 100) / 100.0)
         }.mkString("{", ",", "}")
-        s""","sf1":{"build_sec":$buildSec,"sf0.1":${obj(at01)},"sf1":${obj(at1)},"ratio_vs_10x_data":$ratios,"dd06_cc":{"sf0.1":$cc01,"sf1":$cc1}}"""
+        s""","sf1":{"build_sec":$buildSec,"sf0.1":${obj(at01)},"sf1":${obj(at1)},"ratio_vs_10x_data":$ratios,"dd06_cc":{"sf0.1":$cc01,"sf1":$cc1},"dd13_cells":{"sf0.1":$sem01,"sf1":$sem1}}"""
       } else ""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""

@@ -315,27 +315,6 @@ object DedupOps {
     * @param edges    columns `src`, `dst` (undirected; one direction given)
     * @return [idCol, cluster] where cluster = min id in the component
     */
-  /** Exact duplicated-substring spans between documents — the
-    * "repeated passage" primitive of substring-level training-data dedup
-    * (suffix-array dedup's relational cousin): for each doc pair sharing
-    * rare positional k-token shingles, the total shared-shingle count and
-    * the longest CONSECUTIVE run. A run of r consecutive k-shingles is an
-    * exact shared span of k+r-1 tokens, so `minRun` = 2 with k = 8 flags
-    * verbatim passages of ≥9 tokens — boilerplate, licenses, syndicated
-    * text — which near-dup scoring over whole documents (dd02/dd04)
-    * deliberately ignores.
-    *
-    * Scale shape: shingles carry their POSITION; the only join is a
-    * self-equi-join on the fixed-width md5 shingle key, pre-filtered to
-    * shingles that are SHARED but RARE (2..maxDocsPerShingle distinct
-    * docs AND ≤ maxOcc total occurrences) — the stop-shingle filter that
-    * drops corpus-wide boilerplate shingles before they can fan out, so
-    * per-key join output is ≤ maxOcc² rows and the total is linear in
-    * true overlap. Run detection is the islands trick on the (id1, id2,
-    * p1-p2) diagonal: row_number per diagonal, group by p1 - rn, count —
-    * a window over fine-grained keys, never over a whole corpus slice.
-    * Every step is deterministic and mirrored in the dd12 oracle.
-    */
   /** Positional k-token shingle table (_id, _p, _h): 1-based token
     * position + fixed-width md5-prefix key — the shared kernel of
     * [[substringSpans]] and [[incrementalSubstringSpans]]. Fan-out is
@@ -354,6 +333,46 @@ object DedupOps {
       .select(col("_id"), (col("_p0") + 1).as("_p"),
         substring(md5(col("_s")), 1, 16).as("_h"))
 
+  /** Shared run detection for the substring-span operators: matched
+    * shingle pairs (`leftId`, `rightId`, `p1`, `p2`) reduce to per-pair
+    * (n_shared, max_run) via the islands trick on the (leftId, rightId,
+    * p1-p2) diagonal — row_number per diagonal, group by p1 - rn, count.
+    * The window runs over fine-grained (pair, diagonal) keys, never over
+    * a whole corpus slice.
+    */
+  private def spanRuns(pairs: DataFrame, leftId: String, rightId: String,
+      minRun: Int): DataFrame = {
+    val wRun = Window.partitionBy(col(leftId), col(rightId), col("_diag"))
+      .orderBy(col("p1"))
+    pairs.withColumn("_diag", col("p1") - col("p2"))
+      .withColumn("_grp", col("p1") - row_number().over(wRun))
+      .groupBy(leftId, rightId, "_diag", "_grp")
+      .agg(count(lit(1)).as("_run"))
+      .groupBy(leftId, rightId)
+      .agg(sum("_run").cast("long").as("n_shared"),
+        max("_run").cast("long").as("max_run"))
+      .where(col("max_run") >= minRun)
+  }
+
+  /** Exact duplicated-substring spans between documents — the
+    * "repeated passage" primitive of substring-level training-data dedup
+    * (suffix-array dedup's relational cousin): for each doc pair sharing
+    * rare positional k-token shingles, the total shared-shingle count and
+    * the longest CONSECUTIVE run. A run of r consecutive k-shingles is an
+    * exact shared span of k+r-1 tokens, so `minRun` = 2 with k = 8 flags
+    * verbatim passages of ≥9 tokens — boilerplate, licenses, syndicated
+    * text — which near-dup scoring over whole documents (dd02/dd04)
+    * deliberately ignores.
+    *
+    * Scale shape: shingles carry their POSITION; the only join is a
+    * self-equi-join on the fixed-width md5 shingle key, pre-filtered to
+    * shingles that are SHARED but RARE (2..maxDocsPerShingle distinct
+    * docs AND ≤ maxOcc total occurrences) — the stop-shingle filter that
+    * drops corpus-wide boilerplate shingles before they can fan out, so
+    * per-key join output is ≤ maxOcc² rows and the total is linear in
+    * true overlap. Run detection is [[spanRuns]]' islands trick. Every
+    * step is deterministic and mirrored in the dd12 oracle.
+    */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, maxDocsPerShingle: Int = 8, maxOcc: Int = 32,
       minRun: Int = 2): DataFrame = {
@@ -368,16 +387,56 @@ object DedupOps {
     val pairs = m.select(col("_h"), col("_id").as("id1"), col("_p").as("p1"))
       .join(m.select(col("_h"), col("_id").as("id2"), col("_p").as("p2")), Seq("_h"))
       .where(col("id1") < col("id2"))
-    val wRun = Window.partitionBy(col("id1"), col("id2"), col("_diag"))
-      .orderBy(col("p1"))
-    pairs.withColumn("_diag", col("p1") - col("p2"))
-      .withColumn("_grp", col("p1") - row_number().over(wRun))
-      .groupBy("id1", "id2", "_diag", "_grp")
-      .agg(count(lit(1)).as("_run"))
-      .groupBy("id1", "id2")
-      .agg(sum("_run").cast("long").as("n_shared"),
-        max("_run").cast("long").as("max_run"))
-      .where(col("max_run") >= minRun)
+    spanRuns(pairs, "id1", "id2", minRun)
+  }
+
+  /** Incremental substring-span dedup: duplicated passages between a NEW
+    * ingestion batch and the HISTORICAL corpus — [[substringSpans]]'
+    * semantics applied batch-vs-history, exactly as
+    * [[incrementalNearDupCandidates]] extends [[minhashCandidates]]. The
+    * reference's whole dedup story is batch-vs-history
+    * (`crawler/src/procedure_code.py:763-772` anti-joins new rows against
+    * the persisted snapshot); this is that shape at substring granularity.
+    *
+    * Scale shape — daily cost is O(batch), never O(corpus self-join):
+    * the history's positional shingle table is computed ONCE and at scale
+    * persisted bucketed on `_h`
+    * ([[graft.sinks.ParquetSink.writeBucketed]] — the bucketed side joins
+    * with no exchange), together with its per-shingle (n_docs, n_occ)
+    * stats. Each batch derives only ITS OWN shingles and equi-joins the
+    * history index on the fixed-width key. The stop-shingle filter is
+    * two-sided: history shingles in ≤ `maxDocsPerShingle` history docs
+    * and ≤ `maxOcc` history occurrences (stats over history ONLY — they
+    * never need recomputing as batches arrive), batch shingles capped at
+    * `maxOcc` batch occurrences — so per-key join fan-out is ≤ maxOcc²
+    * and total output is linear in true cross overlap. Run detection is
+    * [[spanRuns]]. Deterministic, mirrored op-for-op in the dd14 oracle.
+    *
+    * @return (new_id, existing_id, n_shared, max_run) one row per
+    *         batch-doc × history-doc pair with a shared span
+    */
+  def incrementalSubstringSpans(newDf: DataFrame, historyDf: DataFrame,
+      textCol: String, idCol: String, k: Int = 8, maxDocsPerShingle: Int = 8,
+      maxOcc: Int = 32, minRun: Int = 2): DataFrame = {
+    require(k >= 2 && maxDocsPerShingle >= 1 && minRun >= 1)
+    val hist = Exec.materializeLarge(
+      positionalShingles(historyDf, textCol, idCol, k))
+    val histKeep = hist.groupBy("_h")
+      .agg(countDistinct("_id").as("_nd"), count(lit(1)).as("_occ"))
+      .where(col("_nd") <= maxDocsPerShingle && col("_occ") <= maxOcc)
+      .select("_h")
+    val batch = Exec.materializeLarge(
+      positionalShingles(newDf, textCol, idCol, k))
+    val batchKeep = batch.groupBy("_h").agg(count(lit(1)).as("_occ"))
+      .where(col("_occ") <= maxOcc).select("_h")
+    // both keep-joins unhinted: AQE broadcasts the filter side if it fits
+    val hi = hist.join(histKeep, "_h")
+    val ni = batch.join(batchKeep, "_h")
+    val pairs = ni
+      .select(col("_h"), col("_id").as("new_id"), col("_p").as("p1"))
+      .join(hi.select(col("_h"), col("_id").as("existing_id"), col("_p").as("p2")),
+        Seq("_h"))
+    spanRuns(pairs, "new_id", "existing_id", minRun)
   }
 
   /** Convergence telemetry from the most recent [[connectedComponents]]

@@ -2704,13 +2704,20 @@ object Catalog {
     })
 
   // ANN recall harness (VERDICT r5/r6 stretch): grade each approximate
-  // config — LSH (ann02), IVF (ann04), PQ (ann06) — against brute-force
-  // cosine ground truth on ITS OWN query set and k. recall = sum over
-  // queries of |approx ∩ truth| / (n_queries * k); integer counts + one
-  // final double division, so the value is exact on any engine. This is
-  // the query you re-run when tuning bucket axes / probe count / block
-  // size: correctness of the approximation becomes a measured, asserted
-  // number (AnnRecallSpec pins floors) instead of a hope.
+  // config — LSH (ann02), seed-IVF (ann04), PQ (ann06), and the
+  // TRAINED-centroid IVF (kmeansFit-trained index probed via ivfTopK —
+  // the config you'd actually deploy, VERDICT r9 #4) — against
+  // brute-force cosine ground truth on ITS OWN query set and k.
+  // recall = sum over queries of |approx ∩ truth| / (n_queries * k);
+  // integer counts + one final double division, so the value is exact on
+  // any engine. This is the query you re-run when tuning bucket axes /
+  // probe count / block size: correctness of the approximation becomes a
+  // measured, asserted number (AnnRecallSpec pins floors) instead of a
+  // hope. The trained arm shares seed-IVF's query set and k, so the two
+  // recalls are directly comparable.
+  private val km64Cos = """round(list_sum(list_transform(generate_series(1, 64), i -> %s.e[i] * %s.ce[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> %s.e[i] * %s.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> %s.ce[i] * %s.ce[i])))), 6)"""
   private val annBruteSql =
     """SELECT query_id, neighbor_id FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2787,6 +2794,66 @@ object Catalog {
           row_number() OVER (PARTITION BY query_id ORDER BY n_match DESC, neighbor_id) AS rank
         FROM matches) t
       WHERE rank <= 10),
+    ksmp AS (SELECT vec_id, e FROM (
+        SELECT vec_id, e, row_number() OVER (
+          ORDER BY md5('km:' || cast(vec_id as varchar)), vec_id) AS srn
+        FROM v) t WHERE srn <= 256),
+    kc0 AS (SELECT vec_id AS cell, e AS ce FROM (
+        SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM ksmp) t WHERE rn <= 16),
+    ks1 AS (SELECT ksmp.vec_id, kc0.cell,
+          ${km64Cos.format("ksmp", "kc0", "ksmp", "ksmp", "kc0", "kc0")} AS csim
+        FROM ksmp CROSS JOIN kc0),
+    ka1 AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ks1) t WHERE rn = 1),
+    kx1 AS (SELECT ka1.cell, unnest(generate_series(0, 63)) AS dim,
+          unnest(list_transform(ksmp.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
+        FROM ka1 JOIN ksmp USING (vec_id)),
+    km1 AS (SELECT cell, dim, count(*) AS n_vectors,
+          cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+        FROM kx1 GROUP BY cell, dim),
+    kc1 AS (SELECT kc0.cell, coalesce(cm.ce, kc0.ce) AS ce
+        FROM kc0 LEFT JOIN (SELECT cell, list(mean ORDER BY dim) AS ce
+                            FROM km1 GROUP BY cell) cm USING (cell)),
+    ks2 AS (SELECT ksmp.vec_id, kc1.cell,
+          ${km64Cos.format("ksmp", "kc1", "ksmp", "ksmp", "kc1", "kc1")} AS csim
+        FROM ksmp CROSS JOIN kc1),
+    ka2 AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ks2) t WHERE rn = 1),
+    kx2 AS (SELECT ka2.cell, unnest(generate_series(0, 63)) AS dim,
+          unnest(list_transform(ksmp.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
+        FROM ka2 JOIN ksmp USING (vec_id)),
+    km2 AS (SELECT cell, dim, count(*) AS n_vectors,
+          cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+        FROM kx2 GROUP BY cell, dim),
+    kc2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM km2 GROUP BY cell),
+    ktr AS (SELECT v.vec_id, kc2.cell,
+          ${km64Cos.format("v", "kc2", "v", "v", "kc2", "kc2")} AS csim
+        FROM v CROSS JOIN kc2),
+    kta AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ktr) t WHERE rn = 1),
+    ktp AS (SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ktr WHERE vec_id >= 20 AND vec_id < 30) t WHERE rn <= 2),
+    ktc AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM ktp p JOIN kta a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    a_tr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+          row_number() OVER (PARTITION BY c.query_id ORDER BY
+            ${ivfCos.format("q", "n", "q", "q", "n", "n")} DESC, c.neighbor_id) AS rank
+        FROM ktc c JOIN v q ON q.vec_id = c.query_id
+                   JOIN v n ON n.vec_id = c.neighbor_id) t
+      WHERE rank <= 5),
     r AS (
       SELECT 'ivf' AS method,
         (SELECT count(DISTINCT query_id) FROM t_ivf) AS n_queries,
@@ -2800,7 +2867,11 @@ object Catalog {
       UNION ALL SELECT 'pq',
         (SELECT count(DISTINCT query_id) FROM t_pq),
         (SELECT count(*) FROM a_pq a JOIN t_pq t
-           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 10)
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 10
+      UNION ALL SELECT 'trained',
+        (SELECT count(DISTINCT query_id) FROM t_ivf),
+        (SELECT count(*) FROM a_tr a JOIN t_ivf t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 5)
     SELECT method, n_queries, total_hits,
       cast(total_hits as double) / (n_queries * k) AS recall
     FROM r ORDER BY method"""),
@@ -2823,71 +2894,100 @@ object Catalog {
             (col("total_hits").cast("double") / (col("n_queries") * lit(k)))
               .as("recall"))
       }
+      // trained-centroid IVF: a 16-cell index trained by kmeansFit on the
+      // 256-row salted-md5 sample (ksmp/kc0..kc2 CTE mirror), probed via
+      // ivfTopK — same query set and k as the seed-IVF arm so the two
+      // recalls compare directly
+      val trainedIdx = SimilarityOps.kmeansFit(emb.withColumnRenamed("vec", "v64"),
+          "id", "v64", k = 16, iters = 2, samplePerCell = 16)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+      val trained = SimilarityOps.ivfTopK(emb,
+        col("id") >= 20 && col("id") < 30,
+        graft.operators.Exec.materializeForSelfJoin(trainedIdx), k = 5, nProbe = 2)
       recallOf("ivf", ann04.fn(s, d), col("id") >= 20 && col("id") < 30, 5)
         .unionByName(recallOf("lsh", ann02.fn(s, d), col("id") < 50, 5))
         .unionByName(recallOf("pq", ann06.fn(s, d), col("id") < 5, 10))
+        .unionByName(recallOf("trained", trained,
+          col("id") >= 20 && col("id") < 30, 5))
         .orderBy("method")
     })
 
-  // K-means IVF index TRAINING (SimilarityOps.kmeansFit): two full
-  // Lloyd's iterations from the 4 smallest-id seeds over 16-dim slices —
-  // assign by rounded cosine (ties to the lower cell id), re-estimate by
-  // the fixed-point M-step, empty cells keep their previous centroid.
-  // Every step is deterministic, so the oracle replays both iterations
-  // CTE-by-CTE and the final long-form centroid table hash-matches
-  // exactly. The per-iteration plans run eagerly behind localCheckpoint
-  // (loop discipline, like q68), so the k-row centroid broadcast stays
-  // out of the final audited plan.
+  // K-means IVF index TRAINING (SimilarityOps.kmeansFit): two Lloyd's
+  // iterations over a BOUNDED deterministic training sample (the
+  // samplePerCell × k smallest salted-md5 draws — the dp02/dp06/dp07
+  // discipline, mirrored in the smp CTE; sample-based training is the
+  // standard 100 TB move, VERDICT r9 #3) from the 4 smallest-id seeds
+  // over 16-dim slices — assign by rounded cosine (ties to the lower
+  // cell id), re-estimate by the fixed-point M-step, empty cells keep
+  // their previous centroid. Every step is deterministic, so the oracle
+  // replays both iterations CTE-by-CTE and the final long-form centroid
+  // table hash-matches exactly. The per-iteration plans run eagerly
+  // behind localCheckpoint (loop discipline, like q68), so the k-row
+  // centroid broadcast stays out of the final audited plan.
   private val km16Cos = """round(list_sum(list_transform(generate_series(1, 16), i -> %s.e[i] * %s.ce[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> %s.e[i] * %s.e[i])))
            * sqrt(list_sum(list_transform(generate_series(1, 16), i -> %s.ce[i] * %s.ce[i])))), 6)"""
-  /** Shared oracle CTE chain for the 2-iteration k-means (through m2 —
-    * the second M-step); ann08 reads m2 directly, dd13 extends it with
-    * the trained-centroid assignment and within-cell pair scan. The seed
-    * CTE(s) are a parameter: ann08 trains a fixed 4-cell demo index
-    * (`vec_id < 4`), dd13 derives k from the corpus size
+  /** Shared oracle CTE chain for the 2-iteration sample-trained k-means
+    * (through m2 — the second M-step); ann08 reads m2 directly, dd13
+    * extends it with the trained-centroid FULL-corpus assignment and
+    * within-cell pair scan. Parameters: `preCtes` (extra leading CTEs,
+    * e.g. dd13's corpus-size `kp`), `capExpr` (SQL expression for the
+    * training-sample cap = samplePerCell × k, mirroring
+    * [[graft.operators.SimilarityOps.kmeansFit]]'s salted-md5 prefix
+    * draw), and the seed CTE(s): ann08 trains a fixed 4-cell demo index,
+    * dd13 derives k from the corpus size
     * ([[graft.operators.SimilarityOps.scaledCellCount]] mirrored in its
     * `kp` CTE) so cell population stays bounded as n grows.
     */
-  private def kmeansCtes(seedCtes: String) = s"""v AS (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
+  private def kmeansCtes(preCtes: String, capExpr: String, seedCtes: String) =
+    s"""v AS (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
                FROM embeddings),
+    ${preCtes}smp AS (SELECT vec_id, e FROM (
+             SELECT vec_id, e, row_number() OVER (
+               ORDER BY md5('km:' || cast(vec_id as varchar)), vec_id) AS srn
+             FROM v) t WHERE srn <= $capExpr),
     $seedCtes,
-    s1 AS (SELECT v.vec_id, c0.cell,
-             ${km16Cos.format("v", "c0", "v", "v", "c0", "c0")} AS csim
-           FROM v CROSS JOIN c0),
+    s1 AS (SELECT smp.vec_id, c0.cell,
+             ${km16Cos.format("smp", "c0", "smp", "smp", "c0", "c0")} AS csim
+           FROM smp CROSS JOIN c0),
     a1 AS (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s1) t WHERE rn = 1),
     x1 AS (SELECT a1.cell, unnest(generate_series(0, 15)) AS dim,
-             unnest(list_transform(v.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
-           FROM a1 JOIN v USING (vec_id)),
+             unnest(list_transform(smp.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
+           FROM a1 JOIN smp USING (vec_id)),
     m1 AS (SELECT cell, dim, count(*) AS n_vectors,
              cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
            FROM x1 GROUP BY cell, dim),
     c1 AS (SELECT c0.cell, coalesce(cm.ce, c0.ce) AS ce
            FROM c0 LEFT JOIN (SELECT cell, list(mean ORDER BY dim) AS ce
                               FROM m1 GROUP BY cell) cm USING (cell)),
-    s2 AS (SELECT v.vec_id, c1.cell,
-             ${km16Cos.format("v", "c1", "v", "v", "c1", "c1")} AS csim
-           FROM v CROSS JOIN c1),
+    s2 AS (SELECT smp.vec_id, c1.cell,
+             ${km16Cos.format("smp", "c1", "smp", "smp", "c1", "c1")} AS csim
+           FROM smp CROSS JOIN c1),
     a2 AS (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s2) t WHERE rn = 1),
     x2 AS (SELECT a2.cell, unnest(generate_series(0, 15)) AS dim,
-             unnest(list_transform(v.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
-           FROM a2 JOIN v USING (vec_id)),
+             unnest(list_transform(smp.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
+           FROM a2 JOIN smp USING (vec_id)),
     m2 AS (SELECT cell, dim, count(*) AS n_vectors,
              cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
            FROM x2 GROUP BY cell, dim)"""
   private val ann08 = Q("ann08_kmeans_train", Some(s"""
-    WITH ${kmeansCtes("c0 AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 4)")}
+    WITH ${kmeansCtes("", "64",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t WHERE rn <= 4)""")}
     SELECT cell, dim, n_vectors, mean FROM m2 ORDER BY cell, dim"""),
     (s, d) => SimilarityOps.kmeansFit(
         T(s, d, "embeddings")
           .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16")),
-        "vec_id", "v16", k = 4, iters = 2)
+        "vec_id", "v16", k = 4, iters = 2, samplePerCell = 16)
       .orderBy("cell", "dim"))
 
   // Semantic dedup (SemDeDup-style): near-dup pairs discovered WITHIN
@@ -2902,15 +3002,22 @@ object Catalog {
   // the 4096-cell broadcast cap) are split by sign-plane sub-buckets
   // sized from each cell's own population (ax CTE =
   // SimilarityOps.subBucketAxisCount's CASE ladder), so no single cell
-  // can go quadratic. Cells present in the final M-step only (no
-  // fallback cells — mirrored exactly); vectors re-assign against them;
-  // same-(cell, sub-bucket) pairs score by the same rounded cosine.
+  // can go quadratic. Training itself runs on a bounded salted-md5
+  // sample of 16 vectors per cell (smp CTE = kmeansFit's samplePerCell
+  // draw), so per-Lloyd's-round compute is sample·k — bounded — and the
+  // full corpus is touched by exactly ONE assignment pass. Cells present
+  // in the final M-step only (no fallback cells — mirrored exactly);
+  // vectors re-assign against them; same-(cell, sub-bucket) pairs score
+  // by the same rounded cosine.
   private val dd13 = Q("dd13_semantic_dedup", Some(s"""
-    WITH ${kmeansCtes("""kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
                  FROM embeddings),
-    c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
-             FROM v) t, kp WHERE t.rn <= kp.k)""")},
+             FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
     s3 AS (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
@@ -2947,8 +3054,12 @@ object Catalog {
       val k = SimilarityOps.scaledCellCount(
         Tables.parquetRowCount(s, s"$d/embeddings.parquet"), targetCell = 64)
       // trained centroids: cells present in the final M-step, rebuilt to
-      // arrays (matches the oracle's c2 — no fallback cells)
-      val cent = SimilarityOps.kmeansFit(emb16, "vec_id", "v16", k = k, iters = 2)
+      // arrays (matches the oracle's c2 — no fallback cells). Training
+      // runs on the 16k-row salted-md5 sample (smp CTE mirror); only the
+      // one assignToCentroids pass inside semanticNearDupPairs touches
+      // the full corpus — the SemDeDup 100 TB shape (VERDICT r9 #3).
+      val cent = SimilarityOps.kmeansFit(emb16, "vec_id", "v16", k = k,
+          iters = 2, samplePerCell = 16)
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
           x => x.getField("mean")).as("cvec"))
@@ -3278,6 +3389,60 @@ object Catalog {
         k = 8, maxDocsPerShingle = 8, maxOcc = 32, minRun = 1)
       .orderBy("id1", "id2"))
 
+  // Incremental substring-span dedup: dd12's repeated-passage detection
+  // applied batch-vs-history (the reference's dedup shape,
+  // crawler/src/procedure_code.py:763-772), exactly as dd08 extends dd02.
+  // The newest docs (id >= 400) scan for verbatim shared spans against
+  // the historical corpus (id < 400) ONLY — daily cost is O(batch): the
+  // history's positional shingle index and its per-shingle stats are
+  // computed once (persistable bucketed on the hash key), the batch
+  // equi-joins it on the fixed-width md5 key, and the two-sided
+  // stop-shingle filter (history rarity from history stats alone, batch
+  // occurrence cap) bounds per-key fan-out at maxOcc².
+  private val dd14 = Q("dd14_incremental_spans", Some("""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+        unnest(generate_series(1, len(tk) - 7)) AS p,
+        unnest(list_transform(generate_series(1, len(tk) - 7),
+          i -> substr(md5(array_to_string(list_slice(tk, i, i + 7), ' ')), 1, 16))) AS h
+      FROM t WHERE len(tk) >= 8),
+    hist AS (SELECT doc_id, p, h FROM sh WHERE doc_id < 400),
+    newb AS (SELECT doc_id, p, h FROM sh WHERE doc_id >= 400),
+    hkeep AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd, count(*) AS occ
+        FROM hist GROUP BY h)
+      WHERE nd <= 8 AND occ <= 32),
+    nkeep AS (
+      SELECT h FROM (SELECT h, count(*) AS occ FROM newb GROUP BY h)
+      WHERE occ <= 32),
+    hi AS (SELECT hist.doc_id, hist.p, hist.h FROM hist JOIN hkeep USING (h)),
+    ni AS (SELECT newb.doc_id, newb.p, newb.h FROM newb JOIN nkeep USING (h)),
+    pr AS (
+      SELECT n.doc_id AS new_id, e.doc_id AS existing_id, n.p AS p1, e.p AS p2
+      FROM ni n JOIN hi e ON n.h = e.h),
+    runs AS (
+      SELECT new_id, existing_id, p1 - p2 AS diag,
+        p1 - row_number() OVER (PARTITION BY new_id, existing_id, p1 - p2 ORDER BY p1) AS grp
+      FROM pr),
+    agg AS (SELECT new_id, existing_id, diag, grp, count(*) AS run
+            FROM runs GROUP BY 1, 2, 3, 4)
+    SELECT new_id, existing_id, cast(sum(run) as bigint) AS n_shared,
+      cast(max(run) as bigint) AS max_run
+    FROM agg GROUP BY new_id, existing_id HAVING max(run) >= 1
+    ORDER BY new_id, existing_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      DedupOps.incrementalSubstringSpans(
+          docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+          "text", "doc_id", k = 8, maxDocsPerShingle = 8, maxOcc = 32,
+          minRun = 1)
+        .orderBy("new_id", "existing_id")
+    })
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -3491,7 +3656,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13,
+    dd13, dd14,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
     mm01, mm02, mm03, mm04, mm05,

@@ -24,12 +24,19 @@ class AnnRecallSpec extends AnyFunSuite {
       .toMap
 
   test("every configured method is graded over its full query set") {
-    assert(recalls.keySet == Set("lsh", "ivf", "pq"))
+    assert(recalls.keySet == Set("lsh", "ivf", "pq", "trained"))
     assert(recalls("lsh")._1 == 50 && recalls("ivf")._1 == 10 && recalls("pq")._1 == 5)
+    // trained IVF shares seed-IVF's query set (directly comparable)
+    assert(recalls("trained")._1 == 10)
   }
 
   test("recall is a valid fraction and meets each config's floor") {
-    val floors = Map("ivf" -> 0.25, "lsh" -> 0.01, "pq" -> 0.05)
+    // trained-centroid IVF is held to AT LEAST the seeded-IVF floor: the
+    // index you'd deploy must not retrieve worse than the k-seed demo
+    // (VERDICT r9 #4). Still a per-config floor, not a cross-config
+    // ordering assert — the r7 lesson stands.
+    val floors = Map("ivf" -> 0.25, "lsh" -> 0.01, "pq" -> 0.05,
+      "trained" -> 0.25)
     for ((method, (_, _, recall)) <- recalls) {
       assert(recall >= 0.0 && recall <= 1.0, s"$method recall out of range: $recall")
       assert(recall >= floors(method),

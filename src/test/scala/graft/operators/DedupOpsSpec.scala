@@ -143,4 +143,41 @@ class DedupOpsSpec extends AnyFunSuite {
     // 8..10 (run 3); the XX position breaks shingles 5..7
     assert(got == List((1L, 2L, 7L, 4L)), s"got $got")
   }
+
+  test("incrementalSubstringSpans: spans report only new×history pairs") {
+    // the passage appears in one history doc AND in two NEW docs: the
+    // batch-vs-history shape must report each new doc against history but
+    // NEVER the new×new pair (that is dd12's corpus self-join, not this)
+    val passage = "the quick brown fox jumps over dogs"
+    val hist = Seq(
+      (1L, s"alpha beta $passage gamma"),
+      (2L, "history doc sharing nothing with anyone at all zero")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"one two $passage three"),
+      (11L, s"intro words $passage outro"),
+      (12L, "fresh content with no shared passage anywhere in sight")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.incrementalSubstringSpans(batch, hist, "text", "doc_id",
+        k = 4, minRun = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 7-token passage, k=4 -> 4 consecutive shingles per cross pair
+    assert(got == Set((10L, 1L, 4L, 4L), (11L, 1L, 4L, 4L)), s"got $got")
+  }
+
+  test("incrementalSubstringSpans: history-side stop filter uses history stats only") {
+    // passage present in more HISTORY docs than maxDocsPerShingle →
+    // stop-filtered (the bound that keeps daily cost O(batch)); raising
+    // the cap pairs the batch doc with every history doc
+    val hist = (1 to 5).map(i =>
+        (i.toLong, s"header one two three four five six tail$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "prefix one two three four five six suffix"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.incrementalSubstringSpans(batch, hist, "text", "doc_id",
+      k = 4, maxDocsPerShingle = 3, minRun = 1).isEmpty)
+    val kept = DedupOps.incrementalSubstringSpans(batch, hist, "text", "doc_id",
+      k = 4, maxDocsPerShingle = 8, minRun = 1)
+    assert(kept.count() == 5, "batch doc should pair with all 5 history docs")
+  }
 }

@@ -31,7 +31,10 @@ class KmeansFitSpec extends AnyFunSuite {
 
   test("recovers separable clusters: every cell holds exactly its true members") {
     val df = clustered.toDF("id", "vec")
-    val out = SimilarityOps.kmeansFit(df, "id", "vec", k = 3, iters = 3)
+    // samplePerCell = 0: this test pins the Lloyd's kernel itself (seed
+    // coverage of all 3 clusters needs the full 120-row corpus)
+    val out = SimilarityOps.kmeansFit(df, "id", "vec", k = 3, iters = 3,
+      samplePerCell = 0)
     val cells = out.groupBy("cell").agg(max("n_vectors").as("n"))
       .as[(Long, Long)].collect().toMap
     assert(cells.keySet == Set(0L, 1L, 2L), s"cells: $cells")
@@ -49,6 +52,8 @@ class KmeansFitSpec extends AnyFunSuite {
   }
 
   test("deterministic under input partitioning") {
+    // default samplePerCell (sampling active: cap 48 < 120 rows) — the
+    // salted-md5 draw must itself be partition-independent
     val df = clustered.toDF("id", "vec")
     val a = SimilarityOps.kmeansFit(df, "id", "vec", k = 3, iters = 2)
       .collect().map(_.toString).sorted.toSeq
@@ -56,6 +61,27 @@ class KmeansFitSpec extends AnyFunSuite {
         k = 3, iters = 2)
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
+  }
+
+  test("training runs on exactly the bounded salted-md5 sample") {
+    val df = clustered.toDF("id", "vec")
+    // sampled fit == unsampled fit over the explicitly-drawn subset (the
+    // oracle-mirror property: the smp CTE and this orderBy are the same
+    // deterministic draw)
+    val sampled = SimilarityOps.kmeansFit(df, "id", "vec", k = 3, iters = 2,
+        samplePerCell = 16)
+      .collect().map(_.toString).sorted.toSeq
+    val drawn = df.orderBy(
+      md5(concat(lit("km:"), col("id").cast("string"))), col("id")).limit(48)
+    val explicit = SimilarityOps.kmeansFit(drawn, "id", "vec", k = 3, iters = 2,
+        samplePerCell = 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sampled == explicit)
+    // the bound itself: training membership sums to the cap, not the corpus
+    val trained = SimilarityOps.kmeansFit(df, "id", "vec", k = 3, iters = 1,
+        samplePerCell = 16)
+      .where(col("dim") === 0).agg(sum("n_vectors")).as[Long].head()
+    assert(trained == 48L, s"training set size $trained (cap 16×3 of 120 rows)")
   }
 
   test("a starved cell survives rounds via the empty-cluster fallback") {
@@ -67,7 +93,8 @@ class KmeansFitSpec extends AnyFunSuite {
     // contains only the non-empty cell.
     val rows = (0 to 21).map(i => (i.toLong, Seq(1f, 1f, 0f, 0f)))
     val df = rows.toDF("id", "vec")
-    val out = SimilarityOps.kmeansFit(df, "id", "vec", k = 2, iters = 3)
+    val out = SimilarityOps.kmeansFit(df, "id", "vec", k = 2, iters = 3,
+      samplePerCell = 0)
     val n = out.groupBy("cell").agg(max("n_vectors")).as[(Long, Long)]
       .collect().toMap
     assert(n == Map(0L -> 22L), s"membership: $n")
