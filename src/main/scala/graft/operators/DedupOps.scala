@@ -468,20 +468,30 @@ object DedupOps {
         labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
           .select(col("id"), col("label"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("next")))
+      // `updated` is materialized, so the previous round's label blocks
+      // are dead — release them (a 25-round run would otherwise pin 25
+      // corpus-sized label copies)
+      Exec.releaseMaterialized(labels)
       converged = updated.where(col("next") < col("label")).isEmpty
       val stepped = updated.select(col("id"), col("next").as("label"))
       // pointer jump: label(u) <- label(label(u)). Every label value is a
       // vertex id, so the lookup always resolves; labels only decrease
       // (label(x) <= x), preserving the monotone-convergence argument.
       // At the neighbor-min fixpoint labels are already constant per
-      // component, so the jump is skipped on the final round.
+      // component, so the jump is skipped on the final round (the
+      // returned frame then still reads `updated`'s blocks — only the
+      // non-final branch may release them).
       labels =
         if (converged) stepped
-        else Exec.materializeForSelfJoin(
-          stepped.join(
-            stepped.select(col("id").as("_pid"), col("label").as("_plabel")),
-            col("label") === col("_pid"), "left")
-          .select(col("id"), coalesce(col("_plabel"), col("label")).as("label")))
+        else {
+          val jumped = Exec.materializeForSelfJoin(
+            stepped.join(
+              stepped.select(col("id").as("_pid"), col("label").as("_plabel")),
+              col("label") === col("_pid"), "left")
+            .select(col("id"), coalesce(col("_plabel"), col("label")).as("label")))
+          Exec.releaseMaterialized(updated)
+          jumped
+        }
       roundMillis += (System.nanoTime() - tRound) / 1000000L
       iter += 1
     }

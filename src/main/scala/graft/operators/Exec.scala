@@ -36,6 +36,35 @@ object Exec {
   def materializeForSelfJoin(df: DataFrame): DataFrame =
     df.localCheckpoint()
 
+  /** Free the pinned blocks of a [[materializeForSelfJoin]] handle that
+    * no live plan references anymore.
+    *
+    * Iterative operators (pagerank, connected components, Lloyd's
+    * rounds) checkpoint their loop state every round; without an
+    * explicit release, every superseded round's blocks stay pinned in
+    * executor storage until session end. Harmless at spec scale, but at
+    * production scale a 25-round label table leaks 25 corpus-sized
+    * copies — evicting useful cache and forcing shuffle spill, and (as a
+    * second-order effect) widening run-to-run variance under memory
+    * pressure (the q68 sf1 probe's noise signature).
+    *
+    * Only a DataFrame whose plan IS the checkpoint handle (root =
+    * `LogicalRDD`, exactly what `localCheckpoint` returns) is released;
+    * anything else — a projection DERIVED from handles, or a
+    * never-materialized plan — is a silent no-op, so a caller can never
+    * unpersist upstream state it does not own through a derived view.
+    * Call it only after the successor round is EAGERLY materialized
+    * (localCheckpoint's default): a localCheckpointed RDD is
+    * unrecoverable once unpersisted, so releasing a handle something
+    * still needs would fail the job loudly, not corrupt it.
+    */
+  def releaseMaterialized(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Materialize an O(corpus)-sized table (exploded tokens, shingles)
     * that multiple downstream branches derive from.
     *

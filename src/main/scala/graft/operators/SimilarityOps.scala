@@ -328,19 +328,27 @@ object SimilarityOps {
         .withColumn("_km_sim", round(cosine(col("_km_vec"), col("_km_cvec")), roundSim))
       val assigned = nearestCell(scored, "_km_id", "_km_sim", "cell")
         .select(col("_km_id"), col("cell"))
+      val prevM = lastM
       lastM = Exec.materializeForSelfJoin(
         quantizedCentroids(vecs.join(assigned, "_km_id"), "cell", "_km_vec", shift))
+      if (prevM != null) Exec.releaseMaterialized(prevM)
       val updated = lastM
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
           x => x.getField("mean")).as("_km_cvec"))
       // empty-cluster fallback: keep the previous centroid for cells the
       // assignment starved (left join preserves all k cells every round)
+      val prevC = centroids
       centroids = Exec.materializeForSelfJoin(
         centroids.select(col("cell"), col("_km_cvec").as("_km_prev"))
           .join(updated, Seq("cell"), "left")
           .select(col("cell"), coalesce(col("_km_cvec"), col("_km_prev")).as("_km_cvec")))
+      Exec.releaseMaterialized(prevC)
     }
+    // the returned M-step table is the only live handle: the training
+    // sample and the final centroid round fed it and are dead now
+    Exec.releaseMaterialized(centroids)
+    if (vecs ne all) Exec.releaseMaterialized(vecs)
     lastM
   }
 

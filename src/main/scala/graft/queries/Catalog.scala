@@ -2878,12 +2878,16 @@ object Catalog {
     (s, d) => {
       val emb = T(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // each truth set is ≤ |queries|·k rows but costs a brute-force
+      // corpus scan — materialize it once (localCheckpoint, tiny) so the
+      // hits join and the n_queries aggregate read the same blocks
+      // instead of re-scanning the corpus per reference
       def truth(qFilter: Column, k: Int): DataFrame =
-        SimilarityOps.bruteForceTopK(emb.where(qFilter), emb, k = k, roundSim = 6)
-          .select("query_id", "neighbor_id")
-      def recallOf(method: String, approx: DataFrame, qFilter: Column,
+        graft.operators.Exec.materializeForSelfJoin(
+          SimilarityOps.bruteForceTopK(emb.where(qFilter), emb, k = k, roundSim = 6)
+            .select("query_id", "neighbor_id"))
+      def recallOf(method: String, approx: DataFrame, t: DataFrame,
           k: Int): DataFrame = {
-        val t = truth(qFilter, k)
         val hits = approx.select("query_id", "neighbor_id")
           .join(t, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("total_hits"))
@@ -2906,11 +2910,14 @@ object Catalog {
       val trained = SimilarityOps.ivfTopK(emb,
         col("id") >= 20 && col("id") < 30,
         graft.operators.Exec.materializeForSelfJoin(trainedIdx), k = 5, nProbe = 2)
-      recallOf("ivf", ann04.fn(s, d), col("id") >= 20 && col("id") < 30, 5)
-        .unionByName(recallOf("lsh", ann02.fn(s, d), col("id") < 50, 5))
-        .unionByName(recallOf("pq", ann06.fn(s, d), col("id") < 5, 10))
-        .unionByName(recallOf("trained", trained,
-          col("id") >= 20 && col("id") < 30, 5))
+      // ivf and trained grade against the SAME query set and k — one
+      // shared truth set, so the whole query runs 3 brute-force scans
+      // (was 8: one per truth reference)
+      val tIvf = truth(col("id") >= 20 && col("id") < 30, 5)
+      recallOf("ivf", ann04.fn(s, d), tIvf, 5)
+        .unionByName(recallOf("lsh", ann02.fn(s, d), truth(col("id") < 50, 5), 5))
+        .unionByName(recallOf("pq", ann06.fn(s, d), truth(col("id") < 5, 10), 10))
+        .unionByName(recallOf("trained", trained, tIvf, 5))
         .orderBy("method")
     })
 
@@ -3281,6 +3288,8 @@ object Catalog {
       // instead of re-joining deg every round
       val edgesDeg = Exec.materializeForSelfJoin(
         edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
+      // edges fed nodes and edgesDeg, both materialized — free its blocks
+      Exec.releaseMaterialized(edges)
       var ranks = nodes.crossJoin(broadcast(meta))
         .select(col("node"), col("init").as("pr"))
       for (_ <- 1 to 5) {
@@ -3290,13 +3299,16 @@ object Catalog {
         // materialize per iteration: keeps every stage's plan shallow
         // (a 5-deep join chain costs seconds of Catalyst planning +
         // codegen) and cuts lineage, the same discipline as
-        // connectedComponents' loop
+        // connectedComponents' loop; the superseded round's blocks are
+        // released once the new round is materialized
+        val prev = ranks
         ranks = Exec.materializeForSelfJoin(
           nodes.join(contribs, col("node") === col("dst"), "left")
             .crossJoin(broadcast(meta))
             .select(col("node"),
               (expr("(15 * init) div 100")
                 + expr("(85 * coalesce(contrib, 0)) div 100")).as("pr")))
+        Exec.releaseMaterialized(prev)
       }
       ranks.orderBy(col("pr").desc, col("node")).limit(100)
         .orderBy(col("pr").desc, col("node"))

@@ -63,6 +63,47 @@ class ExecSpec extends AnyFunSuite {
     }
   }
 
+  test("releaseMaterialized frees checkpoint blocks; derived plans are a no-op") {
+    val handle = Exec.materializeForSelfJoin(
+      (1 to 100).map(i => (i, s"v$i")).toDF("id", "v"))
+    val rddId = handle.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      case p => fail(s"expected a LogicalRDD handle, got ${p.getClass}")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "localCheckpoint should pin blocks in executor storage")
+    // a view DERIVED from the handle must never release the handle's
+    // blocks through releaseMaterialized — only the handle itself may
+    Exec.releaseMaterialized(handle.select("id"))
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "releasing a derived plan must not unpersist the upstream handle")
+    Exec.releaseMaterialized(handle)
+    // unpersist is async (blocking=false); poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.contains(rddId) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "releasing the handle itself should free its blocks")
+  }
+
+  test("iterative loops do not accumulate superseded checkpoints") {
+    // run the heaviest loop operator (5 pagerank rounds via the catalog)
+    // and assert the persistent-RDD census returns to near its starting
+    // point: the loop releases each superseded round instead of pinning
+    // every round until session end
+    val before = spark.sparkContext.getPersistentRDDs.size
+    graft.queries.Catalog.all.find(_.name == "q68_pagerank").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    val deadline = System.currentTimeMillis() + 10000
+    def now = spark.sparkContext.getPersistentRDDs.size
+    while (now > before + 4 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    // live at exit: nodes, meta, edgesDeg, final ranks (edges + the 4
+    // superseded rank rounds are released)
+    assert(now <= before + 4,
+      s"q68 left ${now - before} pinned RDDs; loop rounds are leaking")
+  }
+
   test("connectedComponents records round telemetry") {
     val vertices = (1L to 6L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
