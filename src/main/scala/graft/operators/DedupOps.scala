@@ -294,27 +294,6 @@ object DedupOps {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Connected components over a near-dup candidate graph (hash-min label
-    * propagation): every vertex converges to the minimum id reachable in
-    * its component — the canonical "collapse duplicate clusters" step that
-    * follows pair generation (minhash/simhash) in a dedup pipeline.
-    *
-    * Each iteration is a neighbor-min pass (edges ⋈ labels on src, then
-    * a groupBy(dst) min) followed by a POINTER-JUMP (label(u) ←
-    * label(label(u)), one labels ⋈ labels shuffle): the neighbor pass
-    * moves the min one hop, the jump halves every pointer chain, so a
-    * component of diameter d converges in O(log d) rounds — the same
-    * contraction large-star/small-star buys, with one extra equi-join
-    * per round. Candidate-pair graphs from LSH banding are dense (2-3
-    * rounds); the jump is what keeps adversarial long chains (a
-    * 1000-vertex path converges in ~11 rounds, see DedupOpsSpec) inside
-    * the iteration bound. Lineage is cut per iteration (localCheckpoint)
-    * so plans don't grow with the loop.
-    *
-    * @param vertices one column `idCol` (one row per vertex)
-    * @param edges    columns `src`, `dst` (undirected; one direction given)
-    * @return [idCol, cluster] where cluster = min id in the component
-    */
   /** Positional k-token shingle table (_id, _p, _h): 1-based token
     * position + fixed-width md5-prefix key — the shared kernel of
     * [[substringSpans]] and [[incrementalSubstringSpans]]. Fan-out is
@@ -450,6 +429,27 @@ object DedupOps {
   @volatile var lastCcStats: Option[CcStats] = None
   final case class CcStats(rounds: Int, roundMillis: Seq[Long])
 
+  /** Connected components over a near-dup candidate graph (hash-min label
+    * propagation): every vertex converges to the minimum id reachable in
+    * its component — the canonical "collapse duplicate clusters" step that
+    * follows pair generation (minhash/simhash) in a dedup pipeline.
+    *
+    * Each iteration is a neighbor-min pass (edges ⋈ labels on src, then
+    * a groupBy(dst) min) followed by a POINTER-JUMP (label(u) ←
+    * label(label(u)), one labels ⋈ labels shuffle): the neighbor pass
+    * moves the min one hop, the jump halves every pointer chain, so a
+    * component of diameter d converges in O(log d) rounds — the same
+    * contraction large-star/small-star buys, with one extra equi-join
+    * per round. Candidate-pair graphs from LSH banding are dense (2-3
+    * rounds); the jump is what keeps adversarial long chains (a
+    * 1000-vertex path converges in ~11 rounds, see DedupOpsSpec) inside
+    * the iteration bound. Lineage is cut per iteration (localCheckpoint)
+    * so plans don't grow with the loop.
+    *
+    * @param vertices one column `idCol` (one row per vertex)
+    * @param edges    columns `src`, `dst` (undirected; one direction given)
+    * @return [idCol, cluster] where cluster = min id in the component
+    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", maxIterations: Int = 25): DataFrame = {
     val und = edges.select(col("src"), col("dst"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: token counting,
@@ -110,6 +110,76 @@ object TextOps {
     val n = length(text)
     when(n < 16, md5(text)).otherwise(
       array_min(transform(sequence(lit(1), n - 15, lit(8)), i => md5(text.substr(i, lit(16))))))
+  }
+
+  /** Space-joined word n-grams as an array column; empty (not null, not
+    * an error) when the text has fewer than `n` whitespace tokens — the
+    * guard matters because `sequence(1, size - n + 1)` would otherwise
+    * count DOWN through a negative range.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0 || size(toks) < n,
+      array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Intra-document repetition filters (Gopher-style, Rae et al. 2021
+    * arXiv:2112.11446 §A1.1): per document,
+    *  - `top{topN}_frac`  — characters covered by ALL occurrences of the
+    *    single most frequent `topN`-gram, over total document chars;
+    *  - `dup{dupN}_frac`  — characters covered by every occurrence of
+    *    `dupN`-grams that appear at least twice, over total chars;
+    *  - `flagged` (0/1)   — the Gopher gate: top-2-gram fraction > 0.20
+    *    or duplicate-5-gram fraction > 0.15 at the defaults.
+    * Overlapping occurrences are each counted in full (the standard
+    * approximation — no interval union), so the fractions can exceed 1
+    * on pathological repetition; the gate only cares about the low end.
+    *
+    * Shape at scale: ONE scan of the corpus (both gram sizes come out of
+    * a single tagged explode), one token-volume shuffle to count
+    * (doc, n, gram) — hash aggregate with map-side partial combine — and
+    * one doc-count shuffle to fold per-doc. Linear in corpus tokens,
+    * nothing corpus×corpus; same cost shape as tf-idf (tx06). Documents
+    * with fewer than `topN` tokens carry no grams and are excluded (the
+    * filter has nothing to measure).
+    *
+    * Both fractions are one IEEE division of exact integers, so the
+    * DuckDB oracle (tx12) matches bit-for-bit; the flag compares those
+    * identical doubles against the same literals.
+    */
+  def repetitionScores(df: DataFrame, textCol: String, idCol: String,
+      topN: Int = 2, dupN: Int = 5,
+      topThreshold: Double = 0.20, dupThreshold: Double = 0.15): DataFrame = {
+    require(topN >= 1 && dupN >= 1, "n-gram sizes must be >= 1")
+    val tagged = concat(
+      transform(ngrams(col(textCol), topN),
+        g => struct(lit(topN).as("n"), g.as("g"))),
+      transform(ngrams(col(textCol), dupN),
+        g => struct(lit(dupN).as("n"), g.as("g"))))
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), length(col(textCol)).as("_rs_len"),
+        explode(tagged).as("_rs_t"))
+      .select(col(idCol), col("_rs_len"),
+        col("_rs_t.n").as("_rs_n"), col("_rs_t.g").as("_rs_g"))
+      .groupBy(col(idCol), col("_rs_n"), col("_rs_g"))
+      .agg(max(col("_rs_len")).as("_rs_len"), count(lit(1)).as("_rs_cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("_rs_len")).as("_rs_len"),
+        max(when(col("_rs_n") === topN,
+          col("_rs_cnt") * length(col("_rs_g"))).otherwise(lit(0L)))
+          .as("_rs_top"),
+        sum(when(col("_rs_n") === dupN && col("_rs_cnt") >= 2,
+          col("_rs_cnt") * length(col("_rs_g"))).otherwise(lit(0L)))
+          .as("_rs_dup"))
+      .select(col(idCol),
+        (col("_rs_top").cast("double") / col("_rs_len")).as(s"top${topN}_frac"),
+        (col("_rs_dup").cast("double") / col("_rs_len")).as(s"dup${dupN}_frac"))
+      .withColumn("flagged",
+        when(col(s"top${topN}_frac") > topThreshold
+          || col(s"dup${dupN}_frac") > dupThreshold, 1).otherwise(0))
   }
 
   /** PII scrubbing: email and phone patterns, kept to the regex subset

@@ -3500,6 +3500,50 @@ object Catalog {
         .orderBy("rank")
     })
 
+  // Intra-document repetition filters (Gopher, Rae et al. 2021
+  // arXiv:2112.11446 §A1.1): fraction of chars covered by the most
+  // frequent 2-gram and by duplicated 5-grams, plus the 0.20/0.15 gate.
+  // Complements tx09 (duplicate-shingle DISTINCT ratio): the char
+  // fractions weight repetition by how much of the document it covers,
+  // which is what the published thresholds are calibrated against.
+  // One tagged explode (both gram sizes from a single corpus scan), a
+  // token-volume hash aggregate with map-side combine, a per-doc fold —
+  // tx06's linear cost shape. Counts are exact integers; each fraction
+  // is one IEEE division, so both engines agree bit-for-bit and the
+  // flag compares identical doubles against identical literals.
+  private val tx12 = Q("tx12_gopher_gate", Some("""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_len,
+        regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, n_len, 2 AS n,
+        unnest(list_transform(generate_series(1, len(tk) - 1),
+          i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS g
+      FROM t WHERE len(tk) >= 2
+      UNION ALL
+      SELECT doc_id, n_len, 5 AS n,
+        unnest(list_transform(generate_series(1, len(tk) - 4),
+          i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+      FROM t WHERE len(tk) >= 5),
+    c AS (
+      SELECT doc_id, n, g, max(n_len) AS n_len, count(*) AS cnt
+      FROM g GROUP BY doc_id, n, g),
+    p AS (
+      SELECT doc_id, max(n_len) AS n_len,
+        max(CASE WHEN n = 2 THEN cnt * length(g) ELSE 0 END) AS chars_top,
+        sum(CASE WHEN n = 5 AND cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS chars_dup
+      FROM c GROUP BY doc_id)
+    SELECT doc_id,
+      cast(chars_top as double) / n_len AS top2_frac,
+      cast(chars_dup as double) / n_len AS dup5_frac,
+      CASE WHEN cast(chars_top as double) / n_len > 0.20
+             OR cast(chars_dup as double) / n_len > 0.15
+           THEN 1 ELSE 0 END AS flagged
+    FROM p ORDER BY doc_id"""),
+    (s, d) => TextOps.repetitionScores(T(s, d, "documents"), "text", "doc_id")
+      .orderBy("doc_id"))
+
   // Size-weighted deterministic sampling: include a doc with probability
   // proportional to its length, decided by an integer comparison of a
   // 32-bit md5 draw against n_chars — uniform, reproducible under any
@@ -3670,7 +3714,7 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
-    tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
+    tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11)

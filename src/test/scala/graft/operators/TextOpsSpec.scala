@@ -52,4 +52,74 @@ class TextOpsSpec extends AnyFunSuite {
       assert(q >= 0.0 && q <= 1.0, s"score $q out of range for '$t'")
     }
   }
+
+  test("ngrams: space-joined windows; empty below n tokens; whitespace-safe") {
+    assert(one[Seq[String]](TextOps.ngrams(col("text"), 2), "a b c") == Seq("a b", "b c"))
+    assert(one[Seq[String]](TextOps.ngrams(col("text"), 3), "  a   b  c ") == Seq("a b c"))
+    assert(one[Seq[String]](TextOps.ngrams(col("text"), 2), "solo") == Seq())
+    assert(one[Seq[String]](TextOps.ngrams(col("text"), 2), "") == Seq())
+    assert(one[Seq[String]](TextOps.ngrams(col("text"), 1), "x y") == Seq("x", "y"))
+  }
+
+  test("repetitionScores: hand-checked fractions and the Gopher gate") {
+    // "x y x y x y": 2-grams = [x y, y x, x y, y x, x y] -> top "x y"
+    // cnt 3 * len 3 = 9 chars over 11 doc chars; no duplicated 5-gram.
+    // long all-unique doc: top 2-gram covers only its own chars, so the
+    // fraction shrinks with length (a 6-token doc would trip the 0.20
+    // gate on its longest 2-gram alone — the gate presumes real docs)
+    val unique = (0 until 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, "x y x y x y"), (2L, unique)).toDF("doc_id", "text")
+    val r = TextOps.repetitionScores(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect()
+    assert(r.length == 2)
+    assert(r(0).getDouble(1) == 9.0 / 11.0)
+    assert(r(0).getDouble(2) == 0.0)
+    assert(r(0).getInt(3) == 1) // 0.818 > 0.20
+    assert(r(1).getDouble(1) < 0.20)
+    assert(r(1).getDouble(2) == 0.0)
+    assert(r(1).getInt(3) == 0)
+  }
+
+  test("repetitionScores excludes docs the filter cannot measure") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "solo"), (4L, "two tokens"))
+      .toDF("doc_id", "text")
+    val ids = TextOps.repetitionScores(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(4L))
+  }
+
+  test("repetitionScores matches a brute-force oracle on random corpora") {
+    def brute(text: String): Option[(Double, Double, Int)] = {
+      if (text.trim.isEmpty) return None
+      val toks = text.trim.split("\\s+").toSeq
+      if (toks.length < 2) return None
+      val nLen = text.length
+      def grams(n: Int): Seq[String] =
+        if (toks.length < n) Seq()
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val top = grams(2).groupBy(identity)
+        .map { case (g, occ) => occ.size.toLong * g.length }.max
+      val dup = grams(5).groupBy(identity)
+        .collect { case (g, occ) if occ.size >= 2 => occ.size.toLong * g.length }
+        .sum
+      val topF = top.toDouble / nLen
+      val dupF = dup.toDouble / nLen
+      Some((topF, dupF, if (topF > 0.20 || dupF > 0.15) 1 else 0))
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "b", "ccc", "dd", "e")
+    val docs = (0L until 60L).map { i =>
+      val len = rnd.nextInt(31)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val expected = docs.flatMap { case (id, t) => brute(t).map(id -> _) }.toMap
+    val got = TextOps.repetitionScores(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, exp) <- expected)
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+  }
 }
