@@ -2333,6 +2333,56 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // Cross-split leakage audit: near-duplicate pairs that STRADDLE the
+  // deterministic train/val/test boundary — the contamination dp09's
+  // benchmark check cannot see, because both docs live inside the
+  // training corpus's own splits (a val/test doc with a train near-twin
+  // silently inflates eval numbers). Composes the dd02 MinHash+LSH
+  // candidate kernel with dp02's salted-md5 split assignment: candidate
+  // volume is bounded by the banded equi-join exactly as in dd02, and
+  // each side's split label arrives by a linear equi-join on doc_id —
+  // nothing here is corpus x corpus. Emits the pair list (not a
+  // summary) so the oracle check pins every leaked pair.
+  private val dp12 = Q("dp12_split_leakage", Some(s"""
+    WITH $minhashCtes,
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id),
+    sp AS (
+      SELECT doc_id,
+        CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+          ('0x' || substr(md5('split:' || cast(doc_id as varchar)), 1, 15))::BIGINT
+            / 1152921504606846976.0 AS frac
+        FROM documents) f)
+    SELECT p.id1, p.id2, a.split AS split1, b.split AS split2
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.id1
+    JOIN sp b ON b.doc_id = p.id2
+    WHERE a.split <> b.split
+    ORDER BY id1, id2"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      // dp02's exact split expression (same salt, same 60-bit draw)
+      val frac = conv(substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / 1.152921504606846976e18
+      val sp = docs.select(col("doc_id"),
+        when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
+          .as("split"))
+      DedupOps.minhashCandidates(docs, "text", "doc_id",
+          shingleK = 3, bands = 4, rowsPerBand = 4)
+        .join(sp.select(col("doc_id").as("id1"), col("split").as("split1")), "id1")
+        .join(sp.select(col("doc_id").as("id2"), col("split").as("split2")), "id2")
+        .where(col("split1") =!= col("split2"))
+        .select("id1", "id2", "split1", "split2")
+        .orderBy("id1", "id2")
+    })
+
   // Benchmark decontamination (test-set overlap removal): the standard
   // pretraining hygiene step — a training doc sharing any 4-token shingle
   // with an eval/benchmark doc is flagged with its overlap count, so it
@@ -3717,5 +3767,5 @@ object Catalog {
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10, dp11)
+    dp07, dp08, dp09, dp10, dp11, dp12)
 }
