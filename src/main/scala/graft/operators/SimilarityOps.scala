@@ -259,6 +259,62 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Semantic decontamination: training vectors whose embedding lies
+    * within `threshold` cosine of ANY eval/benchmark vector — the
+    * embedding-level complement of exact-shingle decontamination (dp09):
+    * paraphrased or lightly-edited benchmark items share no 4-token
+    * shingle but sit next to the benchmark in embedding space. Returns
+    * one row per contaminated training vector with how many eval items
+    * it matched and the closest similarity, so the pipeline can drop or
+    * audit before training.
+    *
+    * Scale shape (the ivfTopK probe pattern, threshold-gated instead of
+    * top-k): the TRAINING side assigns once against the bounded trained
+    * centroid broadcast via the partial-aggregatable argmax; the EVAL
+    * side (bounded — benchmarks are small) ranks its top-`nProbe` cells
+    * with a window over only evals × k; exact cosine runs solely inside
+    * probed cells, so candidate volume is ~ evals × nProbe × cell
+    * population (≈ the [[scaledCellCount]] target), never train × eval.
+    * A train row can match via at most `nProbe` distinct cells but is
+    * assigned to exactly one, so each (eval, train) pair arises at most
+    * once — no dedup pass needed. Same determinism contract as
+    * ann01/ann04 (rounded cosine, id tie-breaks): oracle-checkable.
+    *
+    * Recall caveat (shared with ann04/ann07's IVF arms): an eval
+    * neighbor whose cell is outside the eval's `nProbe` closest cells is
+    * missed; raise `nProbe` to trade cost for recall. The dd15 oracle
+    * mirrors the same probe set op-for-op.
+    */
+  def semanticContaminated(df: DataFrame, idCol: String, vecCol: String,
+      evalPred: Column, centroids: DataFrame, threshold: Double,
+      nProbe: Int = 2, roundSim: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val train = df.where(!evalPred)
+    val assigned = assignToCentroids(train, idCol, vecCol, centroids, roundSim)
+      .select(col(idCol).as("train_id"), col("cell"))
+    val evals = df.where(evalPred)
+    val scoredQ = evals
+      .select(col(idCol).as("eval_id"),
+        col(vecCol).cast("array<double>").as("_sc_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_sc_qsim", round(cosine(col("_sc_qv"), col("cvec")), roundSim))
+    val wp = Window.partitionBy("eval_id")
+      .orderBy(col("_sc_qsim").desc, col("cell").asc)
+    val probes = scoredQ.withColumn("_sc_rn", row_number().over(wp))
+      .where(col("_sc_rn") <= nProbe)
+      .select(col("eval_id"), col("cell"))
+    val cand = probes.join(assigned, Seq("cell"))
+      .select("eval_id", "train_id")
+    // eval vectors broadcast by contract (bounded); train side UNHINTED
+    val q = evals.select(col(idCol).as("eval_id"), col(vecCol).as("_sc_qvec"))
+    val n = train.select(col(idCol).as("train_id"), col(vecCol).as("_sc_nvec"))
+    cand.join(broadcast(q), Seq("eval_id")).join(n, Seq("train_id"))
+      .withColumn("sim", round(cosine(col("_sc_qvec"), col("_sc_nvec")), roundSim))
+      .where(col("sim") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_evals"), max(col("sim")).as("max_sim"))
+  }
+
   /** Deterministic distributed Lloyd's iterations — the IVF index
     * TRAINING step the seed-centroid demo (ann04) stops short of. Each
     * iteration is: assign every training vector to its nearest centroid

@@ -3126,6 +3126,70 @@ object Catalog {
         .orderBy("cell", "id1", "id2")
     })
 
+  // Semantic decontamination: training vectors within 0.6 cosine of any
+  // eval/benchmark vector (vec_id % 11 = 0, dp09's eval convention) —
+  // the embedding-level complement of dp09's exact-shingle check:
+  // paraphrased benchmark items share no 4-token shingle but sit next
+  // to the benchmark in embedding space. Same trained centroids as dd13
+  // (kp/smp CTE chain); the train side assigns ONCE via the bounded
+  // broadcast argmax, the small eval side probes its top-2 cells, exact
+  // cosine only inside probed cells — candidate volume ~ evals × 2 ×
+  // cell target, never train × eval.
+  private val dd15 = Q("dd15_semantic_decontam", Some(s"""
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    tr AS (SELECT vec_id, e FROM v WHERE vec_id % 11 <> 0),
+    ev AS (SELECT vec_id, e FROM v WHERE vec_id % 11 = 0),
+    st AS (SELECT tr.vec_id, c2.cell,
+             ${km16Cos.format("tr", "c2", "tr", "tr", "c2", "c2")} AS csim
+           FROM tr CROSS JOIN c2),
+    at AS (SELECT vec_id AS train_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM st) t WHERE rn = 1),
+    se AS (SELECT ev.vec_id, c2.cell,
+             ${km16Cos.format("ev", "c2", "ev", "ev", "c2", "c2")} AS csim
+           FROM ev CROSS JOIN c2),
+    pe AS (SELECT vec_id AS eval_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM se) t WHERE rn <= 2),
+    cand AS (SELECT pe.eval_id, at.train_id FROM pe JOIN at USING (cell)),
+    scored AS (
+      SELECT c.train_id,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM cand c
+      JOIN ev q ON q.vec_id = c.eval_id
+      JOIN tr n ON n.vec_id = c.train_id)
+    SELECT train_id, count(*) AS n_evals, max(sim) AS max_sim
+    FROM scored WHERE sim >= 0.6
+    GROUP BY train_id ORDER BY train_id"""),
+    (s, d) => {
+      val emb16 = T(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      val k = SimilarityOps.scaledCellCount(
+        Tables.parquetRowCount(s, s"$d/embeddings.parquet"), targetCell = 64)
+      val cent = SimilarityOps.kmeansFit(emb16, "vec_id", "v16", k = k,
+          iters = 2, samplePerCell = 16)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+      SimilarityOps.semanticContaminated(emb16, "vec_id", "v16",
+          col("vec_id") % 11 === 0,
+          graft.operators.Exec.materializeForSelfJoin(cent),
+          threshold = 0.6, nProbe = 2, roundSim = 6)
+        .orderBy("train_id")
+    })
+
   // Corpus-commonness scoring (boilerplate signal for curation): build
   // the corpus unigram frequency table, then score each doc by the sum
   // of its tokens' corpus counts. Pure integer arithmetic — exact on any
@@ -3762,7 +3826,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14,
+    dd13, dd14, dd15,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     mm01, mm02, mm03, mm04, mm05,

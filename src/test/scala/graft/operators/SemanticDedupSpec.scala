@@ -149,4 +149,58 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"window (full n×k shuffle) back in the assignment plan:\n$plan")
   }
+
+  test("semanticContaminated flags a planted twin; output ⊆ brute-force truth") {
+    // eval ids are multiples of 11; plant train 23 as an exact copy of
+    // eval 22 — it must surface with max_sim 1.0. The linear-congruent
+    // corpus is deliberately self-similar (vectors are small constant
+    // shifts of each other), so OTHER train ids legitimately clear a
+    // 0.999 threshold too; the contract checked here is the IVF one:
+    // every flagged id is a true contamination (no false positives,
+    // sims exact), and the exact-copy plant is never missed.
+    val base = corpus(256)
+    val evalVec = base.where(col("id") === 22).select("vec")
+      .as[Seq[Float]].head()
+    val planted = base.where(col("id") =!= 23)
+      .unionByName(Seq((23L, evalVec)).toDF("id", "vec"))
+    val cents = trainedCentroids(planted, 8)
+    val out = SimilarityOps.semanticContaminated(planted, "id", "vec",
+        col("id") % 11 === 0, cents, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.contains(23L), s"planted twin not flagged: ${out.keySet}")
+    assert(out(23L)._2 == 1.0, s"twin max_sim ${out(23L)._2} != 1.0")
+    // brute-force truth: rounded cosine vs EVERY eval, same 6-dp rounding
+    val rows = planted.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val evalIds = rows.keySet.filter(_ % 11 == 0)
+    val truth = (rows.keySet -- evalIds).flatMap { t =>
+      val sims = evalIds.toSeq.map(e => cos(rows(t), rows(e))).filter(_ >= 0.999)
+      if (sims.isEmpty) None else Some(t -> (sims.size.toLong, sims.max))
+    }.toMap
+    val falsePos = out.keySet -- truth.keySet
+    assert(falsePos.isEmpty, s"false positives: $falsePos")
+    // flagged sims must be exact (max_sim ≤ the true max; equality when
+    // the top eval's cell was probed), and counts can only undercount
+    out.foreach { case (id, (nEvals, maxSim)) =>
+      assert(maxSim <= truth(id)._2 + 1e-9 && nEvals <= truth(id)._1,
+        s"id $id: got ($nEvals, $maxSim) vs truth ${truth(id)}")
+    }
+    // with k=8 cells over 256 rows and nProbe=2, the probe must not be
+    // degenerate: the overwhelming majority of true contaminations hit
+    assert(out.size * 10 >= truth.size * 8,
+      s"recall collapse: ${out.size}/${truth.size} flagged")
+  }
+
+  test("semanticContaminated: empty eval side yields empty output, not a crash") {
+    val df = corpus(128)
+    val cents = trainedCentroids(df, 4)
+    val out = SimilarityOps.semanticContaminated(df, "id", "vec",
+        lit(false), cents, threshold = 0.5)
+    assert(out.count() == 0)
+  }
 }

@@ -34,6 +34,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann04_ivf",    // 16-row seed-centroid cross join (was hidden behind a
                     // localCheckpoint; DISK_ONLY persist keeps it visible)
     "dd13_semantic_dedup", // k-row TRAINED centroid cross join (assignment)
+    "dd15_semantic_decontam", // same k-row centroid cross join, both sides
     "ann07_recall", // 1-row (n_queries x hits) cross joins, one per method
     "tx06_tfidf", "tx11_vocab_coverage", "dp07_weighted_sample",
     "dp08_ingest_gate")
@@ -90,6 +91,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann07_recall",            // query-vector sets of the graded configs
     "dd10_bloom_prefilter",    // broadcast bit-set (the operator's point)
     "dd13_semantic_dedup",     // k-row trained centroid set (bounded by k)
+    "dd15_semantic_decontam",  // k-row centroids + bounded eval-vector set
     "tx06_tfidf",              // 1-row doc count only (df joins unhinted)
     "tx11_vocab_coverage",     // 1-row corpus aggregate
     "dp07_weighted_sample",    // 1-row total-weight aggregate
