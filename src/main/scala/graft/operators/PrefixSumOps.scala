@@ -106,4 +106,36 @@ object PrefixSumOps {
       else bucketWidthFor(bounds.getLong(1) - bounds.getLong(0) + 1)
     exclusiveRunningSum(df, partCols, orderCol, valueCol, outCol, width)
   }
+
+  /** Budget-take (data-mixture selection): keep, per group, the rows
+    * first in `orderCol` order until the group's `valueCol` budget is
+    * exhausted — "this language contributes N tokens" as one relational
+    * pass, no per-group driver loop. A row is kept iff the EXCLUSIVE
+    * running sum of earlier rows' values is still below the group's
+    * budget, so the row that crosses the boundary IS kept (overflow-take,
+    * the dp03 overflow-pack convention); a budget <= 0 keeps nothing and
+    * a budget >= the group total keeps everything. With a salted-hash
+    * `orderCol` the take is a deterministic uniform sample, stratified by
+    * group and measured in VALUE (tokens), not row count — the data-
+    * recipe selection step (sample each source down to its token share),
+    * where row-fraction sampling ([[graft.queries.Catalog]] dp11) would
+    * over-draw groups with long documents.
+    *
+    * Scale shape: the running sum is [[exclusiveRunningSumAuto]] — the
+    * two-phase decomposition, NOT a bare window over the low-cardinality
+    * group key (one reducer per language at 100 TB); `budgets` (one row
+    * per group, columns `partCols` + `budgetCol`) joins back UNHINTED on
+    * the group key, so AQE broadcasts it exactly when it fits (the tx08
+    * discipline). Groups absent from `budgets` keep nothing (inner
+    * join — an explicit zero-budget row is equivalent). Inherits
+    * [[exclusiveRunningSum]]'s contract: `orderCol` numeric,
+    * non-negative, unique within its group.
+    */
+  def takeUntilBudget(df: DataFrame, partCols: Seq[String],
+      orderCol: String, valueCol: String, budgets: DataFrame,
+      budgetCol: String = "budget"): DataFrame =
+    exclusiveRunningSumAuto(df, partCols, orderCol, valueCol, "_tb_excl")
+      .join(budgets, partCols)
+      .where(col("_tb_excl") < col(budgetCol))
+      .drop("_tb_excl", budgetCol)
 }

@@ -2383,6 +2383,116 @@ object Catalog {
         .orderBy("id1", "id2")
     })
 
+  // Token-budget mixture selection (the data-recipe "take"): each
+  // language contributes docs, drawn in salted-hash order, until its
+  // TOKEN budget — here 30% of the language's own token volume, integer-
+  // exact ((sum*3) div 10) — is exhausted. dp11's row-fraction sampling
+  // over-draws groups with long documents; budgets are specified in
+  // tokens, so the running token sum decides membership. The prefix sum
+  // is PrefixSumOps two-phase (never one reducer per language); the
+  // 5-row budget table joins back unhinted; the boundary-crossing doc is
+  // kept (overflow-take, dp03's convention). Deterministic: the 60-bit
+  // salted-md5 order key is a pure function of doc_id.
+  private val dp13 = Q("dp13_token_budget", Some("""
+    WITH t AS (
+      SELECT doc_id, lang,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang, n_tok,
+        ('0x' || substr(md5('mix:' || cast(doc_id as varchar)), 1, 15))::BIGINT AS hk
+      FROM t),
+    b AS (SELECT lang, (sum(n_tok) * 3) // 10 AS budget FROM t GROUP BY lang),
+    c AS (
+      SELECT lang, doc_id, n_tok, hk,
+        sum(n_tok) OVER (PARTITION BY lang ORDER BY hk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_excl
+      FROM h)
+    SELECT c.doc_id, c.lang, cast(c.n_tok as bigint) AS n_tok
+    FROM c JOIN b USING (lang)
+    WHERE c.cum_excl < b.budget
+    ORDER BY doc_id"""),
+    (s, d) => {
+      val t = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val h = t.withColumn("hk",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+      val b = t.groupBy("lang").agg(expr("sum(n_tok) * 3 div 10").as("budget"))
+      PrefixSumOps.takeUntilBudget(h, Seq("lang"), "hk", "n_tok", b)
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+        .orderBy("doc_id")
+    })
+
+  // Split repair (the step dp12's audit feeds): quarantine every TRAIN
+  // doc that is a near-dup candidate of a doc OUTSIDE train — a val/test
+  // twin left in train silently inflates eval numbers, so the repaired
+  // roster drops it. Same dd02 banded candidate kernel and dp02 split
+  // expression as dp12 (candidate volume bounded by the banded
+  // equi-join); the quarantine list is DISTINCT train-side ids, one LEFT
+  // join marks the roster, and the per-language before/after counts are
+  // one hash aggregation. train↔train dups are dd06's concern, not
+  // leakage — only pairs with exactly one train side quarantine.
+  private val dp14 = Q("dp14_leakage_quarantine", Some(s"""
+    WITH $minhashCtes,
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id),
+    sp AS (
+      SELECT doc_id, lang, n_chars,
+        CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, lang, n_chars,
+          ('0x' || substr(md5('split:' || cast(doc_id as varchar)), 1, 15))::BIGINT
+            / 1152921504606846976.0 AS frac
+        FROM documents) f),
+    leak AS (
+      SELECT DISTINCT CASE WHEN a.split = 'train' THEN p.id1 ELSE p.id2 END AS doc_id
+      FROM pairs p
+      JOIN sp a ON a.doc_id = p.id1
+      JOIN sp b ON b.doc_id = p.id2
+      WHERE (a.split = 'train') <> (b.split = 'train')),
+    tr AS (SELECT doc_id, lang, n_chars FROM sp WHERE split = 'train')
+    SELECT tr.lang,
+      count(*) AS n_train_before,
+      cast(count(l.doc_id) as bigint) AS n_quarantined,
+      cast(count(*) - count(l.doc_id) as bigint) AS n_train_after,
+      cast(sum(CASE WHEN l.doc_id IS NULL THEN tr.n_chars ELSE 0 END) as bigint)
+        AS chars_after
+    FROM tr LEFT JOIN leak l ON l.doc_id = tr.doc_id
+    GROUP BY tr.lang ORDER BY tr.lang"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      // dp02's exact split expression (same salt, same 60-bit draw)
+      val frac = conv(substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / 1.152921504606846976e18
+      val sp = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
+          .as("split"))
+      val lab = DedupOps.minhashCandidates(docs, "text", "doc_id",
+          shingleK = 3, bands = 4, rowsPerBand = 4)
+        .join(sp.select(col("doc_id").as("id1"), col("split").as("s1")), "id1")
+        .join(sp.select(col("doc_id").as("id2"), col("split").as("s2")), "id2")
+      val leak = lab.where((col("s1") === "train") =!= (col("s2") === "train"))
+        .select(when(col("s1") === "train", col("id1")).otherwise(col("id2"))
+          .as("doc_id"))
+        .distinct()
+      sp.where(col("split") === "train")
+        .join(leak.withColumn("_q", lit(1)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_train_before"),
+          count(col("_q")).as("n_quarantined"),
+          (count(lit(1)) - count(col("_q"))).as("n_train_after"),
+          sum(when(col("_q").isNull, col("n_chars")).otherwise(lit(0L)))
+            .as("chars_after"))
+        .orderBy("lang")
+    })
+
   // Benchmark decontamination (test-set overlap removal): the standard
   // pretraining hygiene step — a training doc sharing any 4-token shingle
   // with an eval/benchmark doc is flagged with its overlap count, so it
@@ -3831,5 +3941,5 @@ object Catalog {
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10, dp11, dp12)
+    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14)
 }

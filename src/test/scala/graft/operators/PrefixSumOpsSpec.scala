@@ -88,4 +88,87 @@ class PrefixSumOpsSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("g", "ord", "v", "cum"))
     assert(out.count() == df.count())
   }
+
+  // ---- takeUntilBudget (dp13's kernel) ----
+
+  // non-negative values for the budget tests (token counts can't be < 0)
+  private lazy val tok = {
+    import spark.implicits._
+    (0 until 900).map { i =>
+      (s"g${i % 3}", i.toLong * 7 + (i % 5), math.abs((i * 2654435761L) % 13))
+    }.toDF("g", "ord", "v")
+  }
+
+  /** Brute-force oracle: per group, walk rows in `ord` order keeping
+    * while the exclusive running total is below the budget.
+    */
+  private def bruteTake(budgets: Map[String, Long]): Set[(String, Long)] = {
+    val rows = tok.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.toSeq.flatMap { case (g, rs) =>
+      val budget = budgets.getOrElse(g, 0L)
+      var cum = 0L
+      rs.sortBy(_._2).flatMap { case (_, ord, v) =>
+        val keep = cum < budget
+        cum += v
+        if (keep) Some((g, ord)) else None
+      }
+    }.toSet
+  }
+
+  test("takeUntilBudget matches the brute-force walk, boundary row kept") {
+    import spark.implicits._
+    val budgets = Map("g0" -> 100L, "g1" -> 1L, "g2" -> 987L)
+    val bdf = budgets.toSeq.toDF("g", "budget")
+    val got = PrefixSumOps.takeUntilBudget(tok, Seq("g"), "ord", "v", bdf)
+      .select("g", "ord").as[(String, Long)].collect().toSet
+    val want = bruteTake(budgets)
+    assert(got == want, s"diff: ${(got -- want) ++ (want -- got)}")
+    // budget 1 with a zero-valued first row: rows are kept while the
+    // exclusive cum stays < 1, i.e. every leading zero-token row AND the
+    // first positive row — the boundary-crossing row is IN (overflow-take)
+    assert(want.count(_._1 == "g1") >= 1)
+  }
+
+  test("takeUntilBudget: zero budget keeps nothing; total budget keeps all") {
+    import spark.implicits._
+    // budget = total + 1: strictly above every exclusive prefix, so all
+    // rows keep. (Exactly total would drop a TRAILING zero-value row —
+    // its exclusive prefix already equals the whole budget.)
+    val totals = tok.groupBy("g").agg((sum("v") + 1).as("budget"))
+    val all = PrefixSumOps.takeUntilBudget(tok, Seq("g"), "ord", "v", totals)
+    assert(all.count() == tok.count(), "budget > group total must keep every row")
+    val none = PrefixSumOps.takeUntilBudget(tok, Seq("g"), "ord", "v",
+      Seq(("g0", 0L), ("g1", 0L), ("g2", 0L)).toDF("g", "budget"))
+    assert(none.count() == 0, "budget 0 must keep nothing")
+  }
+
+  test("takeUntilBudget: groups absent from the budget table keep nothing") {
+    import spark.implicits._
+    val out = PrefixSumOps.takeUntilBudget(tok, Seq("g"), "ord", "v",
+        Seq(("g1", 50L)).toDF("g", "budget"))
+      .select("g").distinct().as[String].collect().toSet
+    assert(out == Set("g1"))
+  }
+
+  test("takeUntilBudget plans no broadcast hint and no low-card group window") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val bdf = Seq(("g0", 10L), ("g1", 10L), ("g2", 10L)).toDF("g", "budget")
+    val qe = PrefixSumOps.takeUntilBudget(tok, Seq("g"), "ord", "v", bdf)
+      .queryExecution
+    assert(qe.analyzed.collectFirst { case h: ResolvedHint => h }.isEmpty,
+      "budget join must stay unhinted (AQE decides)")
+    // a bare-(g) window is allowed ONLY over the reduced bucket table
+    // (child = Aggregate): that's phase 3, ≤ range/width rows per group.
+    // Over the full input it would be one reducer per group.
+    val bare = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.size < 2 &&
+            !w.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] => w
+    }
+    assert(bare.isEmpty,
+      s"single-key window over a non-reduced input (one reducer per group):\n$bare")
+  }
 }
