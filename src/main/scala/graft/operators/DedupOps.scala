@@ -418,6 +418,59 @@ object DedupOps {
     spanRuns(pairs, "new_id", "existing_id", minRun)
   }
 
+  /** Cross-document duplicate-token coverage — the corpus-level
+    * "duplicated n-gram fraction" document filter (MassiveText /
+    * RefinedWeb style): for each doc, the fraction of its TOKENS covered
+    * by at least one k-token shingle that also occurs in a DIFFERENT
+    * document. [[substringSpans]] reports pairwise shared passages; this
+    * collapses the same signal to a per-doc scalar so heavily-syndicated
+    * documents can be gated without materializing any pair list. A
+    * shingle repeated only within its own doc does not count (that is
+    * tx09/tx12's within-doc repetition axis).
+    *
+    * Scale shape — strictly linear, no self-join anywhere: one hash agg
+    * over the fixed-width 16-char md5 shingle key (map-side combinable
+    * `countDistinct` via partial sets), one equi-join back on that key
+    * (unhinted — AQE broadcasts the duplicated-key list if it fits), then
+    * per-DOC interval union via the islands trick (windows partitioned by
+    * the high-cardinality doc id, never a corpus-wide slice): a covering
+    * shingle at position p spans [p, p+k-1]; an island starts where p
+    * exceeds the running max end of earlier spans; covered tokens =
+    * sum over islands of (max end - min start + 1) — overlapping spans
+    * are never double-counted. Docs shorter than k tokens have no
+    * shingles and coverage 0. Integer-exact counts; the single IEEE
+    * division producing `dup_frac` is mirrored in the dd16 oracle.
+    *
+    * @return [idCol, n_tok, dup_tok, dup_frac] one row per non-empty doc
+    */
+  def duplicateCoverage(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2)
+    val sh = Exec.materializeLarge(positionalShingles(df, textCol, idCol, k))
+    val dupKeys = sh.groupBy("_h").agg(countDistinct("_id").as("_nd"))
+      .where(col("_nd") >= 2).select("_h")
+    val spans = sh.join(dupKeys, "_h")
+      .select(col("_id"), col("_p").as("_s"), (col("_p") + k - 1).as("_e"))
+    val wPrev = Window.partitionBy("_id").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("_id").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val covered = spans
+      .withColumn("_new", when(max(col("_e")).over(wPrev).isNull
+        || col("_s") > max(col("_e")).over(wPrev), 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wRun))
+      .groupBy("_id", "_isl")
+      .agg((max(col("_e")) - min(col("_s")) + 1).as("_cov"))
+      .groupBy("_id").agg(sum("_cov").cast("long").as("dup_tok"))
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .join(covered.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+        (coalesce(col("dup_tok"), lit(0L)).cast("double") / col("n_tok"))
+          .as("dup_frac"))
+  }
+
   /** Convergence telemetry from the most recent [[connectedComponents]]
     * run in this JVM: round count and per-round wall millis. Exists so
     * the bench's scale probe can distinguish "iteration count grows with

@@ -3679,6 +3679,56 @@ object Catalog {
         .orderBy("new_id", "existing_id")
     })
 
+  // Cross-document duplicate-token coverage (MassiveText/RefinedWeb's
+  // corpus-level duplicated-n-gram document filter): per doc, the
+  // fraction of tokens covered by ≥1 8-token shingle that also occurs in
+  // a DIFFERENT doc. dd12 reports pairwise passages; this collapses the
+  // same signal to one scalar per doc with NO self-join anywhere — one
+  // hash agg on the fixed-width shingle key, one equi-join back, then a
+  // per-doc interval union (islands over the high-cardinality doc key)
+  // so overlapping spans never double-count. Integer-exact counts; the
+  // one IEEE division is mirrored.
+  private val dd16 = Q("dd16_dup_coverage", Some("""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+        unnest(generate_series(1, len(tk) - 7)) AS p,
+        unnest(list_transform(generate_series(1, len(tk) - 7),
+          i -> substr(md5(array_to_string(list_slice(tk, i, i + 7), ' ')), 1, 16))) AS h
+      FROM t WHERE len(tk) >= 8),
+    dup AS (
+      SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+      WHERE nd >= 2),
+    sp AS (SELECT sh.doc_id, sh.p AS s, sh.p + 7 AS e FROM sh JOIN dup USING (h)),
+    mx AS (
+      SELECT doc_id, s, e,
+        max(e) OVER (PARTITION BY doc_id ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM sp),
+    il AS (
+      SELECT doc_id, s, e,
+        sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM mx),
+    cov AS (
+      SELECT doc_id, sum(ce) AS dup_tok FROM (
+        SELECT doc_id, gid, max(e) - min(s) + 1 AS ce
+        FROM il GROUP BY doc_id, gid) g GROUP BY doc_id),
+    n AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT n.doc_id, cast(n.n_tok as bigint) AS n_tok,
+      cast(coalesce(c.dup_tok, 0) as bigint) AS dup_tok,
+      cast(coalesce(c.dup_tok, 0) as double) / n.n_tok AS dup_frac
+    FROM n LEFT JOIN cov c ON c.doc_id = n.doc_id
+    ORDER BY n.doc_id"""),
+    (s, d) => DedupOps.duplicateCoverage(T(s, d, "documents"), "text",
+        "doc_id", k = 8)
+      .orderBy("doc_id"))
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -3936,7 +3986,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14, dd15,
+    dd13, dd14, dd15, dd16,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     mm01, mm02, mm03, mm04, mm05,

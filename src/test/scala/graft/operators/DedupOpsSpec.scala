@@ -180,4 +180,75 @@ class DedupOpsSpec extends AnyFunSuite {
       k = 4, maxDocsPerShingle = 8, minRun = 1)
     assert(kept.count() == 5, "batch doc should pair with all 5 history docs")
   }
+
+  // ---- duplicateCoverage (dd16) ----
+
+  /** Brute-force oracle: token positions covered by any k-shingle whose
+    * text occurs in at least one OTHER doc.
+    */
+  private def bruteCoverage(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val owners = toks.flatMap { case (id, tk) =>
+      tk.sliding(k).filter(_.size == k).map(s => (s.mkString(" "), id))
+    }.groupBy(_._1).map { case (s, os) => s -> os.map(_._2).distinct.size }
+    toks.map { case (id, tk) =>
+      val covered = tk.sliding(k).zipWithIndex.collect {
+        case (s, i) if s.size == k && owners(s.mkString(" ")) >= 2 =>
+          i until (i + k)
+      }.flatten.toSet
+      id -> (tk.size.toLong, covered.size.toLong)
+    }.toMap
+  }
+
+  test("duplicateCoverage: overlapping shared spans union, never double-count") {
+    val passage = "the quick brown fox jumps over the lazy dogs tonight"
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma"),
+      (2L, s"one two three $passage"),
+      (3L, "entirely different words with no overlap at all here now"),
+      (4L, "tiny doc") // shorter than k: no shingles, coverage 0
+    )
+    val got = DedupOps.duplicateCoverage(docs.toDF("doc_id", "text"),
+        "text", "doc_id", k = 4)
+      .select("doc_id", "n_tok", "dup_tok").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == bruteCoverage(docs, 4), s"got $got")
+    // the 10-token passage yields 7 overlapping 4-shingles in each
+    // carrier but exactly 10 covered tokens — the island union, not 7*4
+    assert(got(1L)._2 == 10L && got(2L)._2 == 10L)
+    assert(got(3L)._2 == 0L && got(4L)._2 == 0L)
+  }
+
+  test("duplicateCoverage: within-doc repetition does not count as duplication") {
+    // doc 1 repeats its own passage twice but shares nothing cross-doc:
+    // countDistinct(doc) == 1 for every shingle -> coverage 0 (that axis
+    // belongs to tx09/tx12)
+    val docs = Seq(
+      (1L, "a b c d e f a b c d e f"),
+      (2L, "unrelated words only in this second document right here")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.duplicateCoverage(docs, "text", "doc_id", k = 4)
+      .select("doc_id", "dup_tok").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L), s"got $got")
+  }
+
+  test("duplicateCoverage: disjoint shared regions sum; frac is exact") {
+    // docs 1/2 share HEAD, docs 1/3 share TAIL -> doc 1 covers both
+    // islands; gap between them stays uncovered
+    val head = "h1 h2 h3 h4"
+    val tail = "t1 t2 t3 t4"
+    val docs = Seq(
+      (1L, s"$head gap1 gap2 gap3 $tail"),
+      (2L, s"x1 x2 $head y1 y2"),
+      (3L, s"z1 z2 z3 $tail w1")
+    )
+    val row = DedupOps.duplicateCoverage(docs.toDF("doc_id", "text"),
+        "text", "doc_id", k = 4)
+      .where(col("doc_id") === 1L)
+      .select("n_tok", "dup_tok", "dup_frac")
+      .as[(Long, Long, Double)].collect().head
+    assert(row._1 == 11L && row._2 == 8L, s"got $row")
+    assert(row._3 == 8.0 / 11.0)
+    assert(bruteCoverage(docs, 4)(1L) == ((11L, 8L)))
+  }
 }
