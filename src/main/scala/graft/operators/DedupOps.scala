@@ -471,6 +471,40 @@ object DedupOps {
           .as("dup_frac"))
   }
 
+  /** N-gram novelty score — the ORDER-AWARE face of cross-doc
+    * duplication: per doc, the fraction of its k-token shingle
+    * occurrences whose earliest corpus occurrence (min doc id) is the
+    * doc itself. First writers of a passage score 1.0 on it; later
+    * copies score 0 on the copied span — which is what a
+    * dedup-aware curriculum (train on first occurrences, down-weight
+    * repeats) needs, where [[duplicateCoverage]] penalizes both sides of
+    * a duplicate equally. Requires a meaningful order on `idCol`
+    * (ingestion order / crawl date rank).
+    *
+    * Scale shape, identical to [[duplicateCoverage]]'s linear skeleton:
+    * one map-side-combinable `min` per fixed-width shingle key, one
+    * equi-join back (unhinted — AQE broadcasts the first-writer table if
+    * it fits), one per-doc hash agg. No self-join, no window. Counts are
+    * exact integers; the one IEEE division is mirrored in the tx13
+    * oracle. Docs with fewer than k tokens have no shingles and are
+    * absent from the output.
+    *
+    * @return [idCol, n_shingles, n_novel, novelty_frac]
+    */
+  def noveltyScores(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2)
+    val sh = Exec.materializeLarge(positionalShingles(df, textCol, idCol, k))
+    val first = sh.groupBy("_h").agg(min("_id").as("_first"))
+    sh.join(first, "_h")
+      .groupBy("_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("_id") === col("_first"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .select(col("_id").as(idCol), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty_frac"))
+  }
+
   /** Convergence telemetry from the most recent [[connectedComponents]]
     * run in this JVM: round count and per-round wall millis. Exists so
     * the bench's scale probe can distinguish "iteration count grows with

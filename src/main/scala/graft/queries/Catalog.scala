@@ -2425,6 +2425,68 @@ object Catalog {
         .orderBy("doc_id")
     })
 
+  // Temperature-scaled mixture budgets (the multilingual data-recipe
+  // move, τ = 2: sample languages ∝ sqrt of their token share so
+  // low-resource languages are up-weighted without letting any dominate)
+  // feeding dp13's takeUntilBudget kernel. Integer-exact end to end:
+  // weights are floor(sqrt(c_l)) — sqrt is IEEE-correctly-rounded in
+  // both engines and c_l < 2^53 is exact in double, so the floored
+  // weight is deterministic — and budgets are (B * s_l) div S in BIGINT.
+  // Output is the 5-row per-language plan + what the take actually drew,
+  // showing the flattening (raw share vs temperature share).
+  private val dp15 = Q("dp15_temperature_mixture", Some("""
+    WITH t AS (
+      SELECT doc_id, lang,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+      FROM documents),
+    c AS (SELECT lang, cast(sum(n_tok) as bigint) AS c_tok FROM t GROUP BY lang),
+    w AS (SELECT lang, c_tok, cast(floor(sqrt(c_tok)) as bigint) AS s FROM c),
+    b AS (
+      SELECT lang, c_tok, s,
+        cast(((SELECT (sum(c_tok) * 3) // 10 FROM c) * s)
+          // (SELECT sum(s) FROM w) as bigint) AS budget
+      FROM w),
+    h AS (
+      SELECT doc_id, lang, n_tok,
+        ('0x' || substr(md5('temp:' || cast(doc_id as varchar)), 1, 15))::BIGINT AS hk
+      FROM t),
+    cum AS (
+      SELECT lang, doc_id, n_tok,
+        sum(n_tok) OVER (PARTITION BY lang ORDER BY hk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_excl
+      FROM h),
+    tk AS (
+      SELECT cum.lang, count(*) AS n_docs,
+        cast(sum(cum.n_tok) as bigint) AS tokens_taken
+      FROM cum JOIN b USING (lang)
+      WHERE cum.cum_excl < b.budget GROUP BY cum.lang)
+    SELECT b.lang, b.c_tok, b.budget, tk.n_docs, tk.tokens_taken
+    FROM b JOIN tk ON tk.lang = b.lang
+    ORDER BY b.lang"""),
+    (s, d) => {
+      val t = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val c = t.groupBy("lang").agg(sum("n_tok").cast("long").as("c_tok"))
+      val w = c.withColumn("s", floor(sqrt(col("c_tok"))).cast("long"))
+      // both scalars are 1-row aggregates; cross-joined in (tiny, exact)
+      val totals = w.agg(expr("cast(sum(c_tok) * 3 div 10 as long)").as("_B"),
+        sum(col("s")).cast("long").as("_S"))
+      val b = w.crossJoin(totals)
+        .withColumn("budget", expr("cast((_B * s) div _S as long)"))
+        .select("lang", "c_tok", "s", "budget")
+      val h = t.withColumn("hk",
+        conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+      val taken = PrefixSumOps.takeUntilBudget(h, Seq("lang"), "hk", "n_tok",
+          b.select("lang", "budget"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("tokens_taken"))
+      b.join(taken, "lang")
+        .select("lang", "c_tok", "budget", "n_docs", "tokens_taken")
+        .orderBy("lang")
+    })
+
   // Split repair (the step dp12's audit feeds): quarantine every TRAIN
   // doc that is a near-dup candidate of a doc OUTSIDE train — a val/test
   // twin left in train silently inflates eval numbers, so the repaired
@@ -3818,6 +3880,35 @@ object Catalog {
     (s, d) => TextOps.repetitionScores(T(s, d, "documents"), "text", "doc_id")
       .orderBy("doc_id"))
 
+  // N-gram novelty (order-aware cross-doc duplication): per doc, the
+  // share of its 8-token shingle occurrences whose EARLIEST corpus
+  // occurrence (min doc_id) is the doc itself. First writers score 1.0,
+  // later copies score 0 on the copied span — the signal a dedup-aware
+  // curriculum keys on, where dd16 penalizes both sides equally. Linear:
+  // one min-per-shingle hash agg, one equi-join back, one per-doc agg;
+  // no self-join. Integer counts; one mirrored IEEE division.
+  private val tx13 = Q("tx13_novelty", Some("""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(tk) - 7),
+          i -> substr(md5(array_to_string(list_slice(tk, i, i + 7), ' ')), 1, 16))) AS h
+      FROM t WHERE len(tk) >= 8),
+    f AS (SELECT h, min(doc_id) AS first_id FROM sh GROUP BY h)
+    SELECT sh.doc_id,
+      cast(count(*) as bigint) AS n_shingles,
+      cast(sum(CASE WHEN sh.doc_id = f.first_id THEN 1 ELSE 0 END) as bigint)
+        AS n_novel,
+      cast(sum(CASE WHEN sh.doc_id = f.first_id THEN 1 ELSE 0 END) as double)
+        / count(*) AS novelty_frac
+    FROM sh JOIN f USING (h)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id"""),
+    (s, d) => DedupOps.noveltyScores(T(s, d, "documents"), "text", "doc_id",
+        k = 8)
+      .orderBy("doc_id"))
+
   // Size-weighted deterministic sampling: include a doc with probability
   // proportional to its length, decided by an integer comparison of a
   // 32-bit md5 draw against n_chars — uniform, reproducible under any
@@ -3989,7 +4080,8 @@ object Catalog {
     dd13, dd14, dd15, dd16,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
+    tx13,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14)
+    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15)
 }

@@ -251,4 +251,36 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(row._3 == 8.0 / 11.0)
     assert(bruteCoverage(docs, 4)(1L) == ((11L, 8L)))
   }
+
+  // ---- noveltyScores (tx13) ----
+
+  test("noveltyScores: first writer scores 1.0, the later copy loses the span") {
+    val passage = "p1 p2 p3 p4 p5 p6"
+    val docs = Seq(
+      (1L, s"a1 a2 $passage a3"),          // earliest carrier: all novel
+      (2L, s"b1 b2 b3 b4 b5 b6 b7 b8"),    // unique content: all novel
+      (3L, s"c1 c2 c3 $passage"),          // copies doc 1's passage
+      (4L, "short")                        // < k tokens: absent
+    ).toDF("doc_id", "text")
+    val got = DedupOps.noveltyScores(docs, "text", "doc_id", k = 4)
+      .select("doc_id", "n_shingles", "n_novel").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc1: 9 tokens -> 6 shingles, all first occurrences
+    // doc3: 9 tokens -> 6 shingles; the 3 pure passage shingles were
+    // first written by doc1, the 3 bridging c-token shingles are novel
+    assert(got(1L) == ((6L, 6L)), s"got $got")
+    assert(got(2L) == ((5L, 5L)), s"got $got")
+    assert(got(3L) == ((6L, 3L)), s"got $got")
+    assert(!got.contains(4L))
+  }
+
+  test("noveltyScores: within-doc repeats are novel only via first ownership") {
+    // one doc repeating its own passage: it IS the earliest carrier of
+    // every shingle, so everything counts novel (cross-doc order metric,
+    // not within-doc repetition — that axis is tx09/tx12)
+    val docs = Seq((7L, "a b c d a b c d")).toDF("doc_id", "text")
+    val got = DedupOps.noveltyScores(docs, "text", "doc_id", k = 4)
+      .select("n_shingles", "n_novel").as[(Long, Long)].collect().head
+    assert(got == ((5L, 5L)), s"got $got")
+  }
 }

@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd15_semantic_decontam", // same k-row centroid cross join, both sides
     "ann07_recall", // 1-row (n_queries x hits) cross joins, one per method
     "tx06_tfidf", "tx11_vocab_coverage", "dp07_weighted_sample",
-    "dp08_ingest_gate")
+    "dp08_ingest_gate",
+    "dp15_temperature_mixture") // 1-row (B, S) budget-total aggregate
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
