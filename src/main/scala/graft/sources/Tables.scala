@@ -20,14 +20,32 @@ object Tables {
     case _            => spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark's reader
-    * rejects (TIMESTAMP(NANOS) unsupported). Read nanos as long and
-    * floor-convert to a microsecond TimestampType — the same ns→µs
-    * truncation DuckDB's `epoch_us` applies, keeping the oracle exact.
+  /** Older driver corpora store `events.ts` as nanosecond-precision
+    * parquet, which Spark's reader rejects (TIMESTAMP(NANOS) unsupported)
+    * — `nanosAsLong` reads those as raw Long. Newer corpora store a
+    * native µs timestamp (pandas `timestamp[us]`, no UTC adjustment →
+    * TIMESTAMP_NTZ). [[normalizeTs]] maps both onto the same column type.
     */
   def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  /** Normalize `ts` to session-zone TimestampType whatever the physical
+    * encoding: Long epoch-nanos → floor to µs (the truncation DuckDB's
+    * `epoch_us` applies, keeping the oracle exact); TIMESTAMP_NTZ → cast
+    * (identity under the UTC session zone every entrypoint pins). All
+    * downstream operators — watermarks, `Dataset[Event]` encoders, window
+    * frames — see one stable type regardless of corpus vintage.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
@@ -37,10 +55,8 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame     = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame   = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame   = table(spark, d, "region")
-  def events(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    rawEvents(spark, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, d: String): DataFrame =
+    normalizeTs(rawEvents(spark, d))
   /** `documents`/`embeddings` feed CPU-heavy per-row operators (shingling,
     * hashing, vector math). Their test files are single-row-group parquet,
     * so the scan yields ONE partition and all that compute would serialize

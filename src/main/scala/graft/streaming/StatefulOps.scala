@@ -64,8 +64,8 @@ object StatefulOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = StreamingOps.asSourceDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
-    val events = spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(srcDir))
       .select(col("user_id"), col("event_id"), col("ts")).as[Event]
 
     val gapUs = gapSeconds * 1000000L
@@ -100,8 +100,8 @@ object StatefulOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = StreamingOps.asSourceDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(srcDir))
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
     StreamingOps.runViaFileSink(stream, "append", queryName,
@@ -129,8 +129,8 @@ object StatefulOps {
     val srcDir = StreamingOps.asSourceDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
     def side(eventType: String, prefix: String) =
-      spark.readStream.schema(schema).parquet(srcDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.sources.Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(srcDir))
         .where(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user"),
           col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))

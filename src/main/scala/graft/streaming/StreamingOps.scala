@@ -118,12 +118,12 @@ object StreamingOps {
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
       window: String = "6 hours", queryName: String = "graft_stream_agg",
       statePartitions: Option[Int] = None): DataFrame = {
-    // ns-precision source: read nanos as long, floor to µs (see Tables.events)
+    // corpus-vintage-dependent ts encoding: see Tables.normalizeTs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = asSourceDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(srcDir))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
@@ -187,9 +187,9 @@ object StreamingOps {
     if (!Files.exists(src))
       spark.read.parquet(eventsPath).repartition(splits).write.parquet(src.toString)
     val schema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString))
       .select("user_id", "event_id", "ts")
     val genRoot = base.resolve("gen").toString
     def bucketPath(g: Long, b: Int) = s"$genRoot/g$g/_bucket=$b"
