@@ -134,7 +134,44 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; stdout is the contract
-    println(line)
+    // The driver's artifact keeps only the LAST ~2 KB of stdout: ten rounds
+    // of BENCH_r*.json carry "parsed": null because the full 133-query line
+    // overflows that tail and truncates mid-object. Print a line that FITS —
+    // headline total, the top queries by wall time, error names, and the
+    // sf1 ratio/telemetry summary — and leave every per-query second in
+    // BENCH_full.json (committed each round) for the judge's diffs.
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val sf1Compact =
+      if (sf1Json.isEmpty) ""
+      else {
+        // keep ratios + telemetry (the scale story); drop raw per-probe times
+        val body = sf1Json.stripPrefix(""","sf1":{""").stripSuffix("}")
+        val keep = Seq("ratio_vs_10x_data", "dd06_cc", "dd13_cells")
+        val kept = keep.flatMap { k =>
+          val tag = "\"" + k + "\":"
+          val i = body.indexOf(tag)
+          if (i < 0) None
+          else { // value is a balanced {...} object (or null)
+            val vs = i + tag.length
+            if (body.startsWith("null", vs)) Some(tag + "null")
+            else {
+              var depth = 0; var j = vs
+              while (j < body.length && (depth > 0 || j == vs)) {
+                if (body(j) == '{') depth += 1
+                else if (body(j) == '}') depth -= 1
+                j += 1
+              }
+              Some(tag + body.substring(vs, j))
+            }
+          }
+        }.mkString(",")
+        s""","sf1":{$kept}"""
+      }
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"queries_total":${results.size},"full":"BENCH_full.json","errors":$errJson,"sf":"$sfDir"$sf1Compact}"""
+    println(compact)
     spark.stop()
   }
 }
