@@ -138,4 +138,47 @@ object PrefixSumOps {
       .join(budgets, partCols)
       .where(col("_tb_excl") < col(budgetCol))
       .drop("_tb_excl", budgetCol)
+
+  /** Fixed-budget probability-proportional-to-size sampling WITHOUT
+    * replacement, by systematic selection over the running weight total:
+    * lay every row's weight end-to-end along a line of length W (the
+    * group total), drop `budget` equally-spaced marks at W/budget, and
+    * keep exactly the rows whose interval contains a mark — i.e. keep
+    * row i iff floor((C_i + w_i)·budget / W) > floor(C_i·budget / W)
+    * with C_i the exclusive running sum. Classic systematic PPS
+    * (Madow 1949): inclusion probability is exactly min(1, w·budget/W),
+    * at most `budget` rows come back per group (fewer only when a single
+    * weight spans several marks), and — unlike Bernoulli length-weighted
+    * sampling (Catalog dp07) — the sample SIZE is fixed, which is what a
+    * "draw N documents per language, long docs proportionally more
+    * often" curation step needs.
+    *
+    * Everything is integer arithmetic on exact longs (no float key, no
+    * transcendental), so the draw is reproducible under any partitioning
+    * or retry and mirrors into ANSI SQL verbatim. Determinism comes from
+    * `orderCol` fixing the traversal order; a salted-hash order key
+    * de-periodizes the draw if the natural order correlates with weight.
+    *
+    * Scale shape: the running sum is [[exclusiveRunningSumAuto]] (the
+    * two-phase decomposition — no one-reducer-per-group window); the
+    * per-group totals table (one row per group) joins back UNHINTED so
+    * AQE broadcasts it exactly when it fits. Caller contract: weights
+    * are non-negative integers and W·budget must stay inside a long
+    * (W·budget < 2^63 — at 10^14 total chars that allows budgets to
+    * ~9·10^4; pre-scale weights down if both are larger).
+    *
+    * @return the selected rows (input columns pass through unchanged)
+    */
+  def ppsSystematicSample(df: DataFrame, partCols: Seq[String],
+      orderCol: String, weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val totals = df.groupBy(partCols.map(col): _*)
+      .agg(sum(col(weightCol)).cast("long").as("_pps_tot"))
+    exclusiveRunningSumAuto(df, partCols, orderCol, weightCol, "_pps_excl")
+      .join(totals, partCols)
+      .where(col("_pps_tot") > 0 &&
+        expr(s"((_pps_excl + `$weightCol`) * ${budget}L) div _pps_tot") >
+          expr(s"(_pps_excl * ${budget}L) div _pps_tot"))
+      .drop("_pps_excl", "_pps_tot")
+  }
 }

@@ -182,6 +182,63 @@ object TextOps {
           || col(s"dup${dupN}_frac") > dupThreshold, 1).otherwise(0))
   }
 
+  /** Corpus-trained bigram language-model scoring (the CCNet-style
+    * perplexity proxy, Wenzek et al. 2019 arXiv:1911.00359 — there a
+    * pre-trained KenLM; here the corpus is its own model): per document,
+    * the mean add-one-smoothed bigram log-probability
+    * `avg over bigrams (w1,w2) of ln((c(w1,w2)+1) / (c(w1·)+V))`, with
+    * `c(w1·)` the corpus count of w1 as a bigram history and V the
+    * corpus vocabulary size. Fluent, typical text scores high; gibberish
+    * and boilerplate with rare transitions score low — the standard
+    * model-based quality axis, orthogonal to the surface heuristics
+    * (tx04 quality score) and repetition gates (tx12).
+    *
+    * Shape at scale: one corpus scan explodes bigram occurrences keyed by
+    * 64-bit md5 prefixes (fixed-width shuffle keys, the tx13 discipline);
+    * occurrence counts, history counts, and the model tables are all
+    * map-side-combinable hash aggregates; scoring is two equi-joins of
+    * the occurrence table against the model (unhinted — AQE broadcasts a
+    * small model) plus a 1-row vocabulary broadcast. Linear in corpus
+    * tokens, no self-join. The model "training" and the scoring pass are
+    * the same job — at 100 TB the two model tables can equally be
+    * persisted once and reused across batches.
+    *
+    * Counts are exact integers; `ln` is the one float step, and the
+    * output is rounded to 4 decimals so both engines' libm agree (the
+    * dd05 cosine precedent). Documents with < 2 tokens have no bigrams
+    * and are absent from the output.
+    *
+    * @return [idCol, n_bigrams, avg_logprob]
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // tokenized docs feed BOTH the bigram explode and the vocabulary
+    // count: one scan, materialized (token arrays are O(corpus) bytes)
+    val toks = Exec.materializeLarge(
+      df.where(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("_id"), DedupOps.tokens(col(textCol)).as("_tk")))
+    val occ = Exec.materializeLarge(
+      toks.where(size(col("_tk")) >= 2)
+        .select(col("_id"), explode(expr(
+          "transform(sequence(1, size(_tk) - 1), i -> struct(" +
+            "substring(md5(concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))), 1, 16) as h2, " +
+            "substring(md5(element_at(_tk, i)), 1, 16) as h1))")).as("_s"))
+        .select(col("_id"), col("_s.h2").as("_h2"), col("_s.h1").as("_h1"))
+        .groupBy("_id", "_h2", "_h1").agg(count(lit(1)).as("_cnt")))
+    val bigramCounts = occ.groupBy("_h2").agg(sum("_cnt").as("_c2"))
+    val historyCounts = occ.groupBy("_h1").agg(sum("_cnt").as("_c1"))
+    val vocab = toks.select(explode(col("_tk")).as("_u"))
+      .agg(countDistinct("_u").as("_v"))
+    occ.join(bigramCounts, "_h2").join(historyCounts, "_h1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("_id")
+      .agg(sum("_cnt").cast("long").as("n_bigrams"),
+        round(
+          sum(col("_cnt") * (log(col("_c2") + 1.0)
+            - log((col("_c1") + col("_v")).cast("double"))))
+            / sum("_cnt"), 4).as("avg_logprob"))
+      .select(col("_id").as(idCol), col("n_bigrams"), col("avg_logprob"))
+  }
+
   /** PII scrubbing: email and phone patterns, kept to the regex subset
     * RE2 and java.util.regex evaluate identically (character classes and
     * bounded repetition — no lookaround, no backreferences), so the same

@@ -3909,6 +3909,39 @@ object Catalog {
         k = 8)
       .orderBy("doc_id"))
 
+  // Corpus-trained bigram LM quality scoring (CCNet-style perplexity
+  // proxy): mean add-one-smoothed ln P(w2|w1) per doc, model = the corpus
+  // itself. Occurrences, histories, and vocab are exact integer counts
+  // joined on fixed-width md5-64 keys (tx13 discipline); ln is the one
+  // float step and the output rounds to 4 decimals so both engines' libm
+  // agree (the dd05 precedent). Linear: no self-join, model tables are
+  // hash aggregates the occurrence table equi-joins back against.
+  private val tx14 = Q("tx14_bigram_lm", Some("""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(tk) - 1),
+          i -> struct_pack(h2 := substr(md5(tk[i] || ' ' || tk[i+1]), 1, 16),
+                           h1 := substr(md5(tk[i]), 1, 16)))) AS s
+      FROM t WHERE len(tk) >= 2),
+    o AS (
+      SELECT doc_id, s.h2 AS h2, s.h1 AS h1, count(*) AS cnt
+      FROM bg GROUP BY 1, 2, 3),
+    c2 AS (SELECT h2, sum(cnt) AS c2 FROM o GROUP BY 1),
+    c1 AS (SELECT h1, sum(cnt) AS c1 FROM o GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS v
+          FROM (SELECT unnest(tk) AS u FROM t))
+    SELECT o.doc_id,
+      cast(sum(cnt) as bigint) AS n_bigrams,
+      round(sum(cnt * (ln(c2 + 1.0) - ln(c1 + v))) / sum(cnt), 4)
+        AS avg_logprob
+    FROM o JOIN c2 USING (h2) JOIN c1 USING (h1) CROSS JOIN v
+    GROUP BY o.doc_id ORDER BY o.doc_id"""),
+    (s, d) => TextOps.bigramLogProb(T(s, d, "documents"), "text", "doc_id")
+      .orderBy("doc_id"))
+
   // Size-weighted deterministic sampling: include a doc with probability
   // proportional to its length, decided by an integer comparison of a
   // 32-bit md5 draw against n_chars — uniform, reproducible under any
@@ -3940,6 +3973,31 @@ object Catalog {
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
     })
+
+  // Fixed-budget PPS sampling (systematic selection over the running
+  // char total): exactly ≤32 docs per language, long docs included with
+  // probability ∝ length — the fixed-SIZE complement of dp07's Bernoulli
+  // draw. Pure integer math over a distributed prefix sum
+  // (PrefixSumOps.ppsSystematicSample — the dp03 two-phase kernel, no
+  // one-reducer-per-language window); the oracle keeps the single-window
+  // SQL, which is the point of the rewrite.
+  private val dp16 = Q("dp16_pps_sample", Some("""
+    WITH c AS (
+      SELECT lang, doc_id, n_chars,
+        sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+          AS cum_excl,
+        sum(n_chars) OVER (PARTITION BY lang) AS tot
+      FROM documents)
+    SELECT lang, doc_id, n_chars
+    FROM c
+    WHERE tot > 0
+      AND ((cum_excl + n_chars) * 32) // tot > (cum_excl * 32) // tot
+    ORDER BY lang, doc_id"""),
+    (s, d) => PrefixSumOps.ppsSystematicSample(
+        T(s, d, "documents").select("lang", "doc_id", "n_chars"),
+        Seq("lang"), "doc_id", "n_chars", budget = 32)
+      .orderBy("lang", "doc_id"))
 
   // Round-4 composition capstone: the incremental ingestion gate as ONE
   // declarative plan. A new batch passes through the Bloom prefilter
@@ -4080,8 +4138,8 @@ object Catalog {
     dd13, dd14, dd15, dd16,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13,
+    tx13, tx14,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15)
+    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16)
 }

@@ -171,4 +171,74 @@ class PrefixSumOpsSpec extends AnyFunSuite {
     assert(bare.isEmpty,
       s"single-key window over a non-reduced input (one reducer per group):\n$bare")
   }
+
+  // ---- ppsSystematicSample (dp16's kernel) ----
+
+  /** Brute-force systematic PPS: walk rows in order, keep row i iff its
+    * weight interval [C_i, C_i + w_i) contains a mark k·W/budget, i.e.
+    * floor((C_i+w_i)·b/W) > floor(C_i·b/W).
+    */
+  private def brutePps(rows: Seq[(String, Long, Long)], budget: Long): Set[(String, Long)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val total = rs.map(_._3).sum
+      if (total <= 0) Nil
+      else {
+        var cum = 0L
+        rs.sortBy(_._2).flatMap { case (_, ord, w) =>
+          val keep = (cum + w) * budget / total > cum * budget / total
+          cum += w
+          if (keep) Some((g, ord)) else None
+        }
+      }
+    }.toSet
+
+  test("ppsSystematicSample matches the brute-force walk at several budgets") {
+    import spark.implicits._
+    val rows = tok.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    for (b <- Seq(1L, 7L, 32L, 5000L)) {
+      val got = PrefixSumOps.ppsSystematicSample(tok, Seq("g"), "ord", "v", b)
+        .select("g", "ord").as[(String, Long)].collect().toSet
+      val want = brutePps(rows, b)
+      assert(got == want, s"budget=$b diff: ${(got -- want) ++ (want -- got)}")
+      // per-group sample size is bounded by the budget
+      val sizes = got.groupBy(_._1).map(_._2.size)
+      assert(sizes.forall(_ <= b), s"budget=$b exceeded: $sizes")
+    }
+  }
+
+  test("ppsSystematicSample: sample size is exactly budget when no weight spans a stride") {
+    import spark.implicits._
+    // equal weights: every stride W/b covers b distinct rows' intervals
+    val eq = (0 until 300).map(i => (s"g${i % 3}", i.toLong, 10L)).toDF("g", "ord", "v")
+    val out = PrefixSumOps.ppsSystematicSample(eq, Seq("g"), "ord", "v", 20L)
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet == Set(20L), s"expected 20 per group: $sizes")
+  }
+
+  test("ppsSystematicSample: zero-weight rows are never selected; heavy rows always") {
+    import spark.implicits._
+    // one row carries 90% of the weight: with budget 10 its interval
+    // contains >= 8 marks -> always selected; zero-weight rows never
+    val rows = Seq(("g", 0L, 0L), ("g", 1L, 900L), ("g", 2L, 25L),
+      ("g", 3L, 0L), ("g", 4L, 75L)).toDF("g", "ord", "v")
+    val got = PrefixSumOps.ppsSystematicSample(rows, Seq("g"), "ord", "v", 10L)
+      .select("ord").as[Long].collect().toSet
+    assert(got.contains(1L), "the dominant-weight row must be in every draw")
+    assert(!got.contains(0L) && !got.contains(3L), "zero-weight rows can never straddle a mark")
+  }
+
+  test("ppsSystematicSample: all-zero group yields nothing, not a division error") {
+    import spark.implicits._
+    val rows = Seq(("z", 0L, 0L), ("z", 1L, 0L), ("g", 0L, 5L)).toDF("g", "ord", "v")
+    val out = PrefixSumOps.ppsSystematicSample(rows, Seq("g"), "ord", "v", 4L)
+      .select("g").as[String].collect().toSet
+    assert(out == Set("g"))
+  }
+
+  test("ppsSystematicSample plans unhinted (AQE decides the totals join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val qe = PrefixSumOps.ppsSystematicSample(tok, Seq("g"), "ord", "v", 16L)
+      .queryExecution
+    assert(qe.analyzed.collectFirst { case h: ResolvedHint => h }.isEmpty)
+  }
 }

@@ -122,4 +122,42 @@ class TextOpsSpec extends AnyFunSuite {
     for ((id, exp) <- expected)
       assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
   }
+
+  test("bigramLogProb matches a brute-force corpus LM; short docs absent") {
+    // small synthetic corpus with repeated and novel transitions
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the hat"),
+      (2L, "zx qv"),          // all-novel transitions -> lowest score
+      (3L, "the"),            // 1 token: no bigrams, absent from output
+      (4L, "   "),            // blank: absent
+      (5L, "the cat the cat the cat"))
+    val df = docs.toDF("doc_id", "text")
+
+    // brute-force oracle over raw strings (no hashing)
+    val tokss = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      .filter { case (_, tk) => tk.nonEmpty && tk.head.nonEmpty }
+    val vocabSize = tokss.flatMap(_._2).distinct.size
+    val allBigrams = tokss.flatMap { case (_, tk) => tk.sliding(2).filter(_.size == 2).map(b => (b(0), b(1))) }
+    val c2 = allBigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = allBigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expected = tokss
+      .filter(_._2.size >= 2)
+      .map { case (id, tk) =>
+        val bgs = tk.sliding(2).filter(_.size == 2).map(b => (b(0), b(1))).toSeq
+        val s = bgs.map(b => math.log((c2(b) + 1.0)) - math.log((c1(b._1) + vocabSize).toDouble)).sum
+        id -> ((bgs.size.toLong, math.round(s / bgs.size * 10000) / 10000.0))
+      }.toMap
+
+    val got = TextOps.bigramLogProb(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"short/blank docs must be absent: ${got.keySet} vs ${expected.keySet}")
+    for ((id, (nb, lp)) <- expected) {
+      assert(got(id)._1 == nb, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - lp) < 5e-4, s"doc $id logprob ${got(id)._2} vs $lp")
+    }
+    // repeated transitions (doc 5) must outscore all-novel ones (doc 2)
+    assert(got(5L)._2 > got(2L)._2)
+  }
 }
