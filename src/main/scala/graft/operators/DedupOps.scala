@@ -202,6 +202,50 @@ object DedupOps {
         (col("n_shared").cast("double") / col("n2")).as("cont2"))
   }
 
+  /** Empirical LSH selectivity curve (the measured-recall discipline
+    * ann07 applies to ANN, applied to [[minhashCandidates]]): over a
+    * BOUNDED query set (ids < `queryMax`) × the corpus, compute the
+    * exact shingle-set Jaccard of every pair, bucket it into tenths, and
+    * report per bucket how many pairs the banded minhash join actually
+    * retrieves. The hit-rate column is the measured S-curve
+    * `P(candidate | j)` — theory says `1-(1-j^r)^b` — so band/row
+    * choices ship with evidence instead of a formula, and a minhash
+    * regression (bad seed hash, broken banding) shows up as a collapsed
+    * curve in the oracle gate, not silently as worse dedup.
+    *
+    * Scale shape: the exact-Jaccard side is query-bounded (|Q| × n, a
+    * broadcast of ≤`queryMax` shingle sets — the ann01 pattern), NOT an
+    * all-pairs self-join; the candidate side is dd02's banded equi-join
+    * filtered to the query ids. Diagnostic harness: at 100 TB you run it
+    * on a sampled slice, exactly as ann07 grades recall on a fixed
+    * query set.
+    *
+    * @return [j_bucket, n_pairs, n_cands, hit_rate] (bucket = floor(10j)
+    *         clamped to 9, so exact duplicates land in bucket 9)
+    */
+  def lshCandidateCurve(df: DataFrame, textCol: String, idCol: String,
+      queryMax: Long, shingleK: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sets = Exec.materializeLarge(
+      df.select(col(idCol), tokens(col(textCol)).as("_t"))
+        .select(col(idCol),
+          array_distinct(shinglesFromTokens(col("_t"), shingleK)).as("s")))
+    val q = sets.where(col(idCol) < queryMax)
+      .select(col(idCol).as("id1"), col("s").as("s1"))
+    val c = sets.select(col(idCol).as("id2"), col("s").as("s2"))
+    val universe = c.join(broadcast(q), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double")
+          / size(array_union(col("s1"), col("s2")))).as("j"))
+    val cand = minhashCandidates(df, textCol, idCol, shingleK, bands, rowsPerBand)
+      .where(col("id1") < queryMax).withColumn("_hit", lit(1L))
+    universe.join(cand, Seq("id1", "id2"), "left")
+      .groupBy(least(lit(9), floor(col("j") * 10).cast("int")).as("j_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(coalesce(col("_hit"), lit(0L))).cast("long").as("n_cands"))
+      .withColumn("hit_rate", col("n_cands").cast("double") / col("n_pairs"))
+  }
+
   /** Incremental near-dup candidates: NEW docs against an EXISTING
     * corpus via the banded index — the production shape for continuous
     * ingestion (today's batch vs the historical index). Unlike the full

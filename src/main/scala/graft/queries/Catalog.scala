@@ -3791,6 +3791,37 @@ object Catalog {
         "doc_id", k = 8)
       .orderBy("doc_id"))
 
+  // Measured LSH selectivity (the ann07 discipline applied to dd02):
+  // exact Jaccard over a bounded query set × corpus, bucketed in tenths,
+  // left-joined against the banded minhash candidates — per-bucket hit
+  // rate IS the empirical S-curve P(candidate | j). Query side is a
+  // bounded broadcast (ann01 pattern), candidates the dd02 equi-join;
+  // nothing all-pairs. Exact integer set sizes; the one division per
+  // pair is mirrored, so bucket edges and rates agree bit-for-bit.
+  private val dd17 = Q("dd17_lsh_recall", Some(s"""
+    WITH $minhashCtes,
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id AND l.doc_id < 100),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+    u AS (
+      SELECT q.doc_id AS id1, c.doc_id AS id2,
+        cast(len(list_intersect(q.s, c.s)) as double)
+          / len(list_distinct(list_concat(q.s, c.s))) AS j
+      FROM sets q JOIN sets c ON q.doc_id < c.doc_id
+      WHERE q.doc_id < 100)
+    SELECT least(9, cast(floor(u.j * 10) as int)) AS j_bucket,
+      cast(count(*) as bigint) AS n_pairs,
+      cast(count(cand.id1) as bigint) AS n_cands,
+      cast(count(cand.id1) as double) / count(*) AS hit_rate
+    FROM u LEFT JOIN cand ON u.id1 = cand.id1 AND u.id2 = cand.id2
+    GROUP BY 1 ORDER BY j_bucket"""),
+    (s, d) => DedupOps.lshCandidateCurve(T(s, d, "documents"), "text",
+        "doc_id", queryMax = 100L, shingleK = 3, bands = 4, rowsPerBand = 4)
+      .orderBy("j_bucket"))
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -4135,7 +4166,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14, dd15, dd16,
+    dd13, dd14, dd15, dd16, dd17,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14,

@@ -283,4 +283,26 @@ class DedupOpsSpec extends AnyFunSuite {
       .select("n_shingles", "n_novel").as[(Long, Long)].collect().head
     assert(got == ((5L, 5L)), s"got $got")
   }
+
+  test("lshCandidateCurve: exact dups always retrieved, disjoint docs never") {
+    // ids < queryMax are queries; 0 and 1 are exact duplicates (j = 1 ->
+    // identical signatures -> every band matches), 2 shares nothing with
+    // anyone (j = 0 -> no band can match except by md5 collision)
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "zz yy xx vv uu tt ss rr"),
+      (3L, "w1 w2 w3 w4 w5 qq pp oo"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.lshCandidateCurve(docs, "text", "doc_id",
+        queryMax = 10L, shingleK = 3, bands = 4, rowsPerBand = 4)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // universe: all 6 unordered pairs. Pair (0,1) is the only j=1 pair.
+    assert(got.values.map(_._1).sum == 6L, s"universe must be all pairs: $got")
+    assert(got(9) == ((1L, 1L, 1.0)), s"exact dup must be bucket 9, hit: $got")
+    // bucket 0 holds the doc-2 pairs (j = 0); none can be candidates
+    assert(got(0)._2 == 0L, s"disjoint docs can never share a band: $got")
+  }
 }

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx06_tfidf", "tx11_vocab_coverage", "dp07_weighted_sample",
     "dp08_ingest_gate",
     "dp15_temperature_mixture", // 1-row (B, S) budget-total aggregate
-    "tx14_bigram_lm")           // 1-row vocabulary-size aggregate
+    "tx14_bigram_lm",           // 1-row vocabulary-size aggregate
+    "dd17_lsh_recall")          // bounded query-set broadcast (ann01 pattern)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -98,7 +99,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx11_vocab_coverage",     // 1-row corpus aggregate
     "dp07_weighted_sample",    // 1-row total-weight aggregate
     "dp08_ingest_gate",        // 1-row corpus max
-    "tx14_bigram_lm")          // 1-row vocabulary-size aggregate
+    "tx14_bigram_lm",          // 1-row vocabulary-size aggregate
+    "dd17_lsh_recall")         // bounded query-set broadcast
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
