@@ -388,6 +388,24 @@ object Catalog {
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
       .orderBy("day", "event_type"))
 
+  // Stream-static enrichment (the third streaming-join topology next to
+  // q51 stream-stream and q23 stream-agg): per micro-batch the event
+  // stream joins the static customer dim — no state store, no watermark
+  // on the static side; Spark re-plans (and broadcasts) the dim each
+  // batch. Oracle = the batch join, which AvailableNow over a bounded
+  // source must equal exactly.
+  private val q72 = Q("q72_stream_enrich", Some("""
+    SELECT c_mktsegment, event_type, count(*) AS n_events,
+      cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""),
+    (s, d) => graft.streaming.StreamingOps
+      .streamStaticEnrich(s, s"$d/events.parquet",
+        T(s, d, "customer"), "c_custkey", "c_mktsegment",
+        queryName = "graft_stream_enrich_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
+      .orderBy("c_mktsegment", "event_type"))
+
   private val q23 = Q("q23_stream_windows", Some("""
     SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
         + to_seconds(cast((epoch_us(ts) // 21600000000) * 21600 as bigint)),
@@ -4164,7 +4182,7 @@ object Catalog {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
+    q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,

@@ -18,7 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val streamingQueries = Set(
     "q23_stream_windows", "q50_stream_dedup", "q51_stream_join",
-    "q62_stream_sessions", "q66_stream_upsert")
+    "q62_stream_sessions", "q66_stream_upsert", "q72_stream_enrich")
 
   /** BNLJ is legitimate only where the build side is a broadcast scalar
     * or a deliberate 1-row/query-vector side (audited by hand, see each

@@ -165,4 +165,24 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(out.columns.toSeq ==
       Seq("window_start", "event_type", "n_events", "sum_value"))
   }
+
+  test("streamStaticEnrich over a bounded source equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val dim = graft.sources.Tables.table(spark, dir, "customer")
+    val got = StreamingOps.streamStaticEnrich(spark, s"$dir/events.parquet",
+        dim, "c_custkey", "c_mktsegment",
+        queryName = "graft_test_enrich")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100))).toSet
+    val want = graft.sources.Tables.events(spark, dir)
+      .join(dim.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100))).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
