@@ -3827,7 +3827,7 @@ object Catalog {
     u AS (
       SELECT q.doc_id AS id1, c.doc_id AS id2,
         cast(len(list_intersect(q.s, c.s)) as double)
-          / len(list_distinct(list_concat(q.s, c.s))) AS j
+          / (len(q.s) + len(c.s) - len(list_intersect(q.s, c.s))) AS j
       FROM sets q JOIN sets c ON q.doc_id < c.doc_id
       WHERE q.doc_id < 100)
     SELECT least(9, cast(floor(u.j * 10) as int)) AS j_bucket,
