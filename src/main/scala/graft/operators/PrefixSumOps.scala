@@ -181,4 +181,45 @@ object PrefixSumOps {
           expr(s"(_pps_excl * ${budget}L) div _pps_tot"))
       .drop("_pps_excl", "_pps_tot")
   }
+
+  /** GLOBAL dense position (1-based) of every row under a total order —
+    * `row_number() OVER (ORDER BY orderCol)` without the single reducer
+    * that window implies: a global sort-rank is the degenerate
+    * lowest-cardinality case (ONE group) of the prefix-sum problem, so it
+    * reuses [[exclusiveRunningSum]] with no partition columns and
+    * weight 1.
+    *
+    * '''Width for SPARSE keys.''' [[exclusiveRunningSumAuto]]'s
+    * `sqrt(range)` width balances the two phases only when the order key
+    * is dense (range ≈ n, the dp03 doc_id case). A composite key like
+    * `score·R + id` is sparse — range can be n², and `sqrt(range)` would
+    * leave a ~sqrt(range) ≥ n^1 offsets table for one phase-3 task. This
+    * takes `n` from a count and uses `width = max(sqrt(range), range /
+    * sqrt(n))`: non-empty buckets ≤ range/width ≤ sqrt(n) rows of
+    * offsets for ANY key sparsity, and per-bucket phase-4 rows ≈
+    * n·width/range = sqrt(n) for keys spread over their range (a
+    * `score·R + id` composite is id-uniform by construction; a key whose
+    * values all cluster inside one width-window degrades phase 4 toward
+    * the rows that share that window).
+    *
+    * `orderCol` must be a unique non-negative long (build composite keys
+    * as `primary·R + secondary` with R > max(secondary), both derived
+    * from data the way [[exclusiveRunningSumAuto]] derives its width).
+    * The training-data use is curriculum ordering: rank by a difficulty /
+    * quality key once, globally, then shard by `rank div shardSize`.
+    */
+  def globalRank(df: DataFrame, orderCol: String,
+      outCol: String = "rank"): DataFrame = {
+    val b = df.agg(min(col(orderCol)).cast("long").as("lo"),
+      max(col(orderCol)).cast("long").as("hi"),
+      count(lit(1)).as("n")).head()
+    if (b.isNullAt(0)) return df.withColumn(outCol, lit(1L))
+    val range = b.getLong(1) - b.getLong(0) + 1
+    val width = math.max(bucketWidthFor(range),
+      math.ceil(range.toDouble / bucketWidthFor(b.getLong(2))).toLong)
+    exclusiveRunningSum(df.withColumn("_gr_one", lit(1L)), Seq(),
+        orderCol, "_gr_one", "_gr_excl", width)
+      .withColumn(outCol, col("_gr_excl") + 1L)
+      .drop("_gr_one", "_gr_excl")
+  }
 }

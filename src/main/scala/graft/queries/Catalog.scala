@@ -4048,6 +4048,30 @@ object Catalog {
         Seq("lang"), "doc_id", "n_chars", budget = 32)
       .orderBy("lang", "doc_id"))
 
+  // Global curriculum ordering: every doc's 1-based position under the
+  // corpus-wide (n_chars, doc_id) total order, plus its training shard —
+  // row_number() OVER (ORDER BY ...) with NO single-reducer sort. The
+  // composite integer key n_chars·R + doc_id (R = max id + 1, derived
+  // from data) makes the order one numeric column; the rank comes from
+  // PrefixSumOps.globalRank's two-phase prefix sum with the sparse-key
+  // width (range/sqrt(n) — sqrt(range) would leave a ~n-row offsets
+  // table in one task when range ≈ n²). The oracle keeps the window SQL.
+  private val dp17 = Q("dp17_curriculum_rank", Some("""
+    SELECT doc_id, n_chars,
+      row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+      (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 100 AS shard
+    FROM documents ORDER BY rank"""),
+    (s, d) => {
+      val docs = T(s, d, "documents").select("doc_id", "n_chars")
+      val r = docs.agg(max("doc_id")).head().getLong(0) + 1
+      PrefixSumOps.globalRank(
+          docs.withColumn("_key", col("n_chars") * r + col("doc_id")),
+          "_key", "rank")
+        .withColumn("shard", expr("(rank - 1) div 100"))
+        .select("doc_id", "n_chars", "rank", "shard")
+        .orderBy("rank")
+    })
+
   // Round-4 composition capstone: the incremental ingestion gate as ONE
   // declarative plan. A new batch passes through the Bloom prefilter
   // (megabytes vs the 100 TB history); definite-new docs skip the exact
@@ -4190,5 +4214,5 @@ object Catalog {
     tx13, tx14,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16)
+    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17)
 }

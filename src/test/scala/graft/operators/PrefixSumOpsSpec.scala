@@ -241,4 +241,44 @@ class PrefixSumOpsSpec extends AnyFunSuite {
       .queryExecution
     assert(qe.analyzed.collectFirst { case h: ResolvedHint => h }.isEmpty)
   }
+
+  // ---- globalRank (dp17's kernel) ----
+
+  test("globalRank equals row_number over the total order, dense and sparse keys") {
+    import spark.implicits._
+    // sparse composite key: value*R + id with R >> n (range ~ n^2)
+    val rows = (0 until 500).map { i =>
+      val v = math.abs((i * 2654435761L) % 97)
+      (i.toLong, v, v * 100000L + i)
+    }.toDF("id", "v", "key")
+    val got = PrefixSumOps.globalRank(rows, "key")
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val want = rows.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._2).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+    // dense key too (the auto-width regime)
+    val dense = (0 until 300).map(i => (i.toLong, i.toLong * 3)).toDF("id", "key")
+    val gotD = PrefixSumOps.globalRank(dense, "key")
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(gotD == (0 until 300).map(i => i.toLong -> (i + 1L)).toMap)
+  }
+
+  test("globalRank sparse-key width keeps the offsets table ~sqrt(n), not ~range") {
+    // range ~ n^2: sqrt(range) ~ n would leave ~n offset rows in one
+    // phase-3 task; the count-aware width must cap them at ~sqrt(n)
+    val n = 400L
+    val range = n * n * 100
+    val sqrtWidth = PrefixSumOps.bucketWidthFor(range)
+    val width = math.max(sqrtWidth,
+      math.ceil(range.toDouble / PrefixSumOps.bucketWidthFor(n)).toLong)
+    val offsetsBound = range / width + 1
+    assert(offsetsBound <= PrefixSumOps.bucketWidthFor(n) + 1,
+      s"offsets bound $offsetsBound exceeds ~sqrt(n)=${PrefixSumOps.bucketWidthFor(n)}")
+  }
+
+  test("globalRank: empty input yields empty output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "key")
+    assert(PrefixSumOps.globalRank(empty, "key").count() == 0)
+  }
 }
