@@ -64,11 +64,16 @@ object Bench {
         // dd13 + ann08 joined in round 9 — they were the only heavies with
         // no measured ratio, exactly where the fixed-k quadratic hid
         // (VERDICT r8 #1/#2)
+        // round-11 additions: tx14 (linear in corpus tokens) and dd17
+        // (linear in |Q|·n BY DESIGN — the fixed 100-query exact-Jaccard
+        // truth side scales with n, so ~10x at 10x data IS its spec;
+        // sub-10x there is overhead amortization, not sub-linearity)
         val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
           "tx06_tfidf", "q51_stream_join", "q66_stream_upsert",
           "dp03_seq_packing", "q68_pagerank", "ann07_recall",
           "dp09_decontam", "tx08_commonness", "dd12_substring_spans",
-          "dd13_semantic_dedup", "ann08_kmeans_train")
+          "dd13_semantic_dedup", "ann08_kmeans_train",
+          "tx14_bigram_lm", "dd17_lsh_recall")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY

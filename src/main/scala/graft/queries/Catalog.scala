@@ -2505,6 +2505,47 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // Epoch-repetition mixture planning (the "repeat low-resource data, at
+  // most ~4 epochs" scaling rule — repetition is the third lever next to
+  // dp13's selection and dp15's temperature weighting): per language,
+  // an equal share of a 150%-of-corpus token budget (over-subscribed —
+  // the regime repetition exists for); a language whose
+  // corpus is smaller than its share repeats, capped at 4 epochs, and
+  // plans min(target, c_tok·epochs) tokens. Pure integer arithmetic
+  // (ceil(a/b) as (a+b-1) div b), one corpus scan, 1-row totals
+  // broadcast — both engines agree exactly.
+  private val dp18 = Q("dp18_epoch_mixture", Some("""
+    WITH t AS (
+      SELECT lang,
+        cast(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) as bigint) AS c_tok
+      FROM documents GROUP BY lang),
+    tot AS (SELECT cast(sum(c_tok) * 3 // 2 as bigint) AS b_tot,
+                   cast(count(*) as bigint) AS n_lang FROM t)
+    SELECT lang, c_tok,
+      cast(b_tot // n_lang as bigint) AS target,
+      cast(least(4, greatest(1, (b_tot // n_lang + c_tok - 1) // c_tok)) as bigint)
+        AS epochs,
+      cast(least(b_tot // n_lang,
+        c_tok * least(4, greatest(1, (b_tot // n_lang + c_tok - 1) // c_tok)))
+        as bigint) AS planned_tok
+    FROM t CROSS JOIN tot ORDER BY lang"""),
+    (s, d) => {
+      val t = T(s, d, "documents")
+        .groupBy("lang")
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+          .cast("long").as("c_tok"))
+      val tot = t.agg(expr("cast(sum(c_tok) * 3 div 2 as long)").as("_bt"),
+        count(lit(1)).as("_nl"))
+      t.crossJoin(broadcast(tot))
+        .withColumn("target", expr("_bt div _nl"))
+        .withColumn("epochs",
+          expr("least(4L, greatest(1L, (target + c_tok - 1) div c_tok))"))
+        .withColumn("planned_tok", expr("least(target, c_tok * epochs)"))
+        .select("lang", "c_tok", "target", "epochs", "planned_tok")
+        .orderBy("lang")
+    })
+
   // Split repair (the step dp12's audit feeds): quarantine every TRAIN
   // doc that is a near-dup candidate of a doc OUTSIDE train — a val/test
   // twin left in train silently inflates eval numbers, so the repaired
@@ -4214,5 +4255,5 @@ object Catalog {
     tx13, tx14,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17)
+    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18)
 }

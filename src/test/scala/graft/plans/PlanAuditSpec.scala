@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dp08_ingest_gate",
     "dp15_temperature_mixture", // 1-row (B, S) budget-total aggregate
     "tx14_bigram_lm",           // 1-row vocabulary-size aggregate
-    "dd17_lsh_recall")          // bounded query-set broadcast (ann01 pattern)
+    "dd17_lsh_recall",          // bounded query-set broadcast (ann01 pattern)
+    "dp18_epoch_mixture")       // 1-row budget-total aggregate
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -100,7 +101,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dp07_weighted_sample",    // 1-row total-weight aggregate
     "dp08_ingest_gate",        // 1-row corpus max
     "tx14_bigram_lm",          // 1-row vocabulary-size aggregate
-    "dd17_lsh_recall")         // bounded query-set broadcast
+    "dd17_lsh_recall",         // bounded query-set broadcast
+    "dp18_epoch_mixture")      // 1-row budget-total aggregate
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
