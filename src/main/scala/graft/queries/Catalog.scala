@@ -406,6 +406,94 @@ object Catalog {
         statePartitions = streamStatePartitions)
       .orderBy("c_mktsegment", "event_type"))
 
+  // Ordered-sequence conversion funnel (view → click-after-view →
+  // purchase-after-click): each stage is the per-user MIN ts of the
+  // stage event STRICTLY after the previous stage's ts — three hash
+  // aggregations chained by user_id equi-joins, no self-join of the
+  // event table against itself and no window, so the shape is linear in
+  // events at any scale. µs timestamp comparisons are exact in both
+  // engines; stage counts are integers, the two conversion rates one
+  // mirrored IEEE division each.
+  private val q73 = Q("q73_funnel", Some("""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT stage, n_users,
+      cast(n_users as double)
+        / first_value(n_users) OVER (ORDER BY stage
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frac_of_top
+    FROM (
+      SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+      UNION ALL SELECT '2_click', count(*) FROM s2
+      UNION ALL SELECT '3_purchase', count(*) FROM s3) t
+    ORDER BY stage"""),
+    (s, d) => {
+      val e = T(s, d, "events").select("user_id", "event_type", "ts")
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = e.where(col("event_type") === "purchase").join(s2, "user_id")
+        .where(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val stages = s1.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+      // 3-row result: the first_value window runs on 3 rows, not the corpus
+      val w = Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      stages.withColumn("frac_of_top",
+          col("n_users").cast("double") / first("n_users").over(w))
+        .orderBy("stage")
+    })
+
+  // Cohort retention: users cohorted by FIRST-event day, then counted on
+  // each later active day as (cohort_day, day_offset) — the standard
+  // activation/retention triangle. One per-user min, one equi-join back,
+  // one distinct on (user, day), one hash agg: linear, no window over
+  // the event table. Day truncation and integer day-diffs are exact and
+  // mirrored; offsets capped at 7 to keep the result a bounded triangle.
+  private val q74 = Q("q74_cohort_retention", Some("""
+    WITH c AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT e.user_id, c.cohort_day,
+        date_diff('day', c.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN c ON e.user_id = c.user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      cast(day_offset as int) AS day_offset,
+      count(*) AS n_users
+    FROM a WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"""),
+    (s, d) => {
+      val e = T(s, d, "events")
+      val c = e.groupBy("user_id")
+        .agg(date_trunc("day", min("ts")).as("cohort_day"))
+      e.join(c, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(date_trunc("day", col("ts")), col("cohort_day"))
+            .as("day_offset"))
+        .distinct()
+        .where(col("day_offset") <= 7)
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    })
+
   private val q23 = Q("q23_stream_windows", Some("""
     SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
         + to_seconds(cast((epoch_us(ts) // 21600000000) * 21600 as bigint)),
@@ -4248,6 +4336,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
+    q73, q74,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
