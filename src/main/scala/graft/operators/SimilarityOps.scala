@@ -408,6 +408,95 @@ object SimilarityOps {
     lastM
   }
 
+  /** Trained product-quantization codebooks: [[kmeansFit]]'s
+    * deterministic Lloyd's run independently per SUB-VECTOR BLOCK — the
+    * vector splits into `blocks` contiguous `subDim`-dim slices and each
+    * block learns its own `codesPerBlock`-entry codebook, which is what
+    * separates real PQ (Jégou et al., TPAMI 2011) from the sign-bit
+    * code demo (ann06): trained codebooks adapt to the data
+    * distribution, sign codes do not. Assignment uses ROUNDED squared
+    * L2 (PQ's metric; `roundDist` decimals, ties to the lower code id —
+    * the ann01/ann04 discipline transplanted), the M-step is the same
+    * fixed-point scaled-long mean, and empty codes keep their previous
+    * entry, so the whole run is engine- and partitioning-independent
+    * and DuckDB-oracle-checkable.
+    *
+    * Training runs on a bounded salted-md5 sample (`samplePerCode ×
+    * codesPerBlock` rows, salt "pq:" — the kmeansFit discipline), so
+    * per-round compute is sample × blocks × codes — independent of
+    * corpus size; the full corpus would be encoded by ONE subsequent
+    * assignment pass per block against the trained codebook (bounded
+    * broadcast: blocks × codes rows).
+    *
+    * Scale shape per round: one (blocks×codes)-row broadcast equi-join
+    * on `blk`, one map-side-combinable lexicographic `min(struct(dist,
+    * code))` argmin keyed by (vec, blk), one explode-agg M-step — no
+    * window over scored rows, no all-pairs stage; loop state is
+    * checkpointed and released per round like kmeansFit/dd06/q68.
+    *
+    * @return long-form codebook after `iters` rounds over the training
+    *         sample: (blk, code, dim, n_vectors, mean) — `code` is the
+    *         seed vector's id, `dim` the 0-based index WITHIN the block
+    */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String, blocks: Int,
+      subDim: Int, codesPerBlock: Int, iters: Int, shift: Int = 20,
+      roundDist: Int = 6, samplePerCode: Int = 16): DataFrame = {
+    require(blocks > 0 && subDim > 0 && codesPerBlock > 0 && iters > 0)
+    val all = df.select(col(idCol).as("_pq_id"),
+      col(vecCol).cast("array<double>").as("_pq_vec"))
+    val smp = Exec.materializeForSelfJoin(
+      all.orderBy(
+          md5(concat(lit("pq:"), col("_pq_id").cast("string"))), col("_pq_id"))
+        .limit(samplePerCode * codesPerBlock))
+    // one row per (sampled vector, block): the block's sub-vector
+    val rows = Exec.materializeForSelfJoin(
+      smp.select(col("_pq_id"), posexplode(expr(
+          s"transform(sequence(0, $blocks - 1), " +
+            s"b -> slice(_pq_vec, b * $subDim + 1, $subDim))"))
+        .as(Seq("blk", "_pq_sv"))))
+    // seeds: every block starts from the same codesPerBlock smallest
+    // sampled ids — code = seed vector id (the kmeansFit convention)
+    val seedIds = smp.orderBy("_pq_id").limit(codesPerBlock)
+      .select(col("_pq_id").as("_pq_seed"))
+    var codebook = Exec.materializeForSelfJoin(
+      rows.join(broadcast(seedIds), col("_pq_id") === col("_pq_seed"))
+        .select(col("blk"), col("_pq_id").as("code"), col("_pq_sv").as("_pq_cv")))
+    val scale = (1L << shift).toDouble
+    var lastM: DataFrame = null
+    for (_ <- 1 to iters) {
+      val scored = rows.join(broadcast(codebook), Seq("blk"))
+        .withColumn("_pq_d", round(expr(
+          "aggregate(zip_with(_pq_sv, _pq_cv, (a, b) -> (a - b) * (a - b)), " +
+            "0D, (acc, x) -> acc + x)"), roundDist))
+      val assigned = scored.groupBy(col("_pq_id"), col("blk"))
+        .agg(min(struct(col("_pq_d"), col("code"))).getField("code").as("code"))
+      val prevM = lastM
+      lastM = Exec.materializeForSelfJoin(
+        rows.join(assigned, Seq("_pq_id", "blk"))
+          .select(col("blk"), col("code"), posexplode(expr(
+              s"transform(_pq_sv, y -> cast(floor(y * ${1L << shift}D) as bigint))"))
+            .as(Seq("dim", "q")))
+          .groupBy("blk", "code", "dim")
+          .agg(count(lit(1)).as("n_vectors"),
+            (sum("q").cast("double") / (count(lit(1)) * scale)).as("mean")))
+      if (prevM != null) Exec.releaseMaterialized(prevM)
+      val updated = lastM.groupBy("blk", "code")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("_pq_cv"))
+      val prevC = codebook
+      codebook = Exec.materializeForSelfJoin(
+        codebook.select(col("blk"), col("code"), col("_pq_cv").as("_pq_prev"))
+          .join(updated, Seq("blk", "code"), "left")
+          .select(col("blk"), col("code"),
+            coalesce(col("_pq_cv"), col("_pq_prev")).as("_pq_cv")))
+      Exec.releaseMaterialized(prevC)
+    }
+    Exec.releaseMaterialized(codebook)
+    Exec.releaseMaterialized(smp)
+    Exec.releaseMaterialized(rows)
+    lastM
+  }
+
   /** Cell count for corpus-scaled k-means (the [[scaledAxisCount]] move
     * applied to SemDeDup): k = clamp(ceil(n / targetCell), 4, 4096), so
     * expected cell population stays ~`targetCell` as the corpus grows

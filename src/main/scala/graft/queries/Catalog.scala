@@ -3366,6 +3366,68 @@ object Catalog {
         "vec_id", "v16", k = 4, iters = 2, samplePerCell = 16)
       .orderBy("cell", "dim"))
 
+  // Trained product quantization (SimilarityOps.pqFit): per-block
+  // Lloyd's over 8-dim sub-vectors — the trained-codebook counterpart
+  // of ann06's sign-bit demo, ann08's per-subspace analogue. Assignment
+  // by rounded squared L2 (ties to the lower code id), fixed-point
+  // M-step, empty codes keep their previous entry; training on the
+  // bounded salt-"pq:" sample. Every step deterministic, so the oracle
+  // replays both iterations CTE-by-CTE per block and the final
+  // long-form codebook hash-matches exactly.
+  private val ann09 = Q("ann09_pq_train", Some("""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    smp AS (SELECT vec_id, e FROM (
+             SELECT vec_id, e, row_number() OVER (
+               ORDER BY md5('pq:' || cast(vec_id as varchar)), vec_id) AS srn
+             FROM v) t WHERE srn <= 64),
+    rws AS (SELECT vec_id, b.blk,
+             list_slice(e, b.blk * 8 + 1, b.blk * 8 + 8) AS sv
+            FROM smp, (SELECT unnest(generate_series(0, 7)) AS blk) b),
+    seeds AS (SELECT vec_id FROM smp ORDER BY vec_id LIMIT 4),
+    c0 AS (SELECT r.blk, r.vec_id AS code, r.sv AS cv
+           FROM rws r JOIN seeds s ON r.vec_id = s.vec_id),
+    d1 AS (SELECT r.vec_id, r.blk, c.code,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (r.sv[i] - c.cv[i]) * (r.sv[i] - c.cv[i]))), 6) AS d
+           FROM rws r JOIN c0 c ON r.blk = c.blk),
+    a1 AS (SELECT vec_id, blk, code FROM (
+             SELECT vec_id, blk, code, row_number() OVER (
+               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
+             FROM d1) t WHERE rn = 1),
+    x1 AS (SELECT a.blk, a.code, unnest(generate_series(0, 7)) AS dim,
+             unnest(list_transform(r.sv,
+               y -> cast(floor(y * 1048576.0) as bigint))) AS q
+           FROM a1 a JOIN rws r ON r.vec_id = a.vec_id AND r.blk = a.blk),
+    m1 AS (SELECT blk, code, dim, count(*) AS n_vectors,
+             cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+           FROM x1 GROUP BY blk, code, dim),
+    c1 AS (SELECT c0.blk, c0.code, coalesce(cm.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN (SELECT blk, code, list(mean ORDER BY dim) AS cv
+                              FROM m1 GROUP BY blk, code) cm
+             ON c0.blk = cm.blk AND c0.code = cm.code),
+    d2 AS (SELECT r.vec_id, r.blk, c.code,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (r.sv[i] - c.cv[i]) * (r.sv[i] - c.cv[i]))), 6) AS d
+           FROM rws r JOIN c1 c ON r.blk = c.blk),
+    a2 AS (SELECT vec_id, blk, code FROM (
+             SELECT vec_id, blk, code, row_number() OVER (
+               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
+             FROM d2) t WHERE rn = 1),
+    x2 AS (SELECT a.blk, a.code, unnest(generate_series(0, 7)) AS dim,
+             unnest(list_transform(r.sv,
+               y -> cast(floor(y * 1048576.0) as bigint))) AS q
+           FROM a2 a JOIN rws r ON r.vec_id = a.vec_id AND r.blk = a.blk),
+    m2 AS (SELECT blk, code, dim, count(*) AS n_vectors,
+             cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+           FROM x2 GROUP BY blk, code, dim)
+    SELECT cast(blk as int) AS blk, code, cast(dim as int) AS dim,
+      n_vectors, mean
+    FROM m2 ORDER BY blk, code, dim"""),
+    (s, d) => SimilarityOps.pqFit(T(s, d, "embeddings"), "vec_id",
+        "embedding", blocks = 8, subDim = 8, codesPerBlock = 4, iters = 2,
+        samplePerCode = 16)
+      .orderBy("blk", "code", "dim"))
+
   // Semantic dedup (SemDeDup-style): near-dup pairs discovered WITHIN
   // trained k-means cells only — the cell partition bounds the pair scan
   // (per-cell candidates, never corpus x corpus), which is the entire
@@ -4339,7 +4401,7 @@ object Catalog {
     q73, q74,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17,
-    ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08,
+    ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14,
     mm01, mm02, mm03, mm04, mm05,
