@@ -497,6 +497,82 @@ object SimilarityOps {
     lastM
   }
 
+  /** Long-form [[pqFit]] output → one row per (blk, code) with the
+    * centroid as an array column, ready to broadcast (≤ blocks × codes
+    * rows by construction).
+    */
+  def pqCodebookVectors(codebook: DataFrame): DataFrame =
+    codebook.groupBy("blk", "code")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+        x => x.getField("mean")).as("cv"))
+
+  /** Encode every vector against a trained PQ codebook: one row per
+    * (id, blk) with the nearest code by rounded squared L2 (ties to the
+    * lower code id — [[pqFit]]'s assignment discipline, so encoding and
+    * training agree). THE one pass that touches the full corpus:
+    * a (blocks×codes)-row broadcast join + the map-side-combinable
+    * argmin, linear in n, and the encoded table is blocks shorts per
+    * vector — the 32× compression PQ exists for.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, blocks: Int, subDim: Int,
+      roundDist: Int = 6): DataFrame = {
+    val rows = df.select(col(idCol).as("_pe_id"),
+        col(vecCol).cast("array<double>").as("_pe_vec"))
+      .select(col("_pe_id"), posexplode(expr(
+          s"transform(sequence(0, $blocks - 1), " +
+            s"b -> slice(_pe_vec, b * $subDim + 1, $subDim))"))
+        .as(Seq("blk", "_pe_sv")))
+    rows.join(broadcast(pqCodebookVectors(codebook)), Seq("blk"))
+      .withColumn("_pe_d", round(expr(
+        "aggregate(zip_with(_pe_sv, cv, (a, b) -> (a - b) * (a - b)), " +
+          "0D, (acc, x) -> acc + x)"), roundDist))
+      .groupBy(col("_pe_id"), col("blk"))
+      .agg(min(struct(col("_pe_d"), col("code"))).getField("code").as("code"))
+      .select(col("_pe_id").as(idCol), col("blk"), col("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * query precomputes its distance to every codebook entry (a
+    * queries × blocks × codes TABLE — the classic ADC lookup table,
+    * tiny and broadcast), and a corpus vector's approximate distance is
+    * the SUM of its blocks' looked-up entries — n×blocks integer adds,
+    * never n×dim multiplies, which is the entire query-time speedup PQ
+    * buys. Per-block distances are scaled to integer micro-units
+    * (`round(d · 10^6)` — the q68 micro-unit move), so the 8-way sum is
+    * an exact long under any aggregation order and both engines rank
+    * identically (ties to the lower neighbor id).
+    *
+    * @return (query_id, neighbor_id, d_sum, rank) — rank ≤ k by
+    *         ascending approximate distance
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, codebook: DataFrame, blocks: Int, subDim: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = pqEncode(df, idCol, vecCol, codebook, blocks, subDim)
+      .select(col(idCol).as("neighbor_id"), col("blk"), col("code"))
+    val dtab = df.where(queryPred)
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_adc_qv"))
+      .select(col("query_id"), posexplode(expr(
+          s"transform(sequence(0, $blocks - 1), " +
+            s"b -> slice(_adc_qv, b * $subDim + 1, $subDim))"))
+        .as(Seq("blk", "_adc_qsv")))
+      .join(broadcast(pqCodebookVectors(codebook)), Seq("blk"))
+      .select(col("query_id"), col("blk"), col("code"),
+        expr("cast(round(aggregate(zip_with(_adc_qsv, cv, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x) " +
+          "* 1000000.0) as bigint)").as("dq"))
+    val scored = enc.join(broadcast(dtab), Seq("blk", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("dq").as("d_sum"))
+      .where(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d_sum").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Cell count for corpus-scaled k-means (the [[scaledAxisCount]] move
     * applied to SemDeDup): k = clamp(ceil(n / targetCell), 4, 4096), so
     * expected cell population stays ~`targetCell` as the corpus grows

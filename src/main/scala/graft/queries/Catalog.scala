@@ -3374,8 +3374,11 @@ object Catalog {
   // bounded salt-"pq:" sample. Every step deterministic, so the oracle
   // replays both iterations CTE-by-CTE per block and the final
   // long-form codebook hash-matches exactly.
-  private val ann09 = Q("ann09_pq_train", Some("""
-    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+  /** Shared oracle CTE chain for the 2-iteration per-block PQ training
+    * (through m2); ann09 reads m2 directly, ann10 extends it with the
+    * full-corpus encoding and the ADC lookup.
+    */
+  private val pqTrainCtes = """v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
     smp AS (SELECT vec_id, e FROM (
              SELECT vec_id, e, row_number() OVER (
                ORDER BY md5('pq:' || cast(vec_id as varchar)), vec_id) AS srn
@@ -3419,7 +3422,9 @@ object Catalog {
            FROM a2 a JOIN rws r ON r.vec_id = a.vec_id AND r.blk = a.blk),
     m2 AS (SELECT blk, code, dim, count(*) AS n_vectors,
              cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
-           FROM x2 GROUP BY blk, code, dim)
+           FROM x2 GROUP BY blk, code, dim)"""
+  private val ann09 = Q("ann09_pq_train", Some(s"""
+    WITH $pqTrainCtes
     SELECT cast(blk as int) AS blk, code, cast(dim as int) AS dim,
       n_vectors, mean
     FROM m2 ORDER BY blk, code, dim"""),
@@ -3427,6 +3432,55 @@ object Catalog {
         "embedding", blocks = 8, subDim = 8, codesPerBlock = 4, iters = 2,
         samplePerCode = 16)
       .orderBy("blk", "code", "dim"))
+
+  // ADC top-k over the ann09-trained codebooks: the corpus is encoded
+  // ONCE per block (broadcast codebook + map-side argmin — the 32x
+  // compression pass), each query precomputes its distance to every
+  // codebook entry (the classic ADC lookup table, queries x 32 rows),
+  // and approximate distance = the SUM of per-block table entries —
+  // n x blocks integer adds, never n x dim multiplies. Per-block
+  // distances scale to integer micro-units so the 8-way sum is an exact
+  // long under any aggregation order (the q68 micro-unit move); ranks
+  // tie to the lower neighbor id.
+  private val ann10 = Q("ann10_pq_adc_topk", Some(s"""
+    WITH $pqTrainCtes,
+    c2 AS (SELECT blk, code, list(mean ORDER BY dim) AS cv
+           FROM m2 GROUP BY blk, code),
+    fr AS (SELECT vec_id, b.blk,
+             list_slice(e, b.blk * 8 + 1, b.blk * 8 + 8) AS sv
+           FROM v, (SELECT unnest(generate_series(0, 7)) AS blk) b),
+    ed AS (SELECT f.vec_id, f.blk, c.code,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (f.sv[i] - c.cv[i]) * (f.sv[i] - c.cv[i]))), 6) AS d
+           FROM fr f JOIN c2 c ON f.blk = c.blk),
+    enc AS (SELECT vec_id, blk, code FROM (
+             SELECT vec_id, blk, code, row_number() OVER (
+               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
+             FROM ed) t WHERE rn = 1),
+    qt AS (SELECT f.vec_id AS query_id, f.blk, c.code,
+             cast(round(list_sum(list_transform(generate_series(1, 8),
+               i -> (f.sv[i] - c.cv[i]) * (f.sv[i] - c.cv[i])))
+               * 1000000.0) as bigint) AS dq
+           FROM fr f JOIN c2 c ON f.blk = c.blk WHERE f.vec_id < 5),
+    sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             cast(sum(q.dq) as bigint) AS d_sum
+           FROM enc e JOIN qt q ON e.blk = q.blk AND e.code = q.code
+           WHERE e.vec_id <> q.query_id
+           GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, d_sum, rank FROM (
+      SELECT query_id, neighbor_id, d_sum, row_number() OVER (
+        PARTITION BY query_id ORDER BY d_sum, neighbor_id) AS rank
+      FROM sc) t
+    WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val cb = SimilarityOps.pqFit(emb, "vec_id", "embedding",
+        blocks = 8, subDim = 8, codesPerBlock = 4, iters = 2,
+        samplePerCode = 16)
+      SimilarityOps.pqAdcTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 5, cb, blocks = 8, subDim = 8, k = 10)
+        .orderBy("query_id", "rank")
+    })
 
   // Semantic dedup (SemDeDup-style): near-dup pairs discovered WITHIN
   // trained k-means cells only — the cell partition bounds the pair scan
@@ -4401,7 +4455,7 @@ object Catalog {
     q73, q74,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17,
-    ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09,
+    ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14,
     mm01, mm02, mm03, mm04, mm05,

@@ -102,7 +102,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dp08_ingest_gate",        // 1-row corpus max
     "tx14_bigram_lm",          // 1-row vocabulary-size aggregate
     "dd17_lsh_recall",         // bounded query-set broadcast
-    "dp18_epoch_mixture")      // 1-row budget-total aggregate
+    "dp18_epoch_mixture",      // 1-row budget-total aggregate
+    "ann10_pq_adc_topk")       // blocks x codes codebook + ADC table broadcasts
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
