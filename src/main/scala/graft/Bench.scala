@@ -12,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   * queries object and its name under "errors" — and the sf1 scale probe
   * excludes failed runs from its ratio object instead of publishing a
   * time-to-failure as a measurement (ADVICE r7).
+  *
+  * Measurement mode is WARM (and the artifact says so): a full untimed
+  * pass over the catalog at the measured sf runs first, absorbing JIT,
+  * codegen, and the one-time DISK_ONLY materializations of shared
+  * corpus-derived tables; its cost is reported separately as
+  * warmup_sec. Per-query numbers are therefore stable across runs and
+  * comparable round-to-round (VERDICT r11 #1 — cold single shots
+  * attributed shared-cache builds to arbitrary queries, swinging dp*
+  * numbers 2–8x). The sf1 probe is the exception: it clearCache()s per
+  * scale so BOTH sides of each ratio pay materialization cold.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,13 +35,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // Warm-up pass at the smallest SF: JIT + codegen compilation otherwise
-    // lands entirely on whichever query happens to run first and dominates
-    // its measurement (observed ~20s attributed to the first query).
-    val warmDir = "/root/testdata/sf0.001"
+    // Warm-up pass at the MEASURED sf. Two costs would otherwise land on
+    // arbitrary queries and make single-shot per-query numbers
+    // uninterpretable (VERDICT r11 #1): (a) JIT + codegen compilation
+    // dominates whichever query runs first (~20s observed); (b) the
+    // one-time DISK_ONLY materializations of shared corpus-derived tables
+    // (Exec.materializeLarge — exploded tokens, shingle sets, bucketed
+    // vectors) are paid by whichever query FIRST triggers each one, which
+    // varies run to run — BENCH_r11's single shot disagreed with the
+    // same-evening idle 3-run block by 2–8x on dp*-cluster queries while
+    // untouched q68 matched exactly. Running the full catalog once at
+    // sfDir first absorbs both; the cost is timed and reported as
+    // warmup_sec, and the per-query loop below measures WARM numbers
+    // ("mode":"warm" in the artifact) that are stable run-to-run.
+    val tw = System.nanoTime()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    val warmupSec = (System.nanoTime() - tw) / 1e9
     val errors = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -51,7 +72,7 @@ object Bench {
     // measured ratios in every BENCH artifact instead of a dev-tool
     // printout. Disable with SPARK_GRAFT_SF1=0.
     val sf01 = "/root/testdata/sf0.1"
-    val sf1Json =
+    val (sf1Json, sf1Compact) =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
           && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf01))) {
         val sf1Dir = "/tmp/graft_sf1"
@@ -132,10 +153,16 @@ object Bench {
           for (a <- m1(n); b <- m01(n)) yield
             s"\"" + n + "\":" + (math.round(a / math.max(1e-9, b) * 100) / 100.0)
         }.mkString("{", ",", "}")
-        s""","sf1":{"build_sec":$buildSec,"sf0.1":${obj(at01)},"sf1":${obj(at1)},"ratio_vs_10x_data":$ratios,"dd06_cc":{"sf0.1":$cc01,"sf1":$cc1},"dd13_cells":{"sf0.1":$sem01,"sf1":$sem1}}"""
-      } else ""
+        // compact variant built from the SAME Scala values — re-parsing the
+        // serialized line with a brace matcher silently truncated on any
+        // brace inside a string value (ADVICE r11)
+        val telemetry =
+          s""""ratio_vs_10x_data":$ratios,"dd06_cc":{"sf0.1":$cc01,"sf1":$cc1},"dd13_cells":{"sf0.1":$sem01,"sf1":$sem1}"""
+        (s""","sf1":{"build_sec":$buildSec,"sf0.1":${obj(at01)},"sf1":${obj(at1)},$telemetry}""",
+         s""","sf1":{$telemetry}""")
+      } else ("", "")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","warmup_sec":$warmupSec,"queries":$qs,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; stdout is the contract
@@ -148,34 +175,8 @@ object Bench {
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val sf1Compact =
-      if (sf1Json.isEmpty) ""
-      else {
-        // keep ratios + telemetry (the scale story); drop raw per-probe times
-        val body = sf1Json.stripPrefix(""","sf1":{""").stripSuffix("}")
-        val keep = Seq("ratio_vs_10x_data", "dd06_cc", "dd13_cells")
-        val kept = keep.flatMap { k =>
-          val tag = "\"" + k + "\":"
-          val i = body.indexOf(tag)
-          if (i < 0) None
-          else { // value is a balanced {...} object (or null)
-            val vs = i + tag.length
-            if (body.startsWith("null", vs)) Some(tag + "null")
-            else {
-              var depth = 0; var j = vs
-              while (j < body.length && (depth > 0 || j == vs)) {
-                if (body(j) == '{') depth += 1
-                else if (body(j) == '}') depth -= 1
-                j += 1
-              }
-              Some(tag + body.substring(vs, j))
-            }
-          }
-        }.mkString(",")
-        s""","sf1":{$kept}"""
-      }
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"queries_total":${results.size},"full":"BENCH_full.json","errors":$errJson,"sf":"$sfDir"$sf1Compact}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"warm","warmup_sec":${r3(warmupSec)},"queries":$top,"queries_total":${results.size},"full":"BENCH_full.json","errors":$errJson,"sf":"$sfDir"$sf1Compact}"""
     println(compact)
     spark.stop()
   }

@@ -2607,7 +2607,8 @@ object Catalog {
       SELECT lang,
         cast(sum(CASE WHEN length(trim(text)) = 0 THEN 0
           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) as bigint) AS c_tok
-      FROM documents GROUP BY lang),
+      FROM documents GROUP BY lang
+      HAVING c_tok > 0),
     tot AS (SELECT cast(sum(c_tok) * 3 // 2 as bigint) AS b_tot,
                    cast(count(*) as bigint) AS n_lang FROM t)
     SELECT lang, c_tok,
@@ -2623,6 +2624,12 @@ object Catalog {
         .groupBy("lang")
         .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
           .cast("long").as("c_tok"))
+        // an all-empty-text language has c_tok = 0: its epoch ceil would
+        // divide by zero (NULL in Spark, a hard error in DuckDB — an
+        // engine divergence, ADVICE r11). Zero tokens means nothing to
+        // mix; drop it from the plan AND the totals, mirrored by the
+        // oracle's HAVING.
+        .where(col("c_tok") > 0)
       val tot = t.agg(expr("cast(sum(c_tok) * 3 div 2 as long)").as("_bt"),
         count(lit(1)).as("_nl"))
       t.crossJoin(broadcast(tot))
@@ -4308,13 +4315,24 @@ object Catalog {
     FROM documents ORDER BY rank"""),
     (s, d) => {
       val docs = T(s, d, "documents").select("doc_id", "n_chars")
-      val r = docs.agg(max("doc_id")).head().getLong(0) + 1
-      PrefixSumOps.globalRank(
-          docs.withColumn("_key", col("n_chars") * r + col("doc_id")),
-          "_key", "rank")
-        .withColumn("shard", expr("(rank - 1) div 100"))
-        .select("doc_id", "n_chars", "rank", "shard")
-        .orderBy("rank")
+      val b = docs.agg(max("doc_id"), max("n_chars")).head()
+      if (b.isNullAt(0)) // empty corpus: the rank of nothing is no rows
+        docs.withColumn("rank", lit(0L)).withColumn("shard", lit(0L))
+          .select("doc_id", "n_chars", "rank", "shard")
+      else {
+        val r = b.getLong(0) + 1
+        // globalRank's contract: the composite key must fit in a long —
+        // max key is n_chars_max·R + doc_id_max (same style as
+        // ppsSystematicSample's W·budget bound)
+        require(b.getLong(1) <= (Long.MaxValue - b.getLong(0)) / r,
+          s"composite key n_chars*$r + doc_id overflows Long")
+        PrefixSumOps.globalRank(
+            docs.withColumn("_key", col("n_chars") * r + col("doc_id")),
+            "_key", "rank")
+          .withColumn("shard", expr("(rank - 1) div 100"))
+          .select("doc_id", "n_chars", "rank", "shard")
+          .orderBy("rank")
+      }
     })
 
   // Round-4 composition capstone: the incremental ingestion gate as ONE
