@@ -573,6 +573,100 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Composed IVF→ADC top-k (FAISS-style IVFADC — the deployable ANN
+    * index): coarse trained centroids prune the corpus to the query's
+    * top-`nProbe` cells ([[ivfTopK]]'s probe/assignment halves), and
+    * ranking INSIDE the probed cells runs on PQ codes via the
+    * asymmetric-distance lookup ([[pqAdcTopK]]'s integer ADC) instead of
+    * exact cosine — so query cost is (probed cells' population) × blocks
+    * integer adds, never corpus × dim multiplies and never probed-cells
+    * × dim either. An optional exact re-rank rescores only the top
+    * `reRank` ADC candidates per query with true cosine — the standard
+    * recall-restoring tail pass, bounded at reRank × dim per query.
+    *
+    * Scale shape: the corpus is touched by exactly TWO linear passes
+    * that a production deployment persists — the coarse-cell assignment
+    * ([[assignToCentroids]], partial-aggregatable argmax) and the PQ
+    * encoding ([[pqEncode]], broadcast-join argmin); queries carry a
+    * bounded (queries × blocks × codes) broadcast ADC table plus a
+    * (queries × nProbe) probe list. Per-block distances are integer
+    * micro-units so the block sum is an exact long under any aggregation
+    * order; every cut ties deterministically (ADC pool on (d_sum, id),
+    * re-rank on (sim desc, id)) — oracle-checkable end to end.
+    *
+    * @param centroids coarse quantizer (`cell`, `cvec array<double>`)
+    * @param codebook  long-form [[pqFit]] output
+    * @param reRank    0 = rank purely by ADC distance (output carries
+    *                  `d_sum`); > 0 = exact-cosine re-rank of the top
+    *                  `reRank` ADC candidates (output carries `sim`)
+    */
+  def ivfAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, centroids: DataFrame, codebook: DataFrame,
+      blocks: Int, subDim: Int, k: Int, nProbe: Int = 2, reRank: Int = 0,
+      roundSim: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // pass 1 (persisted in production): coarse-cell assignment
+    val assigned = assignToCentroids(df, idCol, vecCol, centroids, roundSim)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    // pass 2 (persisted in production): PQ codes, blocks shorts per vector
+    val enc = pqEncode(df, idCol, vecCol, codebook, blocks, subDim)
+      .select(col(idCol).as("neighbor_id"), col("blk"), col("code"))
+    val queries = df.where(queryPred)
+    // probe ranking: a window over only the bounded query subset × k
+    val scoredQ = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_ia_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_ia_qsim", round(cosine(col("_ia_qv"), col("cvec")), roundSim))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_ia_qsim").desc, col("cell").asc)
+    val probes = scoredQ.withColumn("_ia_rn", row_number().over(wp))
+      .where(col("_ia_rn") <= nProbe).select(col("query_id"), col("cell"))
+    // each corpus vector lives in exactly one cell, so (query, neighbor)
+    // pairs are already unique — distinct kept for contract clarity
+    val cand = probes.join(assigned, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    // the classic ADC lookup table: queries × blocks × codes, tiny
+    val dtab = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_ia_dqv"))
+      .select(col("query_id"), posexplode(expr(
+          s"transform(sequence(0, $blocks - 1), " +
+            s"b -> slice(_ia_dqv, b * $subDim + 1, $subDim))"))
+        .as(Seq("blk", "_ia_qsv")))
+      .join(broadcast(pqCodebookVectors(codebook)), Seq("blk"))
+      .select(col("query_id"), col("blk"), col("code"),
+        expr("cast(round(aggregate(zip_with(_ia_qsv, cv, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x) " +
+          "* 1000000.0) as bigint)").as("dq"))
+    val scored = cand.join(enc, Seq("neighbor_id"))
+      .join(broadcast(dtab), Seq("query_id", "blk", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("dq").as("d_sum"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("d_sum").asc, col("neighbor_id").asc)
+    val adcRanked = scored.withColumn("adc_rank", row_number().over(wa))
+    if (reRank <= 0)
+      adcRanked.where(col("adc_rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("d_sum"),
+          col("adc_rank").as("rank"))
+    else {
+      val pool = adcRanked.where(col("adc_rank") <= reRank)
+        .select("query_id", "neighbor_id")
+      // exact cosine over the bounded pool only; query vectors broadcast
+      // by contract, the corpus side joins UNHINTED (the ann04/tx08 rule)
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_ia_qvec"))
+      val n = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_ia_nvec"))
+      val rr = pool.join(broadcast(q), Seq("query_id")).join(n, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("_ia_qvec"), col("_ia_nvec")), roundSim).as("sim"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      rr.withColumn("rank", row_number().over(wr)).where(col("rank") <= k)
+    }
+  }
+
   /** Cell count for corpus-scaled k-means (the [[scaledAxisCount]] move
     * applied to SemDeDup): k = clamp(ceil(n / targetCell), 4, 4096), so
     * expected cell population stays ~`targetCell` as the corpus grows
@@ -675,6 +769,71 @@ object SimilarityOps {
       .withColumn("sim", round(cosine(col("_sd_v1"), col("_sd_v2")), roundSim))
       .where(col("sim") >= threshold)
       .select(col("cell"), col("id1"), col("id2"), col("sim"))
+  }
+
+  /** Incremental semantic near-dup: a NEW batch of vectors deduped
+    * against an EXISTING corpus through persisted trained centroids —
+    * the batch-vs-history variant of [[semanticNearDupPairs]], completing
+    * the incremental triad (dd08 MinHash, dd14 substring spans, this for
+    * embeddings). Mirrors the reference's only dedup semantics: new rows
+    * against the persisted snapshot
+    * (`crawler/src/procedure_code.py:763-772`).
+    *
+    * Daily cost is O(batch), never O(corpus): the history side's
+    * (cell, sub-bucket) assignment table is computed once — at scale it
+    * is PERSISTED, bucketed on the join key, exactly like dd08's band
+    * index and dd14's positional-shingle index — and each batch (a)
+    * assigns against the bounded centroid broadcast
+    * ([[assignToCentroids]], one partial-aggregatable argmax pass over
+    * the batch only), then (b) equi-joins history WITHIN its
+    * (cell, sub-bucket) only. Batch×batch pairs are out of scope by
+    * design (they join the history index tomorrow); history×history
+    * pairs were scored when history was ingested.
+    *
+    * Sub-bucket widths derive from HISTORY cell populations only (the
+    * dd14 discipline: history-side stats never need recomputing as
+    * batches arrive), so a batch row lands in the same bucket today as
+    * the history rows did at index-build time. A batch row assigned to a
+    * cell with no history members has nothing to collide with and drops
+    * out at the width join.
+    *
+    * @return (cell, new_id, existing_id, sim) — one row per batch×history
+    *         pair in the same (cell, sub-bucket) with cosine ≥ threshold
+    */
+  def incrementalSemanticNearDup(newDf: DataFrame, historyDf: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      threshold: Double, roundSim: Int = 6, targetCell: Int = 64,
+      maxSignAxes: Int = 8): DataFrame = {
+    // history index: (cell, bucket, id, vec) — O(history) bytes, derived
+    // once; DISK_ONLY because the width aggregate AND the pair join both
+    // read it (at scale this is the persisted table, not a cache)
+    val histKeyed = Exec.materializeLarge(
+      assignToCentroids(historyDf, idCol, vecCol, centroids, roundSim)
+        .join(historyDf.select(col(idCol), col(vecCol)), idCol)
+        .select(col("cell"), col(idCol).as("_is_id"),
+          col(vecCol).cast("array<double>").as("_is_vec"))
+        .withColumn("_is_sign", signBucket(col("_is_vec"), 0 until maxSignAxes)))
+    // k rows, bounded by scaledCellCount's cap — safe to broadcast
+    val widths = histKeyed.groupBy("cell").agg(count(lit(1)).as("_is_cn"))
+      .withColumn("_is_axes", subBucketAxisCount(col("_is_cn"), targetCell, maxSignAxes))
+      .select(col("cell"), col("_is_axes"))
+    val hist = histKeyed.join(broadcast(widths), "cell")
+      .select(col("cell"),
+        col("_is_sign").substr(lit(1), col("_is_axes")).as("_is_bucket"),
+        col("_is_id").as("existing_id"), col("_is_vec").as("_is_hv"))
+    val batch = assignToCentroids(newDf, idCol, vecCol, centroids, roundSim)
+      .join(newDf.select(col(idCol), col(vecCol)), idCol)
+      .select(col("cell"), col(idCol).as("new_id"),
+        col(vecCol).cast("array<double>").as("_is_nv"))
+      .withColumn("_is_sign", signBucket(col("_is_nv"), 0 until maxSignAxes))
+      .join(broadcast(widths), "cell") // no history in cell → no pairs
+      .select(col("cell"),
+        col("_is_sign").substr(lit(1), col("_is_axes")).as("_is_bucket"),
+        col("new_id"), col("_is_nv"))
+    batch.join(hist, Seq("cell", "_is_bucket"))
+      .withColumn("sim", round(cosine(col("_is_nv"), col("_is_hv")), roundSim))
+      .where(col("sim") >= threshold)
+      .select(col("cell"), col("new_id"), col("existing_id"), col("sim"))
   }
 
   /** Diagnostic (spec support): within-(cell, sub-bucket) candidate pair

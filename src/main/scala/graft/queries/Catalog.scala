@@ -3324,13 +3324,14 @@ object Catalog {
     * ([[graft.operators.SimilarityOps.scaledCellCount]] mirrored in its
     * `kp` CTE) so cell population stays bounded as n grows.
     */
-  private def kmeansCtes(preCtes: String, capExpr: String, seedCtes: String) =
+  private def kmeansCtes(preCtes: String, capExpr: String, seedCtes: String,
+      trainSrc: String = "v") =
     s"""v AS (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
                FROM embeddings),
     ${preCtes}smp AS (SELECT vec_id, e FROM (
              SELECT vec_id, e, row_number() OVER (
                ORDER BY md5('km:' || cast(vec_id as varchar)), vec_id) AS srn
-             FROM v) t WHERE srn <= $capExpr),
+             FROM $trainSrc) t WHERE srn <= $capExpr),
     $seedCtes,
     s1 AS (SELECT smp.vec_id, c0.cell,
              ${km16Cos.format("smp", "c0", "smp", "smp", "c0", "c0")} AS csim
@@ -3630,6 +3631,93 @@ object Catalog {
           graft.operators.Exec.materializeForSelfJoin(cent),
           threshold = 0.6, nProbe = 2, roundSim = 6)
         .orderBy("train_id")
+    })
+
+  // Incremental semantic dedup (the batch-vs-history variant of dd13,
+  // completing the incremental triad: dd08 MinHash, dd14 substring
+  // spans, this for embeddings — mirrors the reference's snapshot-dedup
+  // semantics, crawler/src/procedure_code.py:763-772): a NEW batch
+  // (vec_id % 8 = 5) dedupes against the EXISTING corpus through
+  // persisted trained centroids. Centroids train on a bounded salted-md5
+  // sample of HISTORY only (k from the history count — the persisted
+  // index never sees the batch); the history side assigns once into its
+  // (cell, sub-bucket) table (at scale: persisted + bucketed, like
+  // dd08's band index); each batch assigns via the bounded centroid
+  // broadcast and joins history WITHIN (cell, sub-bucket) only — daily
+  // cost O(batch), never O(corpus). Sub-bucket widths derive from
+  // history cell populations alone (the dd14 history-stats discipline),
+  // so batch rows land where the index was built; batch×batch pairs are
+  // tomorrow's history by design.
+  private val dd18 = Q("dd18_incremental_semantic", Some(s"""
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings WHERE vec_id % 8 <> 5),
+    vh AS (SELECT vec_id, e FROM v WHERE vec_id % 8 <> 5),
+    vn AS (SELECT vec_id, e FROM v WHERE vec_id % 8 = 5),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""",
+      trainSrc = "vh")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    sh AS (SELECT vh.vec_id, c2.cell,
+             ${km16Cos.format("vh", "c2", "vh", "vh", "c2", "c2")} AS csim
+           FROM vh CROSS JOIN c2),
+    ah AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM sh) t WHERE rn = 1),
+    wh AS (SELECT ah.cell, ah.vec_id, vh.e,
+            array_to_string(list_transform(generate_series(1, 8),
+              i -> CASE WHEN vh.e[i] >= 0 THEN '1' ELSE '0' END), '') AS sgn
+          FROM ah JOIN vh USING (vec_id)),
+    ax AS (SELECT cell,
+             CASE WHEN m <= 1 THEN 0 WHEN m <= 2 THEN 1 WHEN m <= 4 THEN 2
+                  WHEN m <= 8 THEN 3 WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5
+                  WHEN m <= 64 THEN 6 WHEN m <= 128 THEN 7 ELSE 8 END AS saxes
+           FROM (SELECT cell, cast(floor((count(*) + 63) / 64.0) as bigint) AS m
+                 FROM wh GROUP BY cell)),
+    bh AS (SELECT wh.cell, wh.vec_id, wh.e, substring(wh.sgn, 1, ax.saxes) AS bkt
+          FROM wh JOIN ax USING (cell)),
+    sn AS (SELECT vn.vec_id, c2.cell,
+             ${km16Cos.format("vn", "c2", "vn", "vn", "c2", "c2")} AS csim
+           FROM vn CROSS JOIN c2),
+    an AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM sn) t WHERE rn = 1),
+    wn AS (SELECT an.cell, an.vec_id, vn.e,
+            array_to_string(list_transform(generate_series(1, 8),
+              i -> CASE WHEN vn.e[i] >= 0 THEN '1' ELSE '0' END), '') AS sgn
+          FROM an JOIN vn USING (vec_id)),
+    bn AS (SELECT wn.cell, wn.vec_id, wn.e, substring(wn.sgn, 1, ax.saxes) AS bkt
+          FROM wn JOIN ax USING (cell)),
+    pairs AS (
+      SELECT x.cell, x.vec_id AS new_id, y.vec_id AS existing_id,
+        round(list_sum(list_transform(generate_series(1, 16), i -> x.e[i] * y.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> x.e[i] * x.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> y.e[i] * y.e[i])))), 6) AS sim
+      FROM bn x JOIN bh y ON x.cell = y.cell AND x.bkt = y.bkt)
+    SELECT cell, new_id, existing_id, sim FROM pairs WHERE sim >= 0.6
+    ORDER BY cell, new_id, existing_id"""),
+    (s, d) => {
+      val emb16 = T(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      val hist = emb16.where(col("vec_id") % 8 =!= 5)
+      val batch = emb16.where(col("vec_id") % 8 === 5)
+      // k from the HISTORY count (the persisted index's own sizing —
+      // one scalar count over the pruned id column, mirrored by kp)
+      val k = SimilarityOps.scaledCellCount(hist.count(), targetCell = 64)
+      val cent = SimilarityOps.kmeansFit(hist, "vec_id", "v16", k = k,
+          iters = 2, samplePerCell = 16)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+      SimilarityOps.incrementalSemanticNearDup(batch, hist, "vec_id", "v16",
+          graft.operators.Exec.materializeForSelfJoin(cent),
+          threshold = 0.6, roundSim = 6, targetCell = 64)
+        .orderBy("cell", "new_id", "existing_id")
     })
 
   // Corpus-commonness scoring (boilerplate signal for curation): build
@@ -4472,7 +4560,7 @@ object Catalog {
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14, dd15, dd16, dd17,
+    dd13, dd14, dd15, dd16, dd17, dd18,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14,

@@ -203,4 +203,52 @@ class SemanticDedupSpec extends AnyFunSuite {
         lit(false), cents, threshold = 0.5)
     assert(out.count() == 0)
   }
+
+  test("incrementalSemanticNearDup: new×history only — planted twins found, batch×batch unscored") {
+    val hist = corpus(256)
+    val vecOf = hist.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // batch: two copies of history vec 3 (ALSO an identical batch-internal
+    // pair) and one copy of history vec 7
+    val batch = Seq(
+      (1000L, vecOf(3L)), (1001L, vecOf(3L)), (1002L, vecOf(7L)))
+      .toDF("id", "vec")
+    val cents = trainedCentroids(hist, 8)
+    val out = SimilarityOps.incrementalSemanticNearDup(batch, hist,
+        "id", "vec", cents, threshold = 0.999999)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the dd18 contract: every pair is batch-side new_id × history-side
+    // existing_id — the identical (1000, 1001) batch pair must NOT appear
+    assert(out.forall { case (n, e, _) => n >= 1000L && e < 256L },
+      s"non-cross pair leaked: ${out.mkString(", ")}")
+    val found = out.collect { case (n, e, s) if s == 1.0 => (n, e) }.toSet
+    assert(Set((1000L, 3L), (1001L, 3L), (1002L, 7L)).subsetOf(found),
+      s"planted twins missing: $found")
+  }
+
+  test("incrementalSemanticNearDup scans buckets, not batch×history (O(batch) daily cost)") {
+    // threshold = -1 keeps EVERY scored candidate, so the output count IS
+    // the pair-scan volume. Bucket-bounded candidates must sit far below
+    // the batch × history cross product a full re-scan would touch.
+    val hn = 1024; val bn = 128
+    val hist = corpus(hn)
+    val batch = (0 until bn).map { i =>
+      (10000L + i, (0 until 8).map { d =>
+        (((i * 48271L + d * 69621L) % 1000L) / 500.0f) - 1.0f
+      })
+    }.toDF("id", "vec")
+    val cents = trainedCentroids(hist, SimilarityOps.scaledCellCount(hn))
+    val scanned = SimilarityOps.incrementalSemanticNearDup(batch, hist,
+      "id", "vec", cents, threshold = -1.0).count()
+    assert(scanned > 0, "probe batch hit no history bucket — not probing anything")
+    assert(scanned < hn.toLong * bn / 4,
+      s"pair scan $scanned ≈ batch×history (${hn.toLong * bn}) — not bucket-bounded")
+  }
+
+  test("incrementalSemanticNearDup: empty history yields empty output, not a crash") {
+    val hist = corpus(64).where(lit(false))
+    val batch = corpus(16)
+    val cents = trainedCentroids(corpus(64), 4)
+    assert(SimilarityOps.incrementalSemanticNearDup(batch, hist,
+      "id", "vec", cents, threshold = 0.5).count() == 0)
+  }
 }
