@@ -3094,6 +3094,108 @@ object Catalog {
   private val km64Cos = """round(list_sum(list_transform(generate_series(1, 64), i -> %s.e[i] * %s.ce[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> %s.e[i] * %s.e[i])))
            * sqrt(list_sum(list_transform(generate_series(1, 64), i -> %s.ce[i] * %s.ce[i])))), 6)"""
+  /** [[pqTrainCtes]] without the leading `v` CTE, for oracles (ann07)
+    * that already define `v` themselves. Defined BEFORE ann07 — string
+    * vals initialize in declaration order, and a forward reference
+    * interpolates as literal "null".
+    */
+  private val pqTrainCtesNoV = """smp AS (SELECT vec_id, e FROM (
+             SELECT vec_id, e, row_number() OVER (
+               ORDER BY md5('pq:' || cast(vec_id as varchar)), vec_id) AS srn
+             FROM v) t WHERE srn <= 64),
+    rws AS (SELECT vec_id, b.blk,
+             list_slice(e, b.blk * 8 + 1, b.blk * 8 + 8) AS sv
+            FROM smp, (SELECT unnest(generate_series(0, 7)) AS blk) b),
+    seeds AS (SELECT vec_id FROM smp ORDER BY vec_id LIMIT 4),
+    c0 AS (SELECT r.blk, r.vec_id AS code, r.sv AS cv
+           FROM rws r JOIN seeds s ON r.vec_id = s.vec_id),
+    d1 AS (SELECT r.vec_id, r.blk, c.code,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (r.sv[i] - c.cv[i]) * (r.sv[i] - c.cv[i]))), 6) AS d
+           FROM rws r JOIN c0 c ON r.blk = c.blk),
+    a1 AS (SELECT vec_id, blk, code FROM (
+             SELECT vec_id, blk, code, row_number() OVER (
+               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
+             FROM d1) t WHERE rn = 1),
+    x1 AS (SELECT a.blk, a.code, unnest(generate_series(0, 7)) AS dim,
+             unnest(list_transform(r.sv,
+               y -> cast(floor(y * 1048576.0) as bigint))) AS q
+           FROM a1 a JOIN rws r ON r.vec_id = a.vec_id AND r.blk = a.blk),
+    m1 AS (SELECT blk, code, dim, count(*) AS n_vectors,
+             cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+           FROM x1 GROUP BY blk, code, dim),
+    c1 AS (SELECT c0.blk, c0.code, coalesce(cm.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN (SELECT blk, code, list(mean ORDER BY dim) AS cv
+                              FROM m1 GROUP BY blk, code) cm
+             ON c0.blk = cm.blk AND c0.code = cm.code),
+    d2 AS (SELECT r.vec_id, r.blk, c.code,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (r.sv[i] - c.cv[i]) * (r.sv[i] - c.cv[i]))), 6) AS d
+           FROM rws r JOIN c1 c ON r.blk = c.blk),
+    a2 AS (SELECT vec_id, blk, code FROM (
+             SELECT vec_id, blk, code, row_number() OVER (
+               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
+             FROM d2) t WHERE rn = 1),
+    x2 AS (SELECT a.blk, a.code, unnest(generate_series(0, 7)) AS dim,
+             unnest(list_transform(r.sv,
+               y -> cast(floor(y * 1048576.0) as bigint))) AS q
+           FROM a2 a JOIN rws r ON r.vec_id = a.vec_id AND r.blk = a.blk),
+    m2 AS (SELECT blk, code, dim, count(*) AS n_vectors,
+             cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+           FROM x2 GROUP BY blk, code, dim)"""
+
+  /** Shared oracle CTE chain: the 16-cell k-means coarse quantizer over
+    * the full 64-dim embeddings (2 Lloyd's iterations on the 256-row
+    * salted-md5 sample — [[graft.operators.SimilarityOps.kmeansFit]]
+    * with k=16, samplePerCell=16), through the trained centroids (kc2)
+    * and the FULL-corpus assignment (ktr scored / kta assigned).
+    * ann07's trained-IVF arm and ann11's IVFADC coarse half share it
+    * verbatim; requires a `v (vec_id, e double[64])` CTE in scope.
+    */
+  private val km64TrainCtes = s"""ksmp AS (SELECT vec_id, e FROM (
+        SELECT vec_id, e, row_number() OVER (
+          ORDER BY md5('km:' || cast(vec_id as varchar)), vec_id) AS srn
+        FROM v) t WHERE srn <= 256),
+    kc0 AS (SELECT vec_id AS cell, e AS ce FROM (
+        SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM ksmp) t WHERE rn <= 16),
+    ks1 AS (SELECT ksmp.vec_id, kc0.cell,
+          ${km64Cos.format("ksmp", "kc0", "ksmp", "ksmp", "kc0", "kc0")} AS csim
+        FROM ksmp CROSS JOIN kc0),
+    ka1 AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ks1) t WHERE rn = 1),
+    kx1 AS (SELECT ka1.cell, unnest(generate_series(0, 63)) AS dim,
+          unnest(list_transform(ksmp.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
+        FROM ka1 JOIN ksmp USING (vec_id)),
+    km1 AS (SELECT cell, dim, count(*) AS n_vectors,
+          cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+        FROM kx1 GROUP BY cell, dim),
+    kc1 AS (SELECT kc0.cell, coalesce(cm.ce, kc0.ce) AS ce
+        FROM kc0 LEFT JOIN (SELECT cell, list(mean ORDER BY dim) AS ce
+                            FROM km1 GROUP BY cell) cm USING (cell)),
+    ks2 AS (SELECT ksmp.vec_id, kc1.cell,
+          ${km64Cos.format("ksmp", "kc1", "ksmp", "ksmp", "kc1", "kc1")} AS csim
+        FROM ksmp CROSS JOIN kc1),
+    ka2 AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ks2) t WHERE rn = 1),
+    kx2 AS (SELECT ka2.cell, unnest(generate_series(0, 63)) AS dim,
+          unnest(list_transform(ksmp.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
+        FROM ka2 JOIN ksmp USING (vec_id)),
+    km2 AS (SELECT cell, dim, count(*) AS n_vectors,
+          cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
+        FROM kx2 GROUP BY cell, dim),
+    kc2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM km2 GROUP BY cell),
+    ktr AS (SELECT v.vec_id, kc2.cell,
+          ${km64Cos.format("v", "kc2", "v", "v", "kc2", "kc2")} AS csim
+        FROM v CROSS JOIN kc2),
+    kta AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ktr) t WHERE rn = 1)"""
   private val annBruteSql =
     """SELECT query_id, neighbor_id FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3170,50 +3272,7 @@ object Catalog {
           row_number() OVER (PARTITION BY query_id ORDER BY n_match DESC, neighbor_id) AS rank
         FROM matches) t
       WHERE rank <= 10),
-    ksmp AS (SELECT vec_id, e FROM (
-        SELECT vec_id, e, row_number() OVER (
-          ORDER BY md5('km:' || cast(vec_id as varchar)), vec_id) AS srn
-        FROM v) t WHERE srn <= 256),
-    kc0 AS (SELECT vec_id AS cell, e AS ce FROM (
-        SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
-        FROM ksmp) t WHERE rn <= 16),
-    ks1 AS (SELECT ksmp.vec_id, kc0.cell,
-          ${km64Cos.format("ksmp", "kc0", "ksmp", "ksmp", "kc0", "kc0")} AS csim
-        FROM ksmp CROSS JOIN kc0),
-    ka1 AS (SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
-          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
-        FROM ks1) t WHERE rn = 1),
-    kx1 AS (SELECT ka1.cell, unnest(generate_series(0, 63)) AS dim,
-          unnest(list_transform(ksmp.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
-        FROM ka1 JOIN ksmp USING (vec_id)),
-    km1 AS (SELECT cell, dim, count(*) AS n_vectors,
-          cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
-        FROM kx1 GROUP BY cell, dim),
-    kc1 AS (SELECT kc0.cell, coalesce(cm.ce, kc0.ce) AS ce
-        FROM kc0 LEFT JOIN (SELECT cell, list(mean ORDER BY dim) AS ce
-                            FROM km1 GROUP BY cell) cm USING (cell)),
-    ks2 AS (SELECT ksmp.vec_id, kc1.cell,
-          ${km64Cos.format("ksmp", "kc1", "ksmp", "ksmp", "kc1", "kc1")} AS csim
-        FROM ksmp CROSS JOIN kc1),
-    ka2 AS (SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
-          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
-        FROM ks2) t WHERE rn = 1),
-    kx2 AS (SELECT ka2.cell, unnest(generate_series(0, 63)) AS dim,
-          unnest(list_transform(ksmp.e, y -> cast(floor(y * 1048576.0) as bigint))) AS q
-        FROM ka2 JOIN ksmp USING (vec_id)),
-    km2 AS (SELECT cell, dim, count(*) AS n_vectors,
-          cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
-        FROM kx2 GROUP BY cell, dim),
-    kc2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM km2 GROUP BY cell),
-    ktr AS (SELECT v.vec_id, kc2.cell,
-          ${km64Cos.format("v", "kc2", "v", "v", "kc2", "kc2")} AS csim
-        FROM v CROSS JOIN kc2),
-    kta AS (SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
-          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
-        FROM ktr) t WHERE rn = 1),
+    $km64TrainCtes,
     ktp AS (SELECT vec_id AS query_id, cell FROM (
         SELECT vec_id, cell,
           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
@@ -3230,6 +3289,52 @@ object Catalog {
         FROM ktc c JOIN v q ON q.vec_id = c.query_id
                    JOIN v n ON n.vec_id = c.neighbor_id) t
       WHERE rank <= 5),
+    $pqTrainCtesNoV,
+    pc2 AS (SELECT blk, code, list(mean ORDER BY dim) AS cv
+            FROM m2 GROUP BY blk, code),
+    iap AS (SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ktr WHERE vec_id < 5) t WHERE rn <= 2),
+    iac AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM iap p JOIN kta a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    pfr AS (SELECT vec_id, b.blk,
+             list_slice(e, b.blk * 8 + 1, b.blk * 8 + 8) AS sv
+           FROM v, (SELECT unnest(generate_series(0, 7)) AS blk) b),
+    ped AS (SELECT f.vec_id, f.blk, c.code,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (f.sv[i] - c.cv[i]) * (f.sv[i] - c.cv[i]))), 6) AS d
+           FROM pfr f JOIN pc2 c ON f.blk = c.blk),
+    penc AS (SELECT vec_id, blk, code FROM (
+             SELECT vec_id, blk, code, row_number() OVER (
+               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
+             FROM ped) t WHERE rn = 1),
+    pqt AS (SELECT f.vec_id AS query_id, f.blk, c.code,
+             cast(round(list_sum(list_transform(generate_series(1, 8),
+               i -> (f.sv[i] - c.cv[i]) * (f.sv[i] - c.cv[i])))
+               * 1000000.0) as bigint) AS dq
+           FROM pfr f JOIN pc2 c ON f.blk = c.blk WHERE f.vec_id < 5),
+    psc AS (SELECT cd.query_id, cd.neighbor_id,
+             cast(sum(q.dq) as bigint) AS d_sum
+           FROM iac cd
+           JOIN penc e ON e.vec_id = cd.neighbor_id
+           JOIN pqt q ON q.query_id = cd.query_id
+                     AND q.blk = e.blk AND q.code = e.code
+           GROUP BY 1, 2),
+    ppool AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY d_sum, neighbor_id) AS arn
+             FROM psc) t WHERE arn <= 20),
+    a_ia AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, p.neighbor_id,
+          row_number() OVER (PARTITION BY p.query_id ORDER BY
+            ${ivfCos.format("q", "n", "q", "q", "n", "n")} DESC, p.neighbor_id) AS rank
+        FROM ppool p JOIN v q ON q.vec_id = p.query_id
+                     JOIN v n ON n.vec_id = p.neighbor_id) t
+      WHERE rank <= 10),
     r AS (
       SELECT 'ivf' AS method,
         (SELECT count(DISTINCT query_id) FROM t_ivf) AS n_queries,
@@ -3247,7 +3352,11 @@ object Catalog {
       UNION ALL SELECT 'trained',
         (SELECT count(DISTINCT query_id) FROM t_ivf),
         (SELECT count(*) FROM a_tr a JOIN t_ivf t
-           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 5)
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 5
+      UNION ALL SELECT 'ivfadc',
+        (SELECT count(DISTINCT query_id) FROM t_pq),
+        (SELECT count(*) FROM a_ia a JOIN t_pq t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 10)
     SELECT method, n_queries, total_hits,
       cast(total_hits as double) / (n_queries * k) AS recall
     FROM r ORDER BY method"""),
@@ -3283,17 +3392,29 @@ object Catalog {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
           x => x.getField("mean")).as("cvec"))
+      val idx = graft.operators.Exec.materializeForSelfJoin(trainedIdx)
       val trained = SimilarityOps.ivfTopK(emb,
-        col("id") >= 20 && col("id") < 30,
-        graft.operators.Exec.materializeForSelfJoin(trainedIdx), k = 5, nProbe = 2)
-      // ivf and trained grade against the SAME query set and k — one
-      // shared truth set, so the whole query runs 3 brute-force scans
-      // (was 8: one per truth reference)
+        col("id") >= 20 && col("id") < 30, idx, k = 5, nProbe = 2)
+      // the composed IVFADC arm (ann11): same trained coarse index, the
+      // ann09 PQ codebook, the PQ arm's query set and k — so 'pq' vs
+      // 'ivfadc' reads directly as what cell pruning + trained codes +
+      // exact re-rank buy over sign-bit PQ
+      val composed = SimilarityOps.ivfAdcTopK(emb, "id", "vec",
+        col("id") < 5, idx,
+        SimilarityOps.pqFit(T(s, d, "embeddings"), "vec_id", "embedding",
+          blocks = 8, subDim = 8, codesPerBlock = 4, iters = 2,
+          samplePerCode = 16),
+        blocks = 8, subDim = 8, k = 10, nProbe = 2, reRank = 20)
+      // ivf/trained and pq/ivfadc each grade against a SHARED truth set,
+      // so the whole query runs 3 brute-force scans (was 8: one per
+      // truth reference)
       val tIvf = truth(col("id") >= 20 && col("id") < 30, 5)
+      val tPq = truth(col("id") < 5, 10)
       recallOf("ivf", ann04.fn(s, d), tIvf, 5)
         .unionByName(recallOf("lsh", ann02.fn(s, d), truth(col("id") < 50, 5), 5))
-        .unionByName(recallOf("pq", ann06.fn(s, d), truth(col("id") < 5, 10), 10))
+        .unionByName(recallOf("pq", ann06.fn(s, d), tPq, 10))
         .unionByName(recallOf("trained", trained, tIvf, 5))
+        .unionByName(recallOf("ivfadc", composed, tPq, 10))
         .orderBy("method")
     })
 
@@ -3386,51 +3507,9 @@ object Catalog {
     * (through m2); ann09 reads m2 directly, ann10 extends it with the
     * full-corpus encoding and the ADC lookup.
     */
-  private val pqTrainCtes = """v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
-    smp AS (SELECT vec_id, e FROM (
-             SELECT vec_id, e, row_number() OVER (
-               ORDER BY md5('pq:' || cast(vec_id as varchar)), vec_id) AS srn
-             FROM v) t WHERE srn <= 64),
-    rws AS (SELECT vec_id, b.blk,
-             list_slice(e, b.blk * 8 + 1, b.blk * 8 + 8) AS sv
-            FROM smp, (SELECT unnest(generate_series(0, 7)) AS blk) b),
-    seeds AS (SELECT vec_id FROM smp ORDER BY vec_id LIMIT 4),
-    c0 AS (SELECT r.blk, r.vec_id AS code, r.sv AS cv
-           FROM rws r JOIN seeds s ON r.vec_id = s.vec_id),
-    d1 AS (SELECT r.vec_id, r.blk, c.code,
-             round(list_sum(list_transform(generate_series(1, 8),
-               i -> (r.sv[i] - c.cv[i]) * (r.sv[i] - c.cv[i]))), 6) AS d
-           FROM rws r JOIN c0 c ON r.blk = c.blk),
-    a1 AS (SELECT vec_id, blk, code FROM (
-             SELECT vec_id, blk, code, row_number() OVER (
-               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
-             FROM d1) t WHERE rn = 1),
-    x1 AS (SELECT a.blk, a.code, unnest(generate_series(0, 7)) AS dim,
-             unnest(list_transform(r.sv,
-               y -> cast(floor(y * 1048576.0) as bigint))) AS q
-           FROM a1 a JOIN rws r ON r.vec_id = a.vec_id AND r.blk = a.blk),
-    m1 AS (SELECT blk, code, dim, count(*) AS n_vectors,
-             cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
-           FROM x1 GROUP BY blk, code, dim),
-    c1 AS (SELECT c0.blk, c0.code, coalesce(cm.cv, c0.cv) AS cv
-           FROM c0 LEFT JOIN (SELECT blk, code, list(mean ORDER BY dim) AS cv
-                              FROM m1 GROUP BY blk, code) cm
-             ON c0.blk = cm.blk AND c0.code = cm.code),
-    d2 AS (SELECT r.vec_id, r.blk, c.code,
-             round(list_sum(list_transform(generate_series(1, 8),
-               i -> (r.sv[i] - c.cv[i]) * (r.sv[i] - c.cv[i]))), 6) AS d
-           FROM rws r JOIN c1 c ON r.blk = c.blk),
-    a2 AS (SELECT vec_id, blk, code FROM (
-             SELECT vec_id, blk, code, row_number() OVER (
-               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
-             FROM d2) t WHERE rn = 1),
-    x2 AS (SELECT a.blk, a.code, unnest(generate_series(0, 7)) AS dim,
-             unnest(list_transform(r.sv,
-               y -> cast(floor(y * 1048576.0) as bigint))) AS q
-           FROM a2 a JOIN rws r ON r.vec_id = a.vec_id AND r.blk = a.blk),
-    m2 AS (SELECT blk, code, dim, count(*) AS n_vectors,
-             cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
-           FROM x2 GROUP BY blk, code, dim)"""
+  private val pqTrainCtes =
+    """v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    """ + pqTrainCtesNoV
   private val ann09 = Q("ann09_pq_train", Some(s"""
     WITH $pqTrainCtes
     SELECT cast(blk as int) AS blk, code, cast(dim as int) AS dim,
@@ -3487,6 +3566,88 @@ object Catalog {
         samplePerCode = 16)
       SimilarityOps.pqAdcTopK(emb, "vec_id", "embedding",
           col("vec_id") < 5, cb, blocks = 8, subDim = 8, k = 10)
+        .orderBy("query_id", "rank")
+    })
+
+  // Composed IVF→ADC top-k (FAISS-style IVFADC — the deployable ANN
+  // index, SimilarityOps.ivfAdcTopK): the trained 16-cell coarse
+  // quantizer (ann07's kmeansFit arm) prunes the corpus to each query's
+  // top-2 cells, ranking INSIDE probed cells runs on ann09's trained PQ
+  // codes via the integer ADC lookup — probed-population × blocks adds,
+  // never candidates × dim multiplies — and the top-20 ADC pool
+  // re-ranks by exact cosine (the standard recall-restoring tail pass,
+  // bounded at 20 × dim per query). Same query set and k as the PQ/ADC
+  // arms (vec_id < 5, k = 10), so ann07's recall harness grades the
+  // composition directly against its halves. Every cut ties
+  // deterministically (ADC pool on (d_sum, id), re-rank on (sim DESC,
+  // id)); the oracle replays coarse training, PQ training, both
+  // full-corpus passes, and both rankings CTE-by-CTE.
+  private val ann11 = Q("ann11_ivf_adc_topk", Some(s"""
+    WITH $pqTrainCtes,
+    pc2 AS (SELECT blk, code, list(mean ORDER BY dim) AS cv
+            FROM m2 GROUP BY blk, code),
+    $km64TrainCtes,
+    ktp AS (SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ktr WHERE vec_id < 5) t WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM ktp p JOIN kta a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    fr AS (SELECT vec_id, b.blk,
+             list_slice(e, b.blk * 8 + 1, b.blk * 8 + 8) AS sv
+           FROM v, (SELECT unnest(generate_series(0, 7)) AS blk) b),
+    ed AS (SELECT f.vec_id, f.blk, c.code,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (f.sv[i] - c.cv[i]) * (f.sv[i] - c.cv[i]))), 6) AS d
+           FROM fr f JOIN pc2 c ON f.blk = c.blk),
+    enc AS (SELECT vec_id, blk, code FROM (
+             SELECT vec_id, blk, code, row_number() OVER (
+               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
+             FROM ed) t WHERE rn = 1),
+    qt AS (SELECT f.vec_id AS query_id, f.blk, c.code,
+             cast(round(list_sum(list_transform(generate_series(1, 8),
+               i -> (f.sv[i] - c.cv[i]) * (f.sv[i] - c.cv[i])))
+               * 1000000.0) as bigint) AS dq
+           FROM fr f JOIN pc2 c ON f.blk = c.blk WHERE f.vec_id < 5),
+    sc AS (SELECT cd.query_id, cd.neighbor_id,
+             cast(sum(q.dq) as bigint) AS d_sum
+           FROM cand cd
+           JOIN enc e ON e.vec_id = cd.neighbor_id
+           JOIN qt q ON q.query_id = cd.query_id
+                    AND q.blk = e.blk AND q.code = e.code
+           GROUP BY 1, 2),
+    pool AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY d_sum, neighbor_id) AS arn
+             FROM sc) t WHERE arn <= 20),
+    rr AS (SELECT p.query_id, p.neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * n.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, 64), i -> n.e[i] * n.e[i])))), 6) AS sim
+           FROM pool p JOIN v q ON q.vec_id = p.query_id
+                       JOIN v n ON n.vec_id = p.neighbor_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM rr) t
+    WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val embRaw = T(s, d, "embeddings")
+      val emb = embRaw.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cb = SimilarityOps.pqFit(embRaw, "vec_id", "embedding",
+        blocks = 8, subDim = 8, codesPerBlock = 4, iters = 2,
+        samplePerCode = 16)
+      val idx = SimilarityOps.kmeansFit(
+          emb.select(col("id"), col("vec").as("v64")), "id", "v64",
+          k = 16, iters = 2, samplePerCell = 16)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+      SimilarityOps.ivfAdcTopK(emb, "id", "vec", col("id") < 5,
+          graft.operators.Exec.materializeForSelfJoin(idx), cb,
+          blocks = 8, subDim = 8, k = 10, nProbe = 2, reRank = 20)
         .orderBy("query_id", "rank")
     })
 
@@ -4562,6 +4723,7 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
+    ann11,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14,
     mm01, mm02, mm03, mm04, mm05,

@@ -24,10 +24,12 @@ class AnnRecallSpec extends AnyFunSuite {
       .toMap
 
   test("every configured method is graded over its full query set") {
-    assert(recalls.keySet == Set("lsh", "ivf", "pq", "trained"))
+    assert(recalls.keySet == Set("lsh", "ivf", "pq", "trained", "ivfadc"))
     assert(recalls("lsh")._1 == 50 && recalls("ivf")._1 == 10 && recalls("pq")._1 == 5)
-    // trained IVF shares seed-IVF's query set (directly comparable)
+    // trained IVF shares seed-IVF's query set (directly comparable);
+    // the composed IVFADC shares the PQ arm's (same reason)
     assert(recalls("trained")._1 == 10)
+    assert(recalls("ivfadc")._1 == 5)
   }
 
   test("recall is a valid fraction and meets each config's floor") {
@@ -35,8 +37,11 @@ class AnnRecallSpec extends AnyFunSuite {
     // index you'd deploy must not retrieve worse than the k-seed demo
     // (VERDICT r9 #4). Still a per-config floor, not a cross-config
     // ordering assert — the r7 lesson stands.
+    // ivfadc (the composed IVF→ADC index, ann11) measured 0.32 here vs
+    // sign-bit pq's 0.08 on the same query set — cell pruning + trained
+    // codes + exact re-rank must keep clearing a floor well above pq's
     val floors = Map("ivf" -> 0.25, "lsh" -> 0.01, "pq" -> 0.05,
-      "trained" -> 0.25)
+      "trained" -> 0.25, "ivfadc" -> 0.25)
     for ((method, (_, _, recall)) <- recalls) {
       assert(recall >= 0.0 && recall <= 1.0, s"$method recall out of range: $recall")
       assert(recall >= floors(method),
