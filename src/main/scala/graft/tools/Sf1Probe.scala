@@ -118,12 +118,26 @@ object Sf1Probe {
     println("[sf1probe] building sf1 corpus (10x sf0.1) ...")
     buildSf1(spark, sf01, sf1, copies = 10)
     val cat = graft.queries.Catalog.all.map(q => q.name -> q).toMap
+    // optional args: [runs] [probe names...] — e.g. `3 dd17_lsh_recall`
+    // repeats the dd17 decade probe three times (the idle 3-run
+    // protocol, VERDICT r11 #2); no args = the default list once
+    val (runs, sel) = args.toSeq match {
+      case n +: rest if n.forall(_.isDigit) && rest.nonEmpty =>
+        (n.toInt, rest)
+      case n +: Nil if n.forall(_.isDigit) => (n.toInt, probes)
+      case Nil => (1, probes)
+      case names => (1, names)
+    }
     // warm-up at sf0.01 (JIT + codegen), then time one decade apart
-    probes.foreach(n => cat(n).fn(spark, "/root/testdata/sf0.01")
+    sel.foreach(n => cat(n).fn(spark, "/root/testdata/sf0.01")
       .write.format("noop").mode("overwrite").save())
     println(f"${"query"}%-24s ${"sf0.1"}%9s ${"sf1"}%9s ${"ratio"}%7s")
-    probes.foreach { n =>
+    for (_ <- 1 to runs) sel.foreach { n =>
       val times = Seq(sf01, sf1).map { sf =>
+        // both scales pay their one-time materializations cold — a warm
+        // sf0.1 pass vs a cold sf1 pass flatters the ratio (graft.Bench's
+        // sf1-section protocol)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         cat(n).fn(spark, sf).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
