@@ -520,6 +520,77 @@ object DedupOps {
           .as("dup_frac"))
   }
 
+  /** ExactSubstr-style duplicated-span REMOVAL — the production payoff
+    * [[duplicateCoverage]] stops short of (it measures covered tokens;
+    * this edits the text): every token covered by a k-token shingle that
+    * also occurs in a DIFFERENT document is cut, and the document
+    * re-emits with the surviving tokens joined by single spaces. All
+    * copies of a shared passage are removed (the Lee et al. 2022
+    * ExactSubstr policy — deterministic, no copy-election pass); a
+    * within-doc-only repeat is untouched (tx09/tx12's axis).
+    *
+    * The span list is dd16's covered-island set (disjoint, per-doc), so
+    * removal is a PER-ROW sort-and-splice: islands collect to two sorted
+    * arrays per doc (starts, ends — disjoint by construction, ≤
+    * n_tok/1 entries), and one nested higher-order expression keeps
+    * exactly the positions inside no island. No new shuffle shape over
+    * [[duplicateCoverage]]: the same shingle hash-agg + equi-join +
+    * per-doc-partitioned island windows, one extra per-doc collect, one
+    * join back to the corpus. Output text is whitespace-NORMALIZED
+    * (tokens rejoined with ' ') — the identity on already-normalized
+    * text, property-tested for the no-span and full-overlap round trips.
+    *
+    * @return [idCol, n_tok, kept_tok, clean_text] one row per non-empty
+    *         doc; kept_tok = n_tok − covered tokens, clean_text = ""
+    *         when every token was covered
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2)
+    val sh = Exec.materializeLarge(positionalShingles(df, textCol, idCol, k))
+    val dupKeys = sh.groupBy("_h").agg(countDistinct("_id").as("_nd"))
+      .where(col("_nd") >= 2).select("_h")
+    val spans = sh.join(dupKeys, "_h")
+      .select(col("_id"), col("_p").cast("long").as("_s"),
+        (col("_p") + k - 1).cast("long").as("_e"))
+    val wPrev = Window.partitionBy("_id").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("_id").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // disjoint covered islands (the dd16 trick), collected per doc as
+    // two position-sorted arrays — the per-row splice input
+    val islands = spans
+      .withColumn("_new", when(max(col("_e")).over(wPrev).isNull
+        || col("_s") > max(col("_e")).over(wPrev), 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wRun))
+      .groupBy("_id", "_isl")
+      .agg(min(col("_s")).as("_is"), max(col("_e")).as("_ie"))
+      .groupBy("_id")
+      .agg(array_sort(collect_list(col("_is"))).as("_ss"),
+        array_sort(collect_list(col("_ie"))).as("_es"))
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .join(islands.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      // position p is covered iff more island starts are ≤ p than island
+      // ends are < p (the sorted-boundary count for DISJOINT intervals —
+      // no start/end pairing needed, so it mirrors into DuckDB lambdas
+      // verbatim); keep p iff the counts are equal. Docs with no islands
+      // carry null arrays -> empty filters -> 0 = 0 -> keep all.
+      // expr(), NOT the Scala lambda DSL: nested Scala-side HOF lambdas
+      // all name their variable `x`, so the inner filter SHADOWS the
+      // outer position variable and the predicate silently degenerates
+      // (observed: every doc with ≥1 island lost ALL its tokens).
+      .withColumn("_ssn", coalesce(col("_ss"), typedLit(Seq.empty[Long])))
+      .withColumn("_esn", coalesce(col("_es"), typedLit(Seq.empty[Long])))
+      .withColumn("_keep", expr(
+        "filter(sequence(1, size(_tk)), p -> " +
+          "size(filter(_ssn, s -> s <= p)) = size(filter(_esn, e -> e < p)))"))
+      .select(col(idCol), size(col("_tk")).cast("long").as("n_tok"),
+        size(col("_keep")).cast("long").as("kept_tok"),
+        concat_ws(" ", transform(col("_keep"),
+          p => element_at(col("_tk"), p))).as("clean_text"))
+  }
+
   /** N-gram novelty score — the ORDER-AWARE face of cross-doc
     * duplication: per doc, the fraction of its k-token shingle
     * occurrences whose earliest corpus occurrence (min doc id) is the

@@ -4310,6 +4310,62 @@ object Catalog {
         "doc_id", k = 8)
       .orderBy("doc_id"))
 
+  // ExactSubstr-style duplicated-span removal (the production payoff of
+  // dd12/dd14/dd16 — DedupOps.removeDuplicateSpans): every token
+  // covered by an 8-token shingle occurring in ≥2 distinct docs is cut
+  // from ALL copies (the Lee et al. 2022 policy — deterministic, no
+  // copy election), and the doc re-emits whitespace-normalized. Spans
+  // are dd16's covered islands; removal is a per-row sort-and-splice
+  // over each doc's sorted island boundary arrays — covered(p) iff more
+  // starts ≤ p than ends < p, the disjoint-interval counting trick that
+  // both engines express as plain integer lambdas. No new shuffle shape
+  // over dd16: same shingle hash-agg + equi-join + per-doc windows, one
+  // extra per-doc collect, one join back.
+  private val dd19 = Q("dd19_span_removal", Some("""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+        unnest(generate_series(1, len(tk) - 7)) AS p,
+        unnest(list_transform(generate_series(1, len(tk) - 7),
+          i -> substr(md5(array_to_string(list_slice(tk, i, i + 7), ' ')), 1, 16))) AS h
+      FROM t WHERE len(tk) >= 8),
+    dup AS (
+      SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+      WHERE nd >= 2),
+    sp AS (SELECT sh.doc_id, sh.p AS s, sh.p + 7 AS e FROM sh JOIN dup USING (h)),
+    mx AS (
+      SELECT doc_id, s, e,
+        max(e) OVER (PARTITION BY doc_id ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM sp),
+    il AS (
+      SELECT doc_id, s, e,
+        sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM mx),
+    isl AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM il GROUP BY doc_id, gid),
+    ia AS (SELECT doc_id, list_sort(list(s)) AS ss, list_sort(list(e)) AS es
+           FROM isl GROUP BY doc_id),
+    kp AS (
+      SELECT t.doc_id, t.tk,
+        list_filter(generate_series(1, len(t.tk)), p ->
+          len(list_filter(coalesce(ia.ss, []), s -> s <= p))
+          = len(list_filter(coalesce(ia.es, []), e -> e < p))) AS keep
+      FROM t LEFT JOIN ia USING (doc_id))
+    SELECT doc_id, cast(len(tk) as bigint) AS n_tok,
+      cast(len(keep) as bigint) AS kept_tok,
+      -- coalesce: DuckDB's array_to_string over an EMPTY list is NULL,
+      -- Spark's concat_ws is '' — the fully-covered-doc case
+      coalesce(array_to_string(list_transform(keep, p -> tk[p]), ' '), '')
+        AS clean_text
+    FROM kp ORDER BY doc_id"""),
+    (s, d) => DedupOps.removeDuplicateSpans(T(s, d, "documents"), "text",
+        "doc_id", k = 8)
+      .orderBy("doc_id"))
+
   // Measured LSH selectivity (the ann07 discipline applied to dd02):
   // exact Jaccard over a bounded query set × corpus, bucketed in tenths,
   // left-joined against the banded minhash candidates — per-bucket hit
@@ -4721,7 +4777,7 @@ object Catalog {
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14, dd15, dd16, dd17, dd18,
+    dd13, dd14, dd15, dd16, dd17, dd18, dd19,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,

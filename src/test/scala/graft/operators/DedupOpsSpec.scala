@@ -254,6 +254,77 @@ class DedupOpsSpec extends AnyFunSuite {
 
   // ---- noveltyScores (tx13) ----
 
+  test("removeDuplicateSpans round trip: no shared spans -> identity (normalized)") {
+    // globally unique tokens: no shingle repeats across docs, so removal
+    // must be the identity on the whitespace-NORMALIZED text
+    val docs = (0 until 4).map { d =>
+      (d.toLong, (0 until 12).map(i => s"w${d}_$i").mkString("  ", "   ", " "))
+    }.toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicateSpans(docs, "text", "doc_id", k = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 4)
+    out.foreach { case (d, nTok, kept, clean) =>
+      assert(nTok == 12 && kept == 12, s"doc $d lost tokens with no dups")
+      assert(clean == (0 until 12).map(i => s"w${d}_$i").mkString(" "),
+        s"doc $d not identity: $clean")
+    }
+  }
+
+  test("removeDuplicateSpans round trip: full overlap -> empty document") {
+    val text = (0 until 16).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicateSpans(docs, "text", "doc_id", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.length == 2)
+    out.foreach { case (d, kept, clean) =>
+      assert(kept == 0L && clean == "", s"doc $d not emptied: kept=$kept '$clean'")
+    }
+  }
+
+  test("removeDuplicateSpans cuts exactly the shared island from both copies") {
+    // 8 unique tokens ‖ 8 shared ‖ 8 unique: the shared run is one k=8
+    // shingle per doc; flank-crossing shingles are globally unique, so
+    // the covered island is exactly positions 9..16 in each doc
+    def doc(p: String) =
+      ((0 until 8).map(i => s"${p}a$i") ++ (0 until 8).map(i => s"sh$i") ++
+        (0 until 8).map(i => s"${p}b$i")).mkString(" ")
+    val docs = Seq((1L, doc("x")), (2L, doc("y"))).toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicateSpans(docs, "text", "doc_id", k = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(_._2).toSeq == Seq(24L, 24L))
+    assert(out.map(_._3).toSeq == Seq(16L, 16L), s"kept: ${out.toSeq}")
+    val expect = Map(1L -> "x", 2L -> "y").map { case (d, p) =>
+      d -> ((0 until 8).map(i => s"${p}a$i") ++ (0 until 8).map(i => s"${p}b$i"))
+        .mkString(" ")
+    }
+    out.foreach { case (d, _, _, clean) =>
+      assert(clean == expect(d), s"doc $d spliced wrong: $clean")
+    }
+  }
+
+  test("removeDuplicateSpans agrees with duplicateCoverage: kept = n_tok - dup_tok") {
+    // the two operators share the island machinery; the splice must keep
+    // exactly the uncovered tokens on a corpus with messy overlaps
+    val base = (0 until 40).map(i => s"c$i")
+    val docs = Seq(
+      (1L, base.take(30).mkString(" ")),
+      (2L, base.slice(10, 40).mkString(" ")),
+      (3L, (base.slice(5, 25) ++ Seq("zz1", "zz2")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val cov = DedupOps.duplicateCoverage(docs, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rem = DedupOps.removeDuplicateSpans(docs, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rem.keySet == cov.keySet)
+    rem.foreach { case (d, (nTok, kept)) =>
+      assert(nTok == cov(d)._1)
+      assert(kept == nTok - cov(d)._2,
+        s"doc $d: kept $kept != n_tok $nTok - dup ${cov(d)._2}")
+    }
+  }
+
   test("noveltyScores: first writer scores 1.0, the later copy loses the span") {
     val passage = "p1 p2 p3 p4 p5 p6"
     val docs = Seq(
