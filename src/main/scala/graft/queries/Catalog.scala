@@ -2914,6 +2914,34 @@ object Catalog {
         .orderBy("new_id", "existing_id")
     })
 
+  // Streaming near-dup ingestion gate: dd08's batch-vs-history banded
+  // candidate join as a stream-static topology (q72's enrichment shape
+  // applied to the dd02 kernel) — each micro-batch of new docs derives
+  // band keys statelessly and joins the STATIC history band index (no
+  // state store, no watermark on the history side; at scale the
+  // persisted bucketed band table). One row per flagged doc with its
+  // distinct history-candidate count. Declared AFTER minhashCtes — val
+  // init order (the pqTrainCtesNoV lesson). The oracle replays the gate
+  // in batch SQL: streaming and batch agree because the per-batch band
+  // join is stateless and the running count-distinct is associative.
+  private val q75 = Q("q75_stream_neardup_gate", Some(s"""
+    WITH $minhashCtes
+    SELECT n.doc_id AS new_id,
+      cast(count(DISTINCT e.doc_id) as bigint) AS n_hits
+    FROM bands n JOIN bands e
+      ON n.band_id = e.band_id AND n.band_key = e.band_key
+    WHERE n.doc_id >= 400 AND e.doc_id < 400
+    GROUP BY 1 ORDER BY new_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      graft.streaming.StreamingOps.streamNearDupGate(s,
+          s"$d/documents.parquet", docs.where(col("doc_id") < 400),
+          col("doc_id") >= 400,
+          queryName = "graft_stream_neardup_" + math.abs(d.hashCode),
+          statePartitions = streamStatePartitions)
+        .orderBy("new_id")
+    })
+
   // Content-defined chunking (CDC): the sub-document dedup primitive —
   // chunk boundaries where a rolling fingerprint of the trailing w=8
   // chars hits 0 mod 64, so boundaries survive insertions/deletions
@@ -4775,7 +4803,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74,
+    q73, q74, q75,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

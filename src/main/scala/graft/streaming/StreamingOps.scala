@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -166,6 +166,42 @@ object StreamingOps {
         statePartitions = statePartitions)
       .select(col(segmentCol), col("event_type"), col("n_events"),
         col("sum_value").cast("double").as("sum_value"))
+  }
+
+  /** Streaming near-dup ingestion gate: each micro-batch of a document
+    * stream derives its minhash band keys (stateless per-row compute)
+    * and joins them against the STATIC history band index — dd08's
+    * batch-vs-history candidate join as a stream-static topology (the
+    * q72 enrichment shape applied to the dd02 kernel). The history side
+    * keeps NO state store and needs no watermark: Spark re-plans the
+    * index scan per micro-batch, so at scale the static side is the
+    * PERSISTED band table bucketed on the band key
+    * ([[graft.sinks.ParquetSink.writeBucketed]]) and per-batch cost is
+    * O(batch bands ⋈ matched buckets) — history is never reshuffled.
+    * The running aggregate holds one row per flagged doc with its
+    * DISTINCT history-candidate count (collect_set — bounded by the
+    * banded fan-out per doc, never corpus-sized).
+    */
+  def streamNearDupGate(spark: SparkSession, docsPath: String,
+      history: DataFrame, batchPred: Column, textCol: String = "text",
+      idCol: String = "doc_id", shingleK: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4, queryName: String = "graft_stream_neardup",
+      statePartitions: Option[Int] = None): DataFrame = {
+    val srcDir = asSourceDir(docsPath)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .where(batchPred)
+    val hb = graft.operators.DedupOps
+      .minhashBands(history, textCol, idCol, shingleK, bands, rowsPerBand)
+      .select(col("band_id"), col("band_key"), col(idCol).as("existing_id"))
+    val sb = graft.operators.DedupOps
+      .minhashBands(stream, textCol, idCol, shingleK, bands, rowsPerBand)
+      .select(col("band_id"), col("band_key"), col(idCol).as("new_id"))
+    val gate = sb.join(hb, Seq("band_id", "band_key"))
+      .groupBy(col("new_id"))
+      .agg(size(collect_set(col("existing_id"))).cast("long").as("n_hits"))
+    runViaFileSink(gate, "complete", queryName,
+      statePartitions = statePartitions)
   }
 
   /** Per-batch merge record, exposed for observability and for the spec

@@ -166,6 +166,46 @@ class StreamingOpsSpec extends AnyFunSuite {
       Seq("window_start", "event_type", "n_events", "sum_value"))
   }
 
+  test("streamNearDupGate: planted twin flagged, unique doc passes, matches batch") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_gate").toString
+    val histText = (0 until 12).map(i => s"h$i").mkString(" ")
+    // history: the twin source + an unrelated doc; batch: an exact twin
+    // of history doc 1 (must be flagged) + a globally unique doc (must
+    // pass the gate silently)
+    val docs = Seq(
+      (1L, histText),
+      (2L, (0 until 12).map(i => s"z$i").mkString(" ")),
+      (400L, histText),
+      (401L, (0 until 12).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(s"$base/docs")
+    val docsFile = Files.list(java.nio.file.Paths.get(s"$base/docs"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val parquet = {
+      var p: java.nio.file.Path = null
+      while (docsFile.hasNext) {
+        val f = docsFile.next()
+        if (f.toString.endsWith(".parquet")) p = f
+      }
+      p.toString
+    }
+    val got = StreamingOps.streamNearDupGate(spark, parquet,
+        docs.where(col("doc_id") < 400), col("doc_id") >= 400,
+        queryName = "graft_test_gate")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(400L), s"gate flagged: $got")
+    assert(got(400L) == 1L, s"twin should hit exactly history doc 1: $got")
+    // batch equivalence: the stream-static gate equals dd08's candidate
+    // join aggregated per new doc
+    val want = graft.operators.DedupOps.incrementalNearDupCandidates(
+        docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+        "text", "doc_id", shingleK = 3, bands = 4, rowsPerBand = 4)
+      .groupBy("new_id").agg(countDistinct("existing_id").as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"stream gate $got != batch gate $want")
+  }
+
   test("streamStaticEnrich over a bounded source equals the batch join") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
