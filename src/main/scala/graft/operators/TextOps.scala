@@ -239,6 +239,64 @@ object TextOps {
       .select(col("_id").as(idCol), col("n_bigrams"), col("avg_logprob"))
   }
 
+  /** Batch-vs-history token-distribution drift — the ingestion monitor a
+    * continuous training-data pipeline runs before admitting a batch:
+    * per language, the additive-smoothed KL divergence of the batch's
+    * unigram distribution from the history's, plus the batch's
+    * out-of-vocabulary occurrence rate. A crawler config change, an
+    * upstream language flip, or a spam flood shows up as a KL/OOV spike
+    * before it pollutes the corpus — the distribution-shift complement
+    * of the per-doc gates (tx05 quality, tx12 repetition, dd08 dedup).
+    *
+    * KL(batch ‖ history) = Σ_vocab p_b·ln(p_b/p_h) with +1 smoothing
+    * over the UNION vocabulary (p_b = (b_t+1)/(B+V), p_h = (h_t+1)/
+    * (H+V)) — finite for every token, including history-only and
+    * batch-only ones. Each term is rounded to integer NANO-units before
+    * summing (the q68 micro-unit move): the one float stage is per-term
+    * and identical in both engines, and the cross-vocab sum is an exact
+    * long under any aggregation order — no float-reassociation risk at
+    * any vocabulary size.
+    *
+    * Scale shape — linear, no self-join: one hash agg per fixed-width
+    * 16-char md5 token key carrying both sides' counts (map-side
+    * combinable), one per-lang totals table joined back UNHINTED (AQE
+    * broadcasts it — ≤ languages rows), one final per-lang agg. At
+    * 100 TB the history-side counts are the persisted vocabulary table;
+    * a daily batch adds one O(batch tokens) pass.
+    *
+    * @return [lang, batch_tok, hist_tok, vocab, oov_rate, kl_nano] one
+    *         row per language present in the batch
+    */
+  def distributionDrift(df: DataFrame, textCol: String, langCol: String,
+      batchPred: Column): DataFrame = {
+    val toks = df.where(length(trim(col(textCol))) > 0)
+      .select(col(langCol).as("lang"), batchPred.as("_is_batch"),
+        explode(DedupOps.tokens(col(textCol))).as("_u"))
+      .select(col("lang"), col("_is_batch"),
+        substring(md5(col("_u")), 1, 16).as("_h"))
+    val per = toks.groupBy("lang", "_h")
+      .agg(sum(when(col("_is_batch"), 1L).otherwise(0L)).as("_b"),
+        sum(when(col("_is_batch"), 0L).otherwise(1L)).as("_hc"))
+    val totals = per.groupBy("lang")
+      .agg(sum("_b").as("_bt"), sum("_hc").as("_ht"),
+        count(lit(1)).as("_v"))
+    val terms = per.join(totals, "lang")
+      .withColumn("_pb", (col("_b") + lit(1.0)) / (col("_bt") + col("_v")))
+      .withColumn("_ph", (col("_hc") + lit(1.0)) / (col("_ht") + col("_v")))
+      .withColumn("_term",
+        expr("cast(round(_pb * ln(_pb / _ph) * 1000000000.0) as bigint)"))
+    terms.groupBy("lang")
+      .agg(sum("_term").cast("long").as("kl_nano"),
+        sum(when(col("_hc") === 0, col("_b")).otherwise(0L)).as("_oov"))
+      .join(totals, "lang")
+      .where(col("_bt") > 0)
+      .select(col("lang"), col("_bt").cast("long").as("batch_tok"),
+        col("_ht").cast("long").as("hist_tok"),
+        col("_v").cast("long").as("vocab"),
+        (col("_oov").cast("double") / col("_bt")).as("oov_rate"),
+        col("kl_nano"))
+  }
+
   /** PII scrubbing: email and phone patterns, kept to the regex subset
     * RE2 and java.util.regex evaluate identically (character classes and
     * bounded repetition — no lookaround, no backreferences), so the same

@@ -4576,6 +4576,49 @@ object Catalog {
     (s, d) => TextOps.bigramLogProb(T(s, d, "documents"), "text", "doc_id")
       .orderBy("doc_id"))
 
+  // Batch-vs-history token-distribution drift (TextOps
+  // .distributionDrift): per language, additive-smoothed
+  // KL(batch ‖ history) over the union vocabulary plus the batch's OOV
+  // occurrence rate — the ingestion monitor that catches a crawler
+  // config change or language flip BEFORE it pollutes the corpus. Each
+  // KL term is rounded to integer nano-units before summing (the q68
+  // move), so the cross-vocab sum is an exact long under any
+  // aggregation order; `ln` is the one float step, per-term and
+  // mirrored. Batch = doc_id >= 400 (the dd08 convention).
+  private val tx15 = Q("tx15_batch_drift", Some("""
+    WITH t AS (
+      SELECT lang, doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (
+      SELECT lang, is_batch, substr(md5(u), 1, 16) AS h FROM (
+        SELECT lang, doc_id >= 400 AS is_batch, unnest(tk) AS u FROM t)),
+    per AS (
+      SELECT lang, h,
+        sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS b,
+        sum(CASE WHEN is_batch THEN 0 ELSE 1 END) AS hc
+      FROM tok GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(b) AS bt, sum(hc) AS ht, count(*) AS v
+            FROM per GROUP BY 1),
+    terms AS (
+      SELECT per.lang, per.b, per.hc,
+        (per.b + 1.0) / (tot.bt + tot.v) AS pb,
+        (per.hc + 1.0) / (tot.ht + tot.v) AS ph
+      FROM per JOIN tot USING (lang)),
+    agg AS (
+      SELECT lang,
+        cast(sum(cast(round(pb * ln(pb / ph) * 1000000000.0) as bigint))
+          as bigint) AS kl_nano,
+        cast(sum(CASE WHEN hc = 0 THEN b ELSE 0 END) as bigint) AS oov_occ
+      FROM terms GROUP BY 1)
+    SELECT a.lang, cast(t.bt as bigint) AS batch_tok,
+      cast(t.ht as bigint) AS hist_tok, cast(t.v as bigint) AS vocab,
+      cast(a.oov_occ as double) / t.bt AS oov_rate, a.kl_nano
+    FROM agg a JOIN tot t USING (lang)
+    WHERE t.bt > 0 ORDER BY a.lang"""),
+    (s, d) => TextOps.distributionDrift(T(s, d, "documents"), "text",
+        "lang", col("doc_id") >= 400)
+      .orderBy("lang"))
+
   // Size-weighted deterministic sampling: include a doc with probability
   // proportional to its length, decided by an integer comparison of a
   // 32-bit md5 draw against n_chars — uniform, reproducible under any
@@ -4809,7 +4852,7 @@ object Catalog {
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13, tx14,
+    tx13, tx14, tx15,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18)

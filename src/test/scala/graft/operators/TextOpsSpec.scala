@@ -160,4 +160,38 @@ class TextOpsSpec extends AnyFunSuite {
     // repeated transitions (doc 5) must outscore all-novel ones (doc 2)
     assert(got(5L)._2 > got(2L)._2)
   }
+
+  test("distributionDrift: identical batch ≈ zero KL and zero OOV; alien batch spikes both") {
+    import spark.implicits._
+    val hist = (0 until 8).map(i => (i.toLong, "en", "alpha beta gamma delta"))
+    // batch A (ids 400+): same distribution as history -> near-zero drift
+    val same = (0 until 4).map(i => (400L + i, "en", "alpha beta gamma delta"))
+    // batch B (lang fr): disjoint vocabulary from its (tiny) history
+    val histFr = Seq((20L, "fr", "un deux trois"))
+    val alien = Seq((410L, "fr", "xx1 xx2 xx3 xx4"))
+    val df = (hist ++ same ++ histFr ++ alien).toDF("doc_id", "lang", "text")
+    val out = TextOps.distributionDrift(df, "text", "lang", col("doc_id") >= 400)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set("en", "fr"))
+    val (enB, enH, enV, enOov, enKl) = out("en")
+    assert(enB == 16 && enH == 32 && enV == 4)
+    assert(enOov == 0.0, s"identical batch has OOV $enOov")
+    // identical distributions: KL is exactly 0 only when smoothing
+    // ratios match; with B != H the smoothed KL is small, not 0
+    assert(math.abs(enKl) < 50_000_000L, s"identical batch KL $enKl nano")
+    val (frB, frH, frV, frOov, frKl) = out("fr")
+    assert(frB == 4 && frH == 3 && frV == 7)
+    assert(frOov == 1.0, s"alien batch OOV $frOov")
+    assert(frKl > enKl.abs * 5, s"alien KL $frKl not above identical $enKl")
+  }
+
+  test("distributionDrift: languages with no batch docs are absent, not divide-by-zero") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "a b c"), (2L, "de", "x y z"),
+        (400L, "en", "a b d")).toDF("doc_id", "lang", "text")
+    val out = TextOps.distributionDrift(df, "text", "lang", col("doc_id") >= 400)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("en"), s"history-only lang leaked: $out")
+  }
 }
