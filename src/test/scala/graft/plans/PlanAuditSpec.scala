@@ -41,7 +41,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "dp15_temperature_mixture", // 1-row (B, S) budget-total aggregate
     "tx14_bigram_lm",           // 1-row vocabulary-size aggregate
     "dd17_lsh_recall",          // bounded query-set broadcast (ann01 pattern)
-    "dp18_epoch_mixture")       // 1-row budget-total aggregate
+    "dp18_epoch_mixture",       // 1-row budget-total aggregate
+    "dd18_incremental_semantic", // k-row trained centroid cross join
+                                 // (history + batch assignments, dd13's shape)
+    "ann11_ivf_adc_topk")       // trained 16-cell centroid cross join
+                                // (coarse assignment + query probe ranking)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -103,7 +107,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx14_bigram_lm",          // 1-row vocabulary-size aggregate
     "dd17_lsh_recall",         // bounded query-set broadcast
     "dp18_epoch_mixture",      // 1-row budget-total aggregate
-    "ann10_pq_adc_topk")       // blocks x codes codebook + ADC table broadcasts
+    "ann10_pq_adc_topk",       // blocks x codes codebook + ADC table broadcasts
+    "dd18_incremental_semantic", // k-row centroids + k-row width table
+    "ann11_ivf_adc_topk")      // centroids + codebook + ADC table + re-rank
+                               // query vectors — all bounded broadcasts
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
