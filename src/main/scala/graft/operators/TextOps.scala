@@ -239,6 +239,149 @@ object TextOps {
       .select(col("_id").as(idCol), col("n_bigrams"), col("avg_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019
+    * arXiv:1911.00359 §4.4): split each language's corpus into
+    * head / middle / tail terciles by language-model score — CCNet's
+    * signature curation move, where "head" (lowest perplexity ≈ highest
+    * mean log-probability) feeds high-quality training mixes and "tail"
+    * is dropped or down-weighted. The model is [[bigramLogProb]]'s
+    * corpus-trained bigram LM (CCNet uses a pre-trained KenLM; the
+    * corpus-as-its-own-model stance is tx14's, unchanged).
+    *
+    * Tercile cutoffs are computed per language with
+    * [[QuantileOps.histogramThreshold]] — the scale-safe histogram
+    * quantile (fixed 8192 bins over [-64, 0), width 2^-7 so the binning
+    * is IEEE-exact and engine-portable) — NOT with a per-language sort
+    * or an exact-percentile aggregate, both of which buffer O(language)
+    * rows. Bucket assignment is bin-granular: every doc in the cutoff
+    * bin lands in the same bucket, so the split is deterministic without
+    * any tiebreak ordering. The -64 floor is safe while the corpus has
+    * fewer than e^64 ≈ 10^27 bigram occurrences (avg_logprob ≥
+    * -ln(maxHistoryCount + V) > -64).
+    *
+    * Scale shape: one bigramLogProb pass (linear, see tx14), one O(docs)
+    * materialized score table read three times (two histogram cutoff
+    * scans that reduce to ≤ langs × 8192 rows, one final assignment),
+    * cutoffs joined back unhinted (≤ langs rows — AQE broadcasts).
+    *
+    * @return [idCol, lang, ppl_bin, bucket] — docs with ≥ 2 tokens only
+    *         (a doc with no bigrams has no LM score, the tx14 contract)
+    */
+  def perplexityBuckets(df: DataFrame, textCol: String, langCol: String,
+      idCol: String): DataFrame = {
+    val lo = -64.0; val hi = 0.0; val bins = 8192
+    val width = (hi - lo) / bins // 2^-7: power-of-two, IEEE-exact scaling
+    val scored = Exec.materializeLarge(
+      bigramLogProb(df, textCol, idCol)
+        .join(df.select(col(idCol), col(langCol).as("lang")), idCol))
+    def cut(num: Int): DataFrame =
+      QuantileOps.histogramThreshold(scored, Seq("lang"),
+          col("avg_logprob"), lo, hi, bins, num, 3)
+        .select(col("lang"), col("thr_bin").as(s"_t$num"))
+    val binExpr = least(floor((col("avg_logprob") - lit(lo)) / lit(width)),
+      lit((bins - 1).toLong))
+    scored.withColumn("ppl_bin", binExpr)
+      .join(cut(1), "lang").join(cut(2), "lang")
+      .withColumn("bucket",
+        when(col("ppl_bin") <= col("_t1"), "tail")
+          .when(col("ppl_bin") <= col("_t2"), "middle")
+          .otherwise("head"))
+      .select(col(idCol), col("lang"), col("ppl_bin"), col("bucket"))
+  }
+
+  /** DSIR-style data selection with importance resampling (Xie et al.
+    * 2023, arXiv:2302.03169): select the raw-corpus documents whose
+    * hashed-n-gram feature distribution looks most like a TARGET domain.
+    * Per doc, the importance weight is
+    * `Σ_features c_doc(b) · ln(p_target(b) / q_raw(b))` over hashed
+    * bigram buckets (the paper's bag-of-hashed-n-grams model; `buckets`
+    * fixed so the model is a bounded table regardless of corpus size),
+    * with +1 smoothing over the observed-bucket vocabulary (the tx15
+    * discipline). The top `selNum/selDen` fraction by weight is kept —
+    * the deterministic counterpart of the paper's Gumbel-top-k resample
+    * (documented divergence: no sampling noise, so reruns are
+    * byte-identical and the oracle can replay the cut exactly).
+    *
+    * Determinism: each bucket's log-ratio is rounded to integer
+    * MICRO-units once (the one float step, mirrored per-bucket in the
+    * oracle); doc weights are then exact integer dot products — no
+    * float reassociation at any aggregation order. Micro not nano
+    * because the weight rides in the selection key below: |λ| ≤ ~3·10^7
+    * micro-units keeps (wmax−wmin)·(idmax+1) inside a long at any
+    * realistic scale (the require guards it).
+    *
+    * Selection is an exact global top-k WITHOUT a single-reducer sort
+    * (the dp17 move): rank = [[PrefixSumOps.globalRank]] over the
+    * composite key (wmax − w)·(idmax+1) + doc_id — descending weight,
+    * ascending id tiebreak — then keep rank ≤ ceil(n·selNum/selDen).
+    *
+    * Scale shape: feature counts are map-side-combinable hash aggs on
+    * integer bucket keys; the model is ≤ `buckets` rows (unhinted join —
+    * AQE broadcasts); scoring is one pass over the per-(doc, bucket)
+    * table; ranking reduces to the two-phase prefix sum. Linear in
+    * corpus tokens, no self-join. Docs with < 2 tokens have no bigram
+    * features and are excluded (the tx14 contract).
+    *
+    * @return [idCol, lang, n_feat, w_micro, sel_rank] — selected docs
+    */
+  def dsirSelect(df: DataFrame, textCol: String, langCol: String,
+      idCol: String, targetPred: Column, buckets: Int = 8192,
+      selNum: Int = 1, selDen: Int = 4): DataFrame = {
+    require(buckets > 0 && selNum > 0 && selDen >= selNum)
+    // per-(doc, bucket) occurrence counts feed BOTH the model fit and
+    // the scoring pass: one scan, materialized
+    val db = Exec.materializeLarge(
+      df.where(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("_id"), col(langCol).as("lang"),
+          targetPred.as("_tgt"), DedupOps.tokens(col(textCol)).as("_tk"))
+        .where(size(col("_tk")) >= 2)
+        .select(col("_id"), col("lang"), col("_tgt"), explode(expr(
+          "transform(sequence(1, size(_tk) - 1), i -> " +
+            "cast(conv(substring(md5(concat(element_at(_tk, i), ' ', " +
+            s"element_at(_tk, i + 1))), 1, 8), 16, 10) as bigint) % $buckets)"))
+          .as("_b"))
+        .groupBy("_id", "lang", "_tgt", "_b").agg(count(lit(1)).as("_c")))
+    val fb = db.groupBy("_b")
+      .agg(sum(when(col("_tgt"), col("_c")).otherwise(0L)).as("_ct"),
+        sum("_c").as("_cr"))
+    val tot = fb.agg(sum("_ct").as("_T"), sum("_cr").as("_R"),
+      count(lit(1)).as("_v"))
+    // Column-API doubles, NOT an expr() string: a SQL-parsed `1.0`
+    // literal is DECIMAL(2,1), which drags the whole ratio into decimal
+    // division (scale-truncated at 6 digits) while the oracle computes
+    // in IEEE doubles — a 2e-7 divergence that flipped 182 of 865
+    // bucket roundings when this was first written with expr()
+    val lam = fb.crossJoin(broadcast(tot))
+      .withColumn("_lam",
+        round(log(((col("_ct") + lit(1.0)) * (col("_R") + col("_v")))
+          / ((col("_cr") + lit(1.0)) * (col("_T") + col("_v"))))
+          * lit(1000000.0))
+        .cast("long"))
+      .select("_b", "_lam")
+    val w = db.join(lam, "_b")
+      .groupBy("_id")
+      .agg(min("lang").as("lang"), sum("_c").cast("long").as("n_feat"),
+        sum(col("_c") * col("_lam")).cast("long").as("w_micro"))
+    val stats = w.agg(max("w_micro").as("_wmax"), min("w_micro").as("_wmin"),
+      max("_id").as("_idmax"), count(lit(1)).as("_n")).head()
+    if (stats.isNullAt(0)) // empty corpus: nothing to select
+      return w.withColumn("sel_rank", lit(1L))
+        .select(col("_id").as(idCol), col("lang"), col("n_feat"),
+          col("w_micro"), col("sel_rank"))
+    val wmax = stats.getLong(0); val idmax = stats.getLong(2)
+    val n = stats.getLong(3); val r = idmax + 1
+    // globalRank's contract: the composite key must fit in a long
+    require(wmax - stats.getLong(1) <= (Long.MaxValue - idmax) / r,
+      s"composite key (wmax-w)*$r + doc_id overflows Long")
+    val nSel = (n * selNum + selDen - 1) / selDen
+    PrefixSumOps.globalRank(
+        w.withColumn("_key", (lit(wmax) - col("w_micro")) * r + col("_id")),
+        "_key", "sel_rank")
+      .where(col("sel_rank") <= nSel)
+      .select(col("_id").as(idCol), col("lang"), col("n_feat"),
+        col("w_micro"), col("sel_rank"))
+  }
+
   /** Batch-vs-history token-distribution drift — the ingestion monitor a
     * continuous training-data pipeline runs before admitting a batch:
     * per language, the additive-smoothed KL divergence of the batch's

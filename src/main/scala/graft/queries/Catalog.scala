@@ -4619,6 +4619,63 @@ object Catalog {
         "lang", col("doc_id") >= 400)
       .orderBy("lang"))
 
+  // CCNet-style perplexity bucketing (TextOps.perplexityBuckets,
+  // Wenzek et al. 2019 §4.4): per language, split the corpus into
+  // head / middle / tail terciles of bigram-LM score (tx14's model) —
+  // the classic curation move where "head" feeds high-quality training
+  // mixes. Cutoffs come from the scale-safe histogram quantile
+  // (QuantileOps.histogramThreshold — 8192 power-of-two-width bins, no
+  // per-language sort or value-buffering percentile), assignment is
+  // bin-granular so no tiebreak ordering is needed. The oracle replays
+  // the tx14 LM CTEs, the IEEE-exact binning, and the cumulative-count
+  // cutoff rule (cum·den ≥ n·num) verbatim.
+  private val tx16 = Q("tx16_perplexity_buckets", Some("""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(tk) - 1),
+          i -> struct_pack(h2 := substr(md5(tk[i] || ' ' || tk[i+1]), 1, 16),
+                           h1 := substr(md5(tk[i]), 1, 16)))) AS s
+      FROM t WHERE len(tk) >= 2),
+    o AS (
+      SELECT doc_id, s.h2 AS h2, s.h1 AS h1, count(*) AS cnt
+      FROM bg GROUP BY 1, 2, 3),
+    c2 AS (SELECT h2, sum(cnt) AS c2 FROM o GROUP BY 1),
+    c1 AS (SELECT h1, sum(cnt) AS c1 FROM o GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS v
+          FROM (SELECT unnest(tk) AS u FROM t)),
+    sc AS (
+      SELECT o.doc_id,
+        round(sum(cnt * (ln(c2 + 1.0) - ln(c1 + v))) / sum(cnt), 4) AS s
+      FROM o JOIN c2 USING (h2) JOIN c1 USING (h1) CROSS JOIN v
+      GROUP BY o.doc_id),
+    b AS (
+      SELECT sc.doc_id, t.lang,
+        cast(least(floor((sc.s + 64.0) / 0.0078125), 8191) as bigint)
+          AS ppl_bin
+      FROM sc JOIN t USING (doc_id)),
+    counts AS (SELECT lang, ppl_bin, count(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, ppl_bin,
+        sum(c) OVER (PARTITION BY lang ORDER BY ppl_bin) AS cum,
+        sum(c) OVER (PARTITION BY lang) AS n
+      FROM counts),
+    cuts AS (
+      SELECT lang,
+        min(CASE WHEN cum * 3 >= n THEN ppl_bin END) AS t1,
+        min(CASE WHEN cum * 3 >= n * 2 THEN ppl_bin END) AS t2
+      FROM cum GROUP BY lang)
+    SELECT b.doc_id, b.lang, b.ppl_bin,
+      CASE WHEN b.ppl_bin <= c.t1 THEN 'tail'
+           WHEN b.ppl_bin <= c.t2 THEN 'middle'
+           ELSE 'head' END AS bucket
+    FROM b JOIN cuts c USING (lang) ORDER BY b.doc_id"""),
+    (s, d) => TextOps.perplexityBuckets(T(s, d, "documents"), "text",
+        "lang", "doc_id")
+      .orderBy("doc_id"))
+
   // Size-weighted deterministic sampling: include a doc with probability
   // proportional to its length, decided by an integer comparison of a
   // 32-bit md5 draw against n_chars — uniform, reproducible under any
@@ -4710,6 +4767,53 @@ object Catalog {
           .orderBy("rank")
       }
     })
+
+  // DSIR-style importance resampling (TextOps.dsirSelect, Xie et al.
+  // 2023): keep the quarter of the corpus whose hashed-bigram feature
+  // distribution looks most like the TARGET domain (here lang = 'en' —
+  // the "select web data that looks like Wikipedia" move with the
+  // corpus's own English slice as the target). Model = 8192-bucket
+  // hashed-bigram log-ratios in integer micro-units; weights = exact
+  // integer dot products; the top-quarter cut is an exact global top-k
+  // via the dp17 prefix-sum rank (no single-reducer sort). The oracle
+  // replays feature hashing, smoothing, per-bucket rounding, and the
+  // (w DESC, doc_id) rank verbatim.
+  private val dp19 = Q("dp19_dsir_select", Some("""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(generate_series(1, len(tk) - 1),
+          i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8))::BIGINT
+               % 8192)) AS b
+      FROM t WHERE len(tk) >= 2),
+    db AS (SELECT doc_id, lang, b, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+    fb AS (
+      SELECT b, sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct,
+        sum(c) AS cr
+      FROM db GROUP BY 1),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS rt, count(*) AS v FROM fb),
+    lam AS (
+      SELECT b, cast(round(ln(((ct + 1.0) * (rt + v))
+        / ((cr + 1.0) * (tt + v))) * 1000000.0) as bigint) AS lam
+      FROM fb CROSS JOIN tot),
+    w AS (
+      SELECT d.doc_id, min(d.lang) AS lang,
+        cast(sum(d.c) as bigint) AS n_feat,
+        cast(sum(d.c * lam.lam) as bigint) AS w_micro
+      FROM db d JOIN lam USING (b) GROUP BY d.doc_id),
+    n AS (SELECT count(*) AS n FROM w),
+    r AS (
+      SELECT doc_id, lang, n_feat, w_micro,
+        row_number() OVER (ORDER BY w_micro DESC, doc_id) AS sel_rank
+      FROM w)
+    SELECT doc_id, lang, n_feat, w_micro, cast(sel_rank as bigint) AS sel_rank
+    FROM r CROSS JOIN n WHERE sel_rank <= (n + 3) // 4
+    ORDER BY doc_id"""),
+    (s, d) => TextOps.dsirSelect(T(s, d, "documents"), "text", "lang",
+        "doc_id", targetPred = col("lang") === "en")
+      .orderBy("doc_id"))
 
   // Round-4 composition capstone: the incremental ingestion gate as ONE
   // declarative plan. A new batch passes through the Bloom prefilter
@@ -4852,8 +4956,8 @@ object Catalog {
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13, tx14, tx15,
+    tx13, tx14, tx15, tx16,
     mm01, mm02, mm03, mm04, mm05,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18)
+    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18, dp19)
 }

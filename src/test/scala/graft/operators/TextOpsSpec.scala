@@ -194,4 +194,57 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(out == Set("en"), s"history-only lang leaked: $out")
   }
+
+  test("perplexityBuckets: fluent docs head, gibberish tail, per language") {
+    import spark.implicits._
+    // per lang: every third doc repeats a common bigram (high LM score);
+    // the rest are doc-unique gibberish (every bigram count 1 — all land
+    // in one bin, carrying 2/3 of each language's mass, so both tercile
+    // cutoffs sit on the gibberish bin and the middle bucket is empty)
+    val docs = (0 until 60).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val text = if (i % 3 == 0) Seq.fill(10)("the cat").mkString(" ")
+        else (0 until 10).map(j => s"tok${i}_$j").mkString(" ")
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val out = TextOps.perplexityBuckets(docs, "text", "lang", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 60) // every doc has >= 2 tokens, so all are scored
+    for (lang <- Seq("aa", "bb")) {
+      val rows = out.filter(_._2 == lang)
+      def of(b: String) = rows.filter(_._4 == b)
+      assert(of("tail").forall(r => r._1 % 3 != 0), s"$lang: fluent doc in tail")
+      assert(of("head").forall(r => r._1 % 3 == 0), s"$lang: gibberish in head")
+      assert(of("middle").isEmpty, s"$lang: two score bins can't fill three buckets")
+      // bucket boundaries respect bin order
+      assert(of("tail").map(_._3).max < of("head").map(_._3).min)
+    }
+  }
+
+  test("perplexityBuckets and dsirSelect: empty corpus yields empty output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(TextOps.perplexityBuckets(empty, "text", "lang", "doc_id").count() == 0)
+    assert(TextOps.dsirSelect(empty, "text", "lang", "doc_id",
+      col("lang") === "en").count() == 0)
+  }
+
+  test("dsirSelect keeps the target-like quarter, exactly ceil(n/4), deterministic ranks") {
+    import spark.implicits._
+    // 10 target docs share one vocabulary; 30 raw docs are doc-unique —
+    // target-bucket log-ratios are the only large positive weights, so
+    // the kept quarter is exactly the target slice
+    val docs = (0 until 40).map { i =>
+      if (i < 10) (i.toLong, "en", "alpha beta gamma delta alpha beta gamma delta")
+      else (i.toLong, "xx", (0 until 8).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val out = TextOps.dsirSelect(docs, "text", "lang", "doc_id",
+        col("lang") === "en").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 10, s"ceil(40/4) = 10, got ${out.length}")
+    assert(out.forall(_._2 == "en"), s"non-target doc selected: $out")
+    // identical target texts -> identical weights -> ranks tie by doc_id
+    assert(out.sortBy(_._1).map(_._5).toSeq == (1L to 10L))
+    assert(out.map(_._4).distinct.length == 1)
+  }
 }
