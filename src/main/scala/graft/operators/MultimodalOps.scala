@@ -77,6 +77,43 @@ object MultimodalOps {
       .drop(payloadCol)
   }
 
+  /** Average-hash perceptual signature (aHash — the classic
+    * perceptual-hash family member: pHash swaps the downsample for a
+    * DCT, the pipeline is identical) over a binary payload: downsample
+    * to ≤ 64 evenly strided bytes (the mm04 thumbnail pattern), then
+    * bit j = 1 iff byte_j is above the thumbnail mean. Near-identical
+    * media produce signatures within a few bits — the standard
+    * image-dedup key. The mean test is the integer cross-multiplication
+    * `v_j · n > Σv` (no float division), so the signature is exact and
+    * engine-portable.
+    *
+    * All codegen'd expressions over staged columns (`substr` on binary →
+    * one-byte slices, `hex`+`conv` byte values, `transform`/`aggregate`
+    * bit pack) — narrow, no shuffle, no UDF. A real image aHash would
+    * swap the byte picker for decoded-pixel luma inside the same
+    * plumbing (the decodeStub stance).
+    *
+    * Empty payloads have no signature and are absent from the output.
+    *
+    * @return [idCol, phash] — phash a packed 64-bit signature
+    */
+  def perceptualHash64(df: DataFrame, payloadCol: String,
+      idCol: String): DataFrame =
+    df.where(length(col(payloadCol)) > 0)
+      .select(col(idCol),
+        expr(s"transform(sequence(1, length($payloadCol), " +
+          s"greatest((length($payloadCol) + 63) div 64, 1)), " +
+          s"i -> cast(conv(hex(substring($payloadCol, i, 1)), 16, 10) as bigint))")
+          .as("_picks"))
+      // staged: _picks referenced 3x below must be a materialized column,
+      // not an inlined tree (re-evaluation pitfall — see verify gotchas)
+      .select(col(idCol), col("_picks"), size(col("_picks")).as("_n"),
+        expr("aggregate(_picks, 0L, (a, x) -> a + x)").as("_sum"))
+      .select(col(idCol),
+        expr("cast(aggregate(transform(sequence(1, _n), " +
+          "j -> IF(element_at(_picks, j) * _n > _sum, shiftleft(1L, j - 1), 0L)), " +
+          "0L, (a, x) -> a + x) as bigint)").as("phash"))
+
   /** STUB — deterministic fake media decode. A real implementation would
     * decode image dimensions / audio duration from the payload bytes
     * here; the container has no codec libs, so dimensions are derived

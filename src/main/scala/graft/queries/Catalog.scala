@@ -3363,6 +3363,37 @@ object Catalog {
         FROM ppool p JOIN v q ON q.vec_id = p.query_id
                      JOIN v n ON n.vec_id = p.neighbor_id) t
       WHERE rank <= 10),
+    sqn AS (SELECT vec_id, CASE WHEN nrm = 0 THEN e
+             ELSE list_transform(e, x -> x / nrm) END AS e
+           FROM (SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+                 FROM v)),
+    sqs AS (SELECT d.dim,
+             greatest(abs(min(sqn.e[d.dim])), abs(max(sqn.e[d.dim]))) AS s
+           FROM sqn, (SELECT unnest(generate_series(1, 64)) AS dim) d
+           GROUP BY d.dim),
+    sqx AS (SELECT list(s ORDER BY dim) AS ss FROM sqs),
+    sqc AS (SELECT vec_id, list_transform(generate_series(1, len(e)),
+             i -> CASE WHEN ss[i] = 0 THEN 0
+                  ELSE cast(round(e[i] * 127 / ss[i]) as bigint) END) AS c
+           FROM sqn CROSS JOIN sqx),
+    sqq AS (SELECT vec_id AS query_id, c AS qc FROM sqc WHERE vec_id < 5),
+    sqsc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+             cast(list_sum(list_transform(generate_series(1, len(q.qc)),
+               i -> q.qc[i] * n.c[i])) as bigint) AS score_int
+           FROM sqc n JOIN sqq q ON n.vec_id <> q.query_id),
+    sqp AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY score_int DESC, neighbor_id) AS prn
+             FROM sqsc) t WHERE prn <= 20),
+    a_sq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, p.neighbor_id,
+          row_number() OVER (PARTITION BY p.query_id ORDER BY
+            ${ivfCos.format("q", "n", "q", "q", "n", "n")} DESC, p.neighbor_id) AS rank
+        FROM sqp p JOIN v q ON q.vec_id = p.query_id
+                   JOIN v n ON n.vec_id = p.neighbor_id) t
+      WHERE rank <= 10),
     r AS (
       SELECT 'ivf' AS method,
         (SELECT count(DISTINCT query_id) FROM t_ivf) AS n_queries,
@@ -3384,6 +3415,10 @@ object Catalog {
       UNION ALL SELECT 'ivfadc',
         (SELECT count(DISTINCT query_id) FROM t_pq),
         (SELECT count(*) FROM a_ia a JOIN t_pq t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 10
+      UNION ALL SELECT 'sq8',
+        (SELECT count(DISTINCT query_id) FROM t_pq),
+        (SELECT count(*) FROM a_sq a JOIN t_pq t
            ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id), 10)
     SELECT method, n_queries, total_hits,
       cast(total_hits as double) / (n_queries * k) AS recall
@@ -3436,6 +3471,11 @@ object Catalog {
       // ivf/trained and pq/ivfadc each grade against a SHARED truth set,
       // so the whole query runs 3 brute-force scans (was 8: one per
       // truth reference)
+      // the SQ8 arm (ann12): integer code-dot scan + exact re-rank, on
+      // the PQ arm's query set and k — 'pq' vs 'sq8' vs 'ivfadc' reads
+      // as a quantization-family comparison on one truth set
+      val sq8 = SimilarityOps.sqTopK(T(s, d, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 5, k = 10, pool = 20)
       val tIvf = truth(col("id") >= 20 && col("id") < 30, 5)
       val tPq = truth(col("id") < 5, 10)
       recallOf("ivf", ann04.fn(s, d), tIvf, 5)
@@ -3443,6 +3483,7 @@ object Catalog {
         .unionByName(recallOf("pq", ann06.fn(s, d), tPq, 10))
         .unionByName(recallOf("trained", trained, tIvf, 5))
         .unionByName(recallOf("ivfadc", composed, tPq, 10))
+        .unionByName(recallOf("sq8", sq8, tPq, 10))
         .orderBy("method")
     })
 
@@ -3678,6 +3719,62 @@ object Catalog {
           blocks = 8, subDim = 8, k = 10, nProbe = 2, reRank = 20)
         .orderBy("query_id", "rank")
     })
+
+  // Scalar-quantized (SQ8) top-k with exact re-rank
+  // (SimilarityOps.sqTopK) — the third quantized-ANN family member next
+  // to PQ/ADC (ann10) and IVFADC (ann11): vectors L2-normalize (so the
+  // code dot tracks cosine, not norm-mixed raw dot — the standard
+  // cosine-metric SQ practice), per-dimension max-|value| scales train
+  // a SYMMETRIC [-127,127] int8 code (dims rows of metadata, THE
+  // persisted index artifact at 8x compression; symmetric because an
+  // affine [0,255] map's offset terms dominate the dot and wreck the
+  // ranking — measured 0.08 -> 0.98 pool-20 containment), candidates
+  // rank by the exact-integer dot of code arrays (symmetric quantized
+  // scan, no float per candidate), and the top-20 pool re-ranks by
+  // true cosine.
+  // The affine map is the one float step, mirrored op-for-op; code dots
+  // are exact longs, so both engines rank identically (ties to the
+  // lower neighbor id). Same query set and k as the other quantized
+  // arms (vec_id < 5, k = 10).
+  private val ann12 = Q("ann12_sq8_topk", Some("""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    vn AS (SELECT vec_id, CASE WHEN nrm = 0 THEN e
+             ELSE list_transform(e, x -> x / nrm) END AS e
+           FROM (SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+                 FROM v)),
+    st AS (SELECT d.dim, greatest(abs(min(vn.e[d.dim])), abs(max(vn.e[d.dim]))) AS s
+           FROM vn, (SELECT unnest(generate_series(1, 64)) AS dim) d
+           GROUP BY d.dim),
+    sx AS (SELECT list(s ORDER BY dim) AS ss FROM st),
+    cd AS (SELECT vec_id, list_transform(generate_series(1, len(e)),
+             i -> CASE WHEN ss[i] = 0 THEN 0
+                  ELSE cast(round(e[i] * 127 / ss[i]) as bigint) END) AS c
+           FROM vn CROSS JOIN sx),
+    qs AS (SELECT vec_id AS query_id, c AS qc FROM cd WHERE vec_id < 5),
+    sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+             cast(list_sum(list_transform(generate_series(1, len(q.qc)),
+               i -> q.qc[i] * n.c[i])) as bigint) AS score_int
+           FROM cd n JOIN qs q ON n.vec_id <> q.query_id),
+    pool AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY score_int DESC, neighbor_id) AS prn
+             FROM sc) t WHERE prn <= 20),
+    rr AS (SELECT p.query_id, p.neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * n.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, 64), i -> n.e[i] * n.e[i])))), 6) AS sim
+           FROM pool p JOIN v q ON q.vec_id = p.query_id
+                       JOIN v n ON n.vec_id = p.neighbor_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM rr) t
+    WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => SimilarityOps.sqTopK(T(s, d, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 5, k = 10, pool = 20)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .orderBy("query_id", "rank"))
 
   // Semantic dedup (SemDeDup-style): near-dup pairs discovered WITHIN
   // trained k-means cells only — the cell partition bounds the pair scan
@@ -4894,6 +4991,66 @@ object Catalog {
         "payload", "doc_id")
       .orderBy("doc_id"))
 
+  // Perceptual-hash near-dup over binary payloads
+  // (MultimodalOps.perceptualHash64): the image-dedup pipeline shape —
+  // average-hash each payload to a 64-bit signature (byte thumbnail +
+  // above-mean bit per position, all integer), band the signature into
+  // 4x16-bit blocks, candidates share ANY block (the dd02 banding
+  // applied to the dd03 Hamming key), exact Hamming <= 8 verifies.
+  // Never an all-pairs scan: candidate pairs are a fixed-width band
+  // equi-join. The oracle mirrors byte picks as char picks (ASCII
+  // corpus — the mm02/mm04 equivalence), the bit pack, the band split
+  // ((h >> 16k) & 0xFFFF reads identically under arithmetic and logical
+  // shift for k <= 3), and the Hamming filter.
+  private val mm06 = Q("mm06_phash_neardup", Some("""
+    WITH p AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, length(text),
+          greatest((length(text) + 63) // 64, 1)),
+          i -> ascii(substr(text, i, 1))) AS picks
+      FROM documents WHERE length(text) > 0),
+    s AS (
+      SELECT doc_id, picks, len(picks) AS n, list_sum(picks) AS sm FROM p),
+    h AS (
+      SELECT doc_id,
+        cast(list_sum(list_transform(generate_series(1, len(picks)),
+          j -> CASE WHEN picks[j] * n <= sm THEN 0
+                    WHEN j = 64 THEN -9223372036854775807 - 1
+                    ELSE (1::BIGINT << (j - 1)) END)) as bigint)
+          AS phash
+      FROM s),
+    bv AS (
+      SELECT doc_id, phash, bi, (phash >> (bi * 16)) & 65535 AS bval
+      FROM h, (SELECT unnest(generate_series(0, 3)) AS bi) b),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+        l.phash AS h1, r.phash AS h2
+      FROM bv l JOIN bv r ON l.bi = r.bi AND l.bval = r.bval
+        AND l.doc_id < r.doc_id)
+    SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= 8
+    ORDER BY id1, id2"""),
+    (s, d) => {
+      val hashed = MultimodalOps.perceptualHash64(
+        MultimodalOps.withBinaryPayload(T(s, d, "documents"), "text"),
+        "payload", "doc_id")
+      val bv = Exec.materializeForSelfJoin(
+        hashed.select(col("doc_id"), col("phash"),
+            explode(expr("sequence(0, 3)")).as("bi"))
+          .withColumn("bval",
+            expr("shiftrightunsigned(phash, bi * 16) & 65535")))
+      val l = bv.select(col("bi"), col("bval"), col("doc_id").as("id1"),
+        col("phash").as("h1"))
+      val r = bv.select(col("bi"), col("bval"), col("doc_id").as("id2"),
+        col("phash").as("h2"))
+      l.join(r, Seq("bi", "bval")).where(col("id1") < col("id2"))
+        .select("id1", "id2", "h1", "h2").distinct()
+        .withColumn("hamming", DedupOps.hamming64(col("h1"), col("h2")))
+        .where(col("hamming") <= 8)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    })
+
   // Recursive CTE on the Spark SQL surface (Spark 4 WITH RECURSIVE): a
   // data-driven month spine from min to max order month, left-joined to
   // per-month counts — the classic gap-filling calendar recursion, and
@@ -4954,10 +5111,10 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-    ann11,
+    ann11, ann12,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16,
-    mm01, mm02, mm03, mm04, mm05,
+    mm01, mm02, mm03, mm04, mm05, mm06,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18, dp19)
 }

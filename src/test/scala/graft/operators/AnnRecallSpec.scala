@@ -24,12 +24,13 @@ class AnnRecallSpec extends AnyFunSuite {
       .toMap
 
   test("every configured method is graded over its full query set") {
-    assert(recalls.keySet == Set("lsh", "ivf", "pq", "trained", "ivfadc"))
+    assert(recalls.keySet == Set("lsh", "ivf", "pq", "trained", "ivfadc", "sq8"))
     assert(recalls("lsh")._1 == 50 && recalls("ivf")._1 == 10 && recalls("pq")._1 == 5)
     // trained IVF shares seed-IVF's query set (directly comparable);
-    // the composed IVFADC shares the PQ arm's (same reason)
+    // the composed IVFADC and the SQ8 scan share the PQ arm's (same reason)
     assert(recalls("trained")._1 == 10)
     assert(recalls("ivfadc")._1 == 5)
+    assert(recalls("sq8")._1 == 5)
   }
 
   test("recall is a valid fraction and meets each config's floor") {
@@ -40,8 +41,13 @@ class AnnRecallSpec extends AnyFunSuite {
     // ivfadc (the composed IVF→ADC index, ann11) measured 0.32 here vs
     // sign-bit pq's 0.08 on the same query set — cell pruning + trained
     // codes + exact re-rank must keep clearing a floor well above pq's
+    // sq8 (ann12) measured 0.98: the symmetric int8 code dot on
+    // normalized vectors is a near-exact cosine proxy, so the 20-pool
+    // contains almost the whole true top-10 and exact re-rank restores
+    // it — the floor is high because the op's entire value IS that
+    // fidelity (the affine-map variant scored 0.08 and was rejected)
     val floors = Map("ivf" -> 0.25, "lsh" -> 0.01, "pq" -> 0.05,
-      "trained" -> 0.25, "ivfadc" -> 0.25)
+      "trained" -> 0.25, "ivfadc" -> 0.25, "sq8" -> 0.8)
     for ((method, (_, _, recall)) <- recalls) {
       assert(recall >= 0.0 && recall <= 1.0, s"$method recall out of range: $recall")
       assert(recall >= floors(method),

@@ -83,6 +83,24 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(one == MultimodalOps.scoreStub("payload text 7".getBytes("UTF-8")))
   }
 
+  test("perceptualHash64: identical payloads collide, near-identical stay close, empty absent") {
+    val base = (0 until 128).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val edited = base.updated(6, 'z') // position 7 IS a stride-2 pick
+    val other = (0 until 128).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val df = MultimodalOps.withBinaryPayload(
+      Seq((1L, base), (2L, base), (3L, edited), (4L, ""), (5L, other))
+        .toDF("media_id", "text"), "text")
+    val h = MultimodalOps.perceptualHash64(df, "payload", "media_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!h.contains(4L), "empty payload must have no signature")
+    assert(h(1L) == h(2L), "identical payloads must collide")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) <= 8,
+      s"one-byte edit moved ${ham(h(1L), h(3L))} bits")
+    assert(ham(h(1L), h(5L)) > 8,
+      s"unrelated payloads only ${ham(h(1L), h(5L))} bits apart")
+  }
+
   test("saltedJoin on empty skewed side is empty") {
     val skewed = Seq.empty[(Long, Long)].toDF("k", "id")
     val small = Seq((1L, "x")).toDF("k", "name")

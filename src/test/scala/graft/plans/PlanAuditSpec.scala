@@ -44,8 +44,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "dp18_epoch_mixture",       // 1-row budget-total aggregate
     "dd18_incremental_semantic", // k-row trained centroid cross join
                                  // (history + batch assignments, dd13's shape)
-    "ann11_ivf_adc_topk")       // trained 16-cell centroid cross join
+    "ann11_ivf_adc_topk",       // trained 16-cell centroid cross join
                                 // (coarse assignment + query probe ranking)
+    "tx16_perplexity_buckets",  // tx14's 1-row vocabulary aggregate (the
+                                // LM it scores with)
+    "dp19_dsir_select",         // 1-row feature-totals aggregate
+    "ann12_sq8_topk")           // 1-row scale-array + query-code set
+                                // (ann01's bounded query-side pattern)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -109,8 +114,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "dp18_epoch_mixture",      // 1-row budget-total aggregate
     "ann10_pq_adc_topk",       // blocks x codes codebook + ADC table broadcasts
     "dd18_incremental_semantic", // k-row centroids + k-row width table
-    "ann11_ivf_adc_topk")      // centroids + codebook + ADC table + re-rank
+    "ann11_ivf_adc_topk",      // centroids + codebook + ADC table + re-rank
                                // query vectors — all bounded broadcasts
+    "tx16_perplexity_buckets", // tx14's 1-row vocabulary aggregate
+    "dp19_dsir_select",        // 1-row feature-totals aggregate
+    "ann12_sq8_topk")          // dims-row scale array + query codes +
+                               // re-rank query vectors — all bounded
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
