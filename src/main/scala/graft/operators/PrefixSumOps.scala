@@ -208,6 +208,58 @@ object PrefixSumOps {
     * The training-data use is curriculum ordering: rank by a difficulty /
     * quality key once, globally, then shard by `rank div shardSize`.
     */
+  /** Deterministic weighted-fair mixture interleave — the ORDERING step
+    * of a training-data pipeline: given per-source integer weights,
+    * produce the single global sequence in which source s's documents
+    * appear at rate w_s/W, evenly spread rather than blocked together
+    * (a language-blocked epoch destabilizes training; samplers shuffle,
+    * THIS is the deterministic, resumable, oracle-checkable analogue).
+    * Classic stride scheduling / weighted fair queuing (Waldspurger &
+    * Weihl, OSDI 1995): source s's r-th row gets virtual time
+    * `(r−1)·W div w_s` (integer — each source advances its clock by
+    * ~W/w_s per row), and the global order is the ascending merge of
+    * virtual times, ties broken by the caller's source index then rank.
+    *
+    * Scale shape: the per-source rank is [[exclusiveRunningSumAuto]]
+    * (two-phase — NOT a one-reducer-per-source window), `weights` (one
+    * row per source: srcCol, `w`, `src_idx`) joins back UNHINTED, and
+    * the global position is [[globalRank]] over the composite key
+    * `vtime·nSources + src_idx` — unique because vtime strictly
+    * increases within a source. No global sort task at any size.
+    * Overflow guards mirror dp17's contract checks.
+    *
+    * @param weights one row per source: [srcCol, w (integer > 0),
+    *                src_idx (0-based, unique)]
+    * @return input columns + [src_rank, vtime, global_pos]
+    */
+  def mixtureInterleave(df: DataFrame, srcCol: String, idCol: String,
+      weights: DataFrame): DataFrame = {
+    val ranked = exclusiveRunningSumAuto(df.withColumn("_mi_one", lit(1L)),
+        Seq(srcCol), idCol, "_mi_one", "_mi_excl")
+      .withColumn("src_rank", col("_mi_excl") + 1L)
+      .drop("_mi_one", "_mi_excl")
+    val tot = weights.agg(sum(col("w")).cast("long").as("_wt"),
+      count(lit(1)).as("_ns")).head()
+    val wt = if (tot.isNullAt(0)) 1L else tot.getLong(0)
+    val ns = math.max(1L, tot.getLong(1))
+    val mx = df.groupBy(col(srcCol)).agg(count(lit(1)).as("_n"))
+      .agg(max("_n")).head()
+    if (!mx.isNullAt(0)) { // empty corpus needs no guards
+      val m = mx.getLong(0)
+      // vtime = (r-1)·W div w and key = vtime·ns + idx must fit a long
+      require(m - 1 <= Long.MaxValue / math.max(1L, wt),
+        s"virtual time (maxRank-1)*$wt overflows Long")
+      require((m - 1) * wt <= (Long.MaxValue - (ns - 1)) / ns,
+        s"composite key vtime*$ns + src_idx overflows Long")
+    }
+    globalRank(
+        ranked.join(weights, srcCol)
+          .withColumn("vtime", expr(s"((src_rank - 1) * ${wt}L) div w"))
+          .withColumn("_mi_key", expr(s"vtime * ${ns}L + src_idx")),
+        "_mi_key", "global_pos")
+      .drop("_mi_key", "w", "src_idx")
+  }
+
   def globalRank(df: DataFrame, orderCol: String,
       outCol: String = "rank"): DataFrame = {
     val b = df.agg(min(col(orderCol)).cast("long").as("lo"),

@@ -667,6 +667,103 @@ object SimilarityOps {
     }
   }
 
+  /** Residual IVF-PQ top-k — [[ivfAdcTopK]] upgraded to what production
+    * FAISS IVFADC actually encodes (Jégou et al., TPAMI 2011 §IV):
+    * the PQ codebook trains on and encodes RESIDUALS x − c(x) (each
+    * vector minus its coarse centroid) instead of raw vectors. Residuals
+    * concentrate near zero, so the same codebook budget spends its
+    * codes on the part of the vector the coarse quantizer didn't
+    * explain — the accuracy step that separates IVFADC from
+    * IVF + raw-vector PQ. Queries compute a residual PER PROBED CELL
+    * (q − c_probe), so the ADC table is (queries × nProbe × blocks ×
+    * codes) — still a bounded broadcast.
+    *
+    * Scale shape: the corpus is touched by exactly the passes a
+    * deployment persists — coarse assignment ([[assignToCentroids]]),
+    * one narrow residual map (zip_with under the ≤ k-row centroid
+    * broadcast), PQ encode ([[pqEncode]] on residuals); PQ training is
+    * the bounded salted sample ([[pqFit]]). Ranking inside probed cells
+    * is integer micro-unit ADC sums (exact longs under any aggregation
+    * order), the top-`reRank` pool re-ranks by exact cosine on the RAW
+    * vectors, and every cut ties deterministically — oracle-checkable
+    * end to end.
+    *
+    * @param centroids coarse quantizer (`cell`, `cvec array<double>`)
+    * @return (query_id, neighbor_id, sim, rank) — rank ≤ k by exact
+    *         cosine over the ADC-selected pool
+    */
+  def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, centroids: DataFrame, blocks: Int, subDim: Int,
+      codesPerBlock: Int, iters: Int, samplePerCode: Int, k: Int,
+      nProbe: Int = 2, reRank: Int = 20, roundSim: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // pass 1 (persisted in production): coarse-cell assignment
+    val assigned = assignToCentroids(df, idCol, vecCol, centroids, roundSim)
+      .select(col(idCol).as("_ir_id"), col("cell"))
+    // pass 2: residuals — one narrow map under the centroid broadcast;
+    // read by PQ training AND encoding, so materialized once
+    val vres = Exec.materializeLarge(
+      df.select(col(idCol).as("_ir_id"),
+          col(vecCol).cast("array<double>").as("_ir_v"))
+        .join(assigned, "_ir_id").join(broadcast(centroids), "cell")
+        .select(col("_ir_id"), col("cell"),
+          expr("zip_with(_ir_v, cvec, (a, b) -> a - b)").as("_ir_r")))
+    val cb = pqFit(vres, "_ir_id", "_ir_r", blocks, subDim, codesPerBlock,
+      iters, samplePerCode = samplePerCode)
+    // pass 3 (persisted in production): residual PQ codes
+    val enc = pqEncode(vres, "_ir_id", "_ir_r", cb, blocks, subDim)
+      .select(col("_ir_id").as("neighbor_id"), col("blk"), col("code"))
+    // probe ranking over the bounded query subset
+    val scoredQ = df.where(queryPred)
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_ir_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_ir_qsim", round(cosine(col("_ir_qv"), col("cvec")), roundSim))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_ir_qsim").desc, col("cell").asc)
+    val probes = scoredQ.withColumn("_ir_rn", row_number().over(wp))
+      .where(col("_ir_rn") <= nProbe)
+      .select(col("query_id"), col("cell"), col("_ir_qv"), col("cvec"))
+    // per-(query, probed cell) residual → ADC lookup table
+    // (queries × nProbe × blocks × codes rows, broadcast)
+    val qres = probes
+      .withColumn("_ir_qr", expr("zip_with(_ir_qv, cvec, (a, b) -> a - b)"))
+      .select(col("query_id"), col("cell"), posexplode(expr(
+          s"transform(sequence(0, $blocks - 1), " +
+            s"b -> slice(_ir_qr, b * $subDim + 1, $subDim))"))
+        .as(Seq("blk", "_ir_qsv")))
+    val dtab = qres.join(broadcast(pqCodebookVectors(cb)), Seq("blk"))
+      .select(col("query_id"), col("cell"), col("blk"), col("code"),
+        expr("cast(round(aggregate(zip_with(_ir_qsv, cv, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x) " +
+          "* 1000000.0) as bigint)").as("dq"))
+    // each corpus vector lives in exactly one cell → (query, neighbor)
+    // candidates are unique without a distinct
+    val cand = probes.select("query_id", "cell")
+      .join(assigned.select(col("_ir_id").as("neighbor_id"), col("cell")),
+        Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+    val scored = cand.join(enc, Seq("neighbor_id"))
+      .join(broadcast(dtab), Seq("query_id", "cell", "blk", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("dq").as("d_sum"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("d_sum").asc, col("neighbor_id").asc)
+    val pool = scored.withColumn("_ir_arn", row_number().over(wa))
+      .where(col("_ir_arn") <= reRank).select("query_id", "neighbor_id")
+    // exact cosine over the bounded pool on RAW vectors (residual codes
+    // selected the pool; similarity is still defined on the originals)
+    val q = df.where(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_ir_qvec"))
+    val n = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_ir_nvec"))
+    val rr = pool.join(broadcast(q), Seq("query_id")).join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_ir_qvec"), col("_ir_nvec")), roundSim).as("sim"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    rr.withColumn("rank", row_number().over(wr)).where(col("rank") <= k)
+  }
+
   /** Per-dimension scalar-quantization stats (the FAISS SQ8 trainer):
     * one linear pass reducing the corpus to ≤ dims rows of (dim, mn,
     * mx) — [[sqEncode]] derives each dimension's symmetric scale

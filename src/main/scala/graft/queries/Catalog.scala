@@ -3122,15 +3122,16 @@ object Catalog {
   private val km64Cos = """round(list_sum(list_transform(generate_series(1, 64), i -> %s.e[i] * %s.ce[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> %s.e[i] * %s.e[i])))
            * sqrt(list_sum(list_transform(generate_series(1, 64), i -> %s.ce[i] * %s.ce[i])))), 6)"""
-  /** [[pqTrainCtes]] without the leading `v` CTE, for oracles (ann07)
-    * that already define `v` themselves. Defined BEFORE ann07 — string
-    * vals initialize in declaration order, and a forward reference
-    * interpolates as literal "null".
+  /** The 2-iteration PQ training chain (through m2) parameterized by its
+    * training source CTE — `v` for raw vectors (ann07/ann09/ann10/ann11),
+    * `vres` for coarse-quantizer residuals (ann13). Defined BEFORE
+    * ann07 — string vals initialize in declaration order, and a forward
+    * reference interpolates as literal "null" (defs are order-free).
     */
-  private val pqTrainCtesNoV = """smp AS (SELECT vec_id, e FROM (
+  private def pqTrainCtesFrom(src: String) = s"""smp AS (SELECT vec_id, e FROM (
              SELECT vec_id, e, row_number() OVER (
                ORDER BY md5('pq:' || cast(vec_id as varchar)), vec_id) AS srn
-             FROM v) t WHERE srn <= 64),
+             FROM $src) t WHERE srn <= 64),
     rws AS (SELECT vec_id, b.blk,
              list_slice(e, b.blk * 8 + 1, b.blk * 8 + 8) AS sv
             FROM smp, (SELECT unnest(generate_series(0, 7)) AS blk) b),
@@ -3171,6 +3172,7 @@ object Catalog {
     m2 AS (SELECT blk, code, dim, count(*) AS n_vectors,
              cast(sum(q) as double) / (count(*) * 1048576.0) AS mean
            FROM x2 GROUP BY blk, code, dim)"""
+  private val pqTrainCtesNoV = pqTrainCtesFrom("v")
 
   /** Shared oracle CTE chain: the 16-cell k-means coarse quantizer over
     * the full 64-dim embeddings (2 Lloyd's iterations on the 256-row
@@ -3775,6 +3777,95 @@ object Catalog {
         "embedding", col("vec_id") < 5, k = 10, pool = 20)
       .select("query_id", "neighbor_id", "sim", "rank")
       .orderBy("query_id", "rank"))
+
+  // Residual IVF-PQ top-k (SimilarityOps.ivfPqResidualTopK): ann11
+  // upgraded to what production FAISS IVFADC actually encodes (Jégou
+  // et al. 2011 §IV) — the PQ codebook trains on and encodes RESIDUALS
+  // x − c(x), spending its code budget on what the coarse quantizer
+  // didn't explain; queries build a residual ADC table PER PROBED CELL
+  // (still a bounded queries × nProbe × blocks × codes broadcast). Same
+  // query set, k, probe count, and re-rank pool as ann11, so the two
+  // results read directly as what residual encoding buys. The oracle
+  // replays coarse training, the full assignment, the residual map, PQ
+  // training ON residuals, both full-corpus passes, the per-cell ADC,
+  // and both rankings CTE-by-CTE.
+  private val ann13 = Q("ann13_ivfpq_residual_topk", Some(s"""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    $km64TrainCtes,
+    vres AS (SELECT v.vec_id, kta.cell,
+               list_transform(generate_series(1, 64), i -> v.e[i] - kc2.ce[i]) AS e
+             FROM v JOIN kta USING (vec_id) JOIN kc2 ON kc2.cell = kta.cell),
+    ${pqTrainCtesFrom("vres")},
+    pc2 AS (SELECT blk, code, list(mean ORDER BY dim) AS cv
+            FROM m2 GROUP BY blk, code),
+    fr AS (SELECT vec_id, b.blk,
+             list_slice(e, b.blk * 8 + 1, b.blk * 8 + 8) AS sv
+           FROM vres, (SELECT unnest(generate_series(0, 7)) AS blk) b),
+    ed AS (SELECT f.vec_id, f.blk, c.code,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (f.sv[i] - c.cv[i]) * (f.sv[i] - c.cv[i]))), 6) AS d
+           FROM fr f JOIN pc2 c ON f.blk = c.blk),
+    enc AS (SELECT vec_id, blk, code FROM (
+             SELECT vec_id, blk, code, row_number() OVER (
+               PARTITION BY vec_id, blk ORDER BY d, code) AS rn
+             FROM ed) t WHERE rn = 1),
+    qp AS (SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        FROM ktr WHERE vec_id < 5) t WHERE rn <= 2),
+    qr AS (SELECT qp.query_id, qp.cell,
+             list_transform(generate_series(1, 64), i -> v.e[i] - kc2.ce[i]) AS e
+           FROM qp JOIN v ON v.vec_id = qp.query_id
+                   JOIN kc2 ON kc2.cell = qp.cell),
+    qfr AS (SELECT query_id, cell, b.blk,
+              list_slice(e, b.blk * 8 + 1, b.blk * 8 + 8) AS sv
+            FROM qr, (SELECT unnest(generate_series(0, 7)) AS blk) b),
+    qt AS (SELECT q.query_id, q.cell, q.blk, c.code,
+             cast(round(list_sum(list_transform(generate_series(1, 8),
+               i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))
+               * 1000000.0) as bigint) AS dq
+           FROM qfr q JOIN pc2 c ON q.blk = c.blk),
+    cand AS (SELECT qp.query_id, qp.cell, a.vec_id AS neighbor_id
+             FROM qp JOIN kta a ON a.cell = qp.cell
+             WHERE a.vec_id <> qp.query_id),
+    sc AS (SELECT cd.query_id, cd.neighbor_id,
+             cast(sum(q.dq) as bigint) AS d_sum
+           FROM cand cd
+           JOIN enc e ON e.vec_id = cd.neighbor_id
+           JOIN qt q ON q.query_id = cd.query_id AND q.cell = cd.cell
+                    AND q.blk = e.blk AND q.code = e.code
+           GROUP BY 1, 2),
+    pool AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY d_sum, neighbor_id) AS prn
+             FROM sc) t WHERE prn <= 20),
+    rr AS (SELECT p.query_id, p.neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * n.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, 64), i -> n.e[i] * n.e[i])))), 6) AS sim
+           FROM pool p JOIN v q ON q.vec_id = p.query_id
+                       JOIN v n ON n.vec_id = p.neighbor_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM rr) t
+    WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val idx = SimilarityOps.kmeansFit(
+          emb.select(col("id"), col("vec").as("v64")), "id", "v64",
+          k = 16, iters = 2, samplePerCell = 16)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+      SimilarityOps.ivfPqResidualTopK(emb, "id", "vec", col("id") < 5,
+          graft.operators.Exec.materializeForSelfJoin(idx),
+          blocks = 8, subDim = 8, codesPerBlock = 4, iters = 2,
+          samplePerCode = 16, k = 10, nProbe = 2, reRank = 20)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    })
 
   // Semantic dedup (SemDeDup-style): near-dup pairs discovered WITHIN
   // trained k-means cells only — the cell partition bounds the pair scan
@@ -4912,6 +5003,47 @@ object Catalog {
         "doc_id", targetPred = col("lang") === "en")
       .orderBy("doc_id"))
 
+  // Deterministic weighted-fair mixture interleave
+  // (PrefixSumOps.mixtureInterleave — stride scheduling, Waldspurger &
+  // Weihl 1995): the ORDERING step of a training run. Per-language
+  // weights w = floor(sqrt(n)) (the dp15/dp16 temperature-0.5 flavor —
+  // small languages appear relatively more often), each language's r-th
+  // doc gets virtual time (r-1)·W div w, and the global sequence is the
+  // ascending merge — languages evenly spread, never blocked. Everything
+  // integer; per-source ranks and the global position both run as
+  // two-phase prefix sums (no single-reducer sort, the dp17 discipline).
+  private val dp20 = Q("dp20_mixture_interleave", Some("""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    w AS (SELECT lang, cast(floor(sqrt(n)) as bigint) AS w,
+            cast(row_number() OVER (ORDER BY lang) - 1 as bigint) AS src_idx
+          FROM c),
+    tot AS (SELECT cast(sum(w) as bigint) AS wt FROM w),
+    r AS (SELECT doc_id, lang,
+            cast(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+              as bigint) AS src_rank
+          FROM documents),
+    v AS (SELECT r.doc_id, r.lang, r.src_rank,
+            cast(((r.src_rank - 1) * tot.wt) // w.w as bigint) AS vtime,
+            w.src_idx
+          FROM r JOIN w USING (lang) CROSS JOIN tot)
+    SELECT doc_id, lang, src_rank, vtime,
+      cast(row_number() OVER (ORDER BY vtime, src_idx) as bigint)
+        AS global_pos
+    FROM v ORDER BY global_pos"""),
+    (s, d) => {
+      val docs = T(s, d, "documents").select("doc_id", "lang")
+      // per-language weights: one row per language (tiny) — the
+      // unpartitioned window is over the <= languages aggregate, not data
+      val w = docs.groupBy("lang").agg(count(lit(1)).as("_n"))
+        .withColumn("w", floor(sqrt(col("_n"))).cast("long"))
+        .withColumn("src_idx",
+          (row_number().over(Window.orderBy("lang")) - 1).cast("long"))
+        .select("lang", "w", "src_idx")
+      PrefixSumOps.mixtureInterleave(docs, "lang", "doc_id", w)
+        .select("doc_id", "lang", "src_rank", "vtime", "global_pos")
+        .orderBy("global_pos")
+    })
+
   // Round-4 composition capstone: the incremental ingestion gate as ONE
   // declarative plan. A new batch passes through the Bloom prefilter
   // (megabytes vs the 100 TB history); definite-new docs skip the exact
@@ -5111,10 +5243,10 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-    ann11, ann12,
+    ann11, ann12, ann13,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16,
     mm01, mm02, mm03, mm04, mm05, mm06,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18, dp19)
+    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18, dp19, dp20)
 }

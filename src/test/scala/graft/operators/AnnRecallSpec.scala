@@ -56,6 +56,25 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVF-PQ (ann13) meets the composed-index floor") {
+    // ann13 shares ann11's query set, k, probes, and re-rank pool; its
+    // one change is residual encoding. Held to the same floor as the
+    // ivfadc arm — the residual upgrade must never retrieve worse than
+    // the raw-vector composition it replaces is held to.
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Catalog.all
+      .find(_.name == "ann13_ivfpq_residual_topk").get.fn(spark, sfDir)
+      .select("query_id", "neighbor_id")
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val truth = SimilarityOps.bruteForceTopK(
+        emb.where(col("id") < 5), emb, k = 10, roundSim = 6)
+      .select("query_id", "neighbor_id")
+    val hits = out.join(truth, Seq("query_id", "neighbor_id")).count()
+    val recall = hits / 50.0
+    assert(recall >= 0.25, s"ann13 residual IVF-PQ recall $recall below 0.25")
+  }
+
   // NOTE: no cross-config ordering (e.g. ivf > pq) is asserted. On
   // near-random embeddings that ordering is a property of the particular
   // corpus draw, not of the code — a regenerated corpus could flip it and

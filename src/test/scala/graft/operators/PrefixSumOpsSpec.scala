@@ -281,4 +281,39 @@ class PrefixSumOpsSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("id", "key")
     assert(PrefixSumOps.globalRank(empty, "key").count() == 0)
   }
+
+  // ---- mixtureInterleave (dp20's kernel) ----
+
+  test("mixtureInterleave: stride schedule matches brute force; rates honored") {
+    import spark.implicits._
+    // source a: 60 rows weight 3; source b: 20 rows weight 1 — a should
+    // appear ~3x as often, evenly, never blocked
+    val rows = ((0 until 60).map(i => (i.toLong, "a")) ++
+      (0 until 20).map(i => (1000L + i, "b"))).toDF("id", "src")
+    val weights = Seq(("a", 3L, 0L), ("b", 1L, 1L)).toDF("src", "w", "src_idx")
+    val got = PrefixSumOps.mixtureInterleave(rows, "src", "id", weights)
+      .select("id", "src", "src_rank", "vtime", "global_pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length == 80)
+    // brute force: vtime = (r-1)*4 div w, order by (vtime, src_idx)
+    val want = got.map(g => (g._1, g._2, g._3, (g._3 - 1) * 4 / (if (g._2 == "a") 3 else 1)))
+      .sortBy(t => (t._4, t._2)).zipWithIndex
+      .map { case ((id, _, _, _), i) => id -> (i + 1L) }.toMap
+    assert(got.map(g => g._1 -> g._5).toMap == want)
+    // even spread: among any window of global positions 1..k, source a's
+    // share tracks 3/4 — check the first 40: expect 30 +- 2 from a
+    val firstA = got.filter(_._5 <= 40).count(_._2 == "a")
+    assert(math.abs(firstA - 30) <= 2, s"a-share in first 40 was $firstA")
+    // vtime computed with W = 3 + 1 = 4
+    assert(got.filter(_._2 == "b").sortBy(_._3).map(_._4).take(3).toSeq ==
+      Seq(0L, 4L, 8L))
+  }
+
+  test("mixtureInterleave: empty input yields empty output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "src")
+    val w = Seq.empty[(String, Long, Long)].toDF("src", "w", "src_idx")
+    assert(PrefixSumOps.mixtureInterleave(empty, "src", "id", w).count() == 0)
+  }
 }

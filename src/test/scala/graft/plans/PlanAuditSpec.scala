@@ -49,8 +49,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx16_perplexity_buckets",  // tx14's 1-row vocabulary aggregate (the
                                 // LM it scores with)
     "dp19_dsir_select",         // 1-row feature-totals aggregate
-    "ann12_sq8_topk")           // 1-row scale-array + query-code set
+    "ann12_sq8_topk",           // 1-row scale-array + query-code set
                                 // (ann01's bounded query-side pattern)
+    "ann13_ivfpq_residual_topk") // trained 16-cell centroid cross join
+                                 // (assignment + probe ranking, ann11's shape)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -118,8 +120,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                // query vectors — all bounded broadcasts
     "tx16_perplexity_buckets", // tx14's 1-row vocabulary aggregate
     "dp19_dsir_select",        // 1-row feature-totals aggregate
-    "ann12_sq8_topk")          // dims-row scale array + query codes +
+    "ann12_sq8_topk",          // dims-row scale array + query codes +
                                // re-rank query vectors — all bounded
+    "ann13_ivfpq_residual_topk") // centroids + residual codebook + per-cell
+                                 // ADC table + re-rank queries — all bounded
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
