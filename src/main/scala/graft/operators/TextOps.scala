@@ -420,6 +420,17 @@ object TextOps {
     val per = toks.groupBy("lang", "_h")
       .agg(sum(when(col("_is_batch"), 1L).otherwise(0L)).as("_b"),
         sum(when(col("_is_batch"), 0L).otherwise(1L)).as("_hc"))
+    driftFromCounts(per)
+  }
+
+  /** [[distributionDrift]]'s smoothing/KL/OOV tail over a PRE-AGGREGATED
+    * per-(lang, token-hash) count table `[lang, _h, _b, _hc]` — split
+    * out so the streaming monitor (q76, which accumulates `_b` counts
+    * incrementally across micro-batches and joins a static history
+    * count table) computes the identical drift expression as the batch
+    * op, term for term.
+    */
+  def driftFromCounts(per: DataFrame): DataFrame = {
     val totals = per.groupBy("lang")
       .agg(sum("_b").as("_bt"), sum("_hc").as("_ht"),
         count(lit(1)).as("_v"))

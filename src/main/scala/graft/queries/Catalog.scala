@@ -2942,6 +2942,54 @@ object Catalog {
         .orderBy("new_id")
     })
 
+  // Streaming token-distribution drift monitor: tx15's ingestion gate
+  // run CONTINUOUSLY (StreamingOps.streamTokenDrift) — each micro-batch
+  // folds its per-(lang, token-hash) counts into a cumulative state
+  // table (one generation per batch, the q66 foreachBatch loop), the
+  // static history counts compute once, and the final drift uses the
+  // IDENTICAL TextOps.driftFromCounts tail as the batch op. Counts are
+  // associative, so any micro-batching folds to the batch answer — the
+  // oracle IS tx15's SQL.
+  private val q76 = Q("q76_stream_token_drift", Some("""
+    WITH t AS (
+      SELECT lang, doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (
+      SELECT lang, is_batch, substr(md5(u), 1, 16) AS h FROM (
+        SELECT lang, doc_id >= 400 AS is_batch, unnest(tk) AS u FROM t)),
+    per AS (
+      SELECT lang, h,
+        sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS b,
+        sum(CASE WHEN is_batch THEN 0 ELSE 1 END) AS hc
+      FROM tok GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(b) AS bt, sum(hc) AS ht, count(*) AS v
+            FROM per GROUP BY 1),
+    terms AS (
+      SELECT per.lang, per.b, per.hc,
+        (per.b + 1.0) / (tot.bt + tot.v) AS pb,
+        (per.hc + 1.0) / (tot.ht + tot.v) AS ph
+      FROM per JOIN tot USING (lang)),
+    agg AS (
+      SELECT lang,
+        cast(sum(cast(round(pb * ln(pb / ph) * 1000000000.0) as bigint))
+          as bigint) AS kl_nano,
+        cast(sum(CASE WHEN hc = 0 THEN b ELSE 0 END) as bigint) AS oov_occ
+      FROM terms GROUP BY 1)
+    SELECT a.lang, cast(t.bt as bigint) AS batch_tok,
+      cast(t.ht as bigint) AS hist_tok, cast(t.v as bigint) AS vocab,
+      cast(a.oov_occ as double) / t.bt AS oov_rate, a.kl_nano
+    FROM agg a JOIN tot t USING (lang)
+    WHERE t.bt > 0 ORDER BY a.lang"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      graft.streaming.StreamingOps.streamTokenDrift(s,
+          s"$d/documents.parquet", docs.where(col("doc_id") < 400),
+          col("doc_id") >= 400,
+          queryName = "graft_stream_drift_" + math.abs(d.hashCode),
+          statePartitions = streamStatePartitions)
+        .orderBy("lang")
+    })
+
   // Content-defined chunking (CDC): the sub-document dedup primitive —
   // chunk boundaries where a rolling fingerprint of the trailing w=8
   // chars hits 0 mod 64, so boundaries survive insertions/deletions
@@ -5239,7 +5287,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75,
+    q73, q74, q75, q76,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

@@ -204,6 +204,80 @@ object StreamingOps {
       statePartitions = statePartitions)
   }
 
+  /** Streaming token-distribution drift monitor: tx15's ingestion-gate
+    * KL/OOV computation run CONTINUOUSLY as documents stream in. Each
+    * micro-batch folds its per-(lang, token-hash) counts into a
+    * cumulative state table (foreachBatch — one generation dir per
+    * batch, read-prev + union + re-aggregate, the q66 loop without the
+    * bucket pruning; at 100 TB the state rewrite would be bucket-pruned
+    * exactly like [[streamingLatestPerKey]] — here the state is
+    * vocabulary-sized, the smallest table in the topology). The static
+    * history counts are computed ONCE; after the stream drains, the
+    * final cumulative counts full-outer-join them and feed
+    * [[graft.operators.TextOps.driftFromCounts]] — the IDENTICAL
+    * smoothing/KL/OOV expression as the batch op, so the result is
+    * oracle-checkable against tx15's SQL and batch-equivalent by
+    * construction (counts are associative; any batching folds to the
+    * same totals).
+    *
+    * @param diagnostics receives each processed micro-batch id — the
+    *        spec's proof the monitor actually ran incrementally
+    */
+  def streamTokenDrift(spark: SparkSession, docsPath: String,
+      history: DataFrame, batchPred: Column, textCol: String = "text",
+      langCol: String = "lang", splits: Int = 4,
+      queryName: String = "graft_stream_drift",
+      statePartitions: Option[Int] = None,
+      diagnostics: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.{DedupOps, TextOps}
+    def hashedCounts(df: DataFrame, outCol: String): DataFrame =
+      df.where(length(trim(col(textCol))) > 0)
+        .select(col(langCol).as("lang"),
+          explode(DedupOps.tokens(col(textCol))).as("_u"))
+        .select(col("lang"), substring(md5(col("_u")), 1, 16).as("_h"))
+        .groupBy("lang", "_h").agg(count(lit(1)).as(outCol))
+    val base = Files.createTempDirectory(s"graft_drift_$queryName")
+    // re-split the batch slice so AvailableNow + maxFilesPerTrigger=1
+    // actually exercises several micro-batches (the q66 discipline)
+    val src = base.resolve("src")
+    spark.read.parquet(docsPath).where(batchPred).repartition(splits)
+      .write.parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val genRoot = base.resolve("gen"); Files.createDirectories(genRoot)
+    // foreachBatch runs sequentially on the driver; the last committed
+    // generation is this run's in-memory cursor (a durable variant would
+    // persist it like streamingLatestPerKey's _bucket_gen.tsv)
+    @volatile var lastGen = -1L
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val counts = hashedCounts(batch, "_b")
+        val prev =
+          if (lastGen >= 0) spark.read.parquet(s"$genRoot/g$lastGen")
+          else counts.limit(0)
+        prev.unionByName(counts)
+          .groupBy("lang", "_h").agg(sum("_b").as("_b"))
+          .write.mode("overwrite").parquet(s"$genRoot/g$id")
+        lastGen = id
+        diagnostics.foreach(_ += id)
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+    withStatePartitions(spark, statePartitions) {
+      q.start().awaitTermination()
+    }
+    require(lastGen >= 0, "no micro-batch ran")
+    val per = spark.read.parquet(s"$genRoot/g$lastGen")
+      .join(hashedCounts(history, "_hc"), Seq("lang", "_h"), "full_outer")
+      .select(col("lang"), col("_h"),
+        coalesce(col("_b"), lit(0L)).as("_b"),
+        coalesce(col("_hc"), lit(0L)).as("_hc"))
+    TextOps.driftFromCounts(per)
+  }
+
   /** Per-batch merge record, exposed for observability and for the spec
     * that proves untouched buckets are never read or rewritten.
     */

@@ -206,6 +206,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == want, s"stream gate $got != batch gate $want")
   }
 
+  test("streamTokenDrift runs incrementally and equals the batch drift") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+    val batches = scala.collection.mutable.Buffer.empty[Long]
+    val got = StreamingOps.streamTokenDrift(spark, s"$dir/documents.parquet",
+        docs.where(col("doc_id") < 400), col("doc_id") >= 400,
+        queryName = "graft_test_drift", diagnostics = Some(batches))
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    // the monitor must actually run incrementally — several micro-batch
+    // folds, not one shot (source re-split into 4 files)
+    assert(batches.length >= 2, s"only ${batches.length} micro-batches ran")
+    // associative counts: any batching folds to the batch-op answer
+    val want = graft.operators.TextOps.distributionDrift(
+        docs, "text", "lang", col("doc_id") >= 400)
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(got == want, s"stream drift $got != batch drift $want")
+  }
+
   test("streamStaticEnrich over a bounded source equals the batch join") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
