@@ -857,12 +857,22 @@ object SimilarityOps {
       df.where(queryPred).select(col(idCol).as("_sq_id"))
         .join(enc, "_sq_id")
         .select(col("_sq_id").as("query_id"), col("_sq_c").as("_qc")))
+    // the scan — corpus × queries code dots — runs the fused native
+    // expression (one codegen'd loop, no per-row product array); the HOF
+    // composition is the dependency-free fallback. Integer arithmetic:
+    // both forms are exact and identical, this is purely the hot path.
+    def longDot(a: Column, b: Column): Column =
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) => graft.functions.LongDotProduct.dotNative(s, a, b)
+        case None => expr(
+          "aggregate(zip_with(_qc, _nc, (a, b) -> a * b), 0L, " +
+            "(acc, x) -> acc + x)")
+      }
     val scored = enc
       .select(col("_sq_id").as("neighbor_id"), col("_sq_c").as("_nc"))
       .join(q, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), expr(
-        "aggregate(zip_with(_qc, _nc, (a, b) -> a * b), 0L, " +
-          "(acc, x) -> acc + x)").as("score_int"))
+      .select(col("query_id"), col("neighbor_id"),
+        longDot(col("_qc"), col("_nc")).as("score_int"))
     val wp = Window.partitionBy("query_id")
       .orderBy(col("score_int").desc, col("neighbor_id").asc)
     val pooled = scored.withColumn("_sq_rn", row_number().over(wp))

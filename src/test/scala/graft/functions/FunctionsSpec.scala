@@ -32,6 +32,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(v == 1.0)
   }
 
+  test("native long dot product matches the HOF composition; empty is 0") {
+    val rows = Seq(
+      (Seq(3L, -1L, 4L, 127L), Seq(2L, 5L, -6L, 127L)),
+      (Seq(0L, 0L), Seq(9L, -9L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+    val r = rows.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("hof"),
+      LongDotProduct.dotNative(spark, col("a"), col("b")).as("native"))
+      .as[(Long, Long)].collect()
+    r.foreach { case (h, n) => assert(h == n, s"hof $h != native $n") }
+    assert(r.last._2 == 0L)
+    // and via SQL registration
+    LongDotProduct.register(spark)
+    val v = spark.sql(
+      "SELECT graft_long_dot(array(2L, 3L), array(4L, 5L)) AS d")
+      .as[Long].head()
+    assert(v == 23L)
+  }
+
   test("TopKAggregator keeps k best with (score desc, id asc) order") {
     val agg = new TopKAggregator(3)
     val items = Seq(
