@@ -5171,6 +5171,29 @@ object Catalog {
         "payload", "doc_id")
       .orderBy("doc_id"))
 
+  // Streaming model inference (StreamingOps.streamBatchScore): mm05's
+  // per-partition-model batch scorer as a streaming topology — payloads
+  // stream in, each micro-batch runs the mapPartitions scorer (one
+  // model load per partition, fixed-size micro-batches inside), only
+  // (id, score) rows append to the sink. The serving shape of a
+  // multimodal pipeline; per-batch cost O(batch), model loads
+  // O(partitions), no state store. The oracle is mm05's batch SQL:
+  // scoring is per-row, so any micro-batching appends the same rows.
+  private val mm07 = Q("mm07_stream_infer", Some("""
+    SELECT doc_id,
+      cast(list_sum(list_transform(generate_series(1, length(text)),
+        i -> ascii(substr(text, i, 1)) * ([3, 1, 4, 1])[(i - 1) % 4 + 1]))
+        as bigint) AS score
+    FROM documents
+    WHERE doc_id < 200 AND length(text) > 0
+    ORDER BY doc_id"""),
+    (s, d) => graft.streaming.StreamingOps.streamBatchScore(s,
+        s"$d/documents.parquet",
+        col("doc_id") < 200 && length(col("text")) > 0,
+        queryName = "graft_stream_infer_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
+      .orderBy("doc_id"))
+
   // Perceptual-hash near-dup over binary payloads
   // (MultimodalOps.perceptualHash64): the image-dedup pipeline shape —
   // average-hash each payload to a 64-bit signature (byte thumbnail +
@@ -5294,7 +5317,7 @@ object Catalog {
     ann11, ann12, ann13,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16,
-    mm01, mm02, mm03, mm04, mm05, mm06,
+    mm01, mm02, mm03, mm04, mm05, mm06, mm07,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18, dp19, dp20)
 }

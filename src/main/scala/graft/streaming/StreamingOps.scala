@@ -408,6 +408,56 @@ object StreamingOps {
     spark.read.parquet(latest: _*)
   }
 
+  /** Streaming model inference over binary payloads — the serving shape
+    * of a multimodal training-data pipeline: documents stream in,
+    * each micro-batch derives its payload column and runs
+    * [[graft.operators.MultimodalOps.batchScore]] (one model
+    * instantiation per PARTITION, fixed-size micro-batches inside —
+    * exactly the cost profile a real GPU scorer has), and only the
+    * small (id, score) rows append to the sink. Narrow per batch: no
+    * state store, no watermark, no shuffle — scoring cost is O(batch)
+    * and model loads are O(partitions per batch), never O(rows).
+    *
+    * @param modelLoads optional accumulator counting model
+    *        instantiations — the spec's proof the per-partition load
+    *        discipline survives the streaming topology
+    */
+  def streamBatchScore(spark: SparkSession, docsPath: String,
+      filterPred: Column, textCol: String = "text", idCol: String = "doc_id",
+      batchSize: Int = 32, splits: Int = 4,
+      queryName: String = "graft_stream_infer",
+      statePartitions: Option[Int] = None,
+      diagnostics: Option[scala.collection.mutable.Buffer[Long]] = None,
+      modelLoads: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.MultimodalOps
+    val base = Files.createTempDirectory(s"graft_infer_$queryName")
+    val src = base.resolve("src")
+    spark.read.parquet(docsPath).where(filterPred).repartition(splits)
+      .write.parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val out = base.resolve("scored").toString
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          MultimodalOps.batchScore(
+              MultimodalOps.withBinaryPayload(batch, textCol),
+              "payload", idCol, batchSize, modelLoads)
+            .write.mode("append").parquet(out)
+          diagnostics.foreach(_ += id)
+        }
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+    withStatePartitions(spark, statePartitions) {
+      q.start().awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
   /** X1 restated: append a bounded source to a parquet sink in durable
     * micro-batches via foreachBatch (per-chunk flush semantics).
     */

@@ -225,6 +225,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == want, s"stream drift $got != batch drift $want")
   }
 
+  test("streamBatchScore: incremental, per-partition model loads, equals batch scoring") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val batches = scala.collection.mutable.Buffer.empty[Long]
+    val loads = spark.sparkContext.longAccumulator("stream_model_loads")
+    val got = StreamingOps.streamBatchScore(spark, s"$dir/documents.parquet",
+        col("doc_id") < 200 && length(col("text")) > 0,
+        queryName = "graft_test_infer",
+        diagnostics = Some(batches), modelLoads = Some(loads))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batches.length >= 2, s"only ${batches.length} micro-batches ran")
+    // one model load per task, never per row: each micro-batch is one
+    // re-split file read as <= a handful of partitions
+    assert(loads.value < got.length,
+      s"${loads.value} model loads for ${got.length} rows — per-row loading")
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+    val want = graft.operators.MultimodalOps.batchScore(
+        graft.operators.MultimodalOps.withBinaryPayload(
+          docs.where(col("doc_id") < 200 && length(col("text")) > 0), "text"),
+        "payload", "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, "stream scoring diverged from the batch scorer")
+  }
+
   test("streamStaticEnrich over a bounded source equals the batch join") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
