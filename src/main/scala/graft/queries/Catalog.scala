@@ -2990,6 +2990,123 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // Triangle counting over the co-purchase graph (GraphOps.triangleCounts):
+  // parts are connected when they appear in ≥ 2 common orders (the
+  // support threshold prunes the quadratic tail of one-off
+  // co-occurrences), and a part's triangle participation — the
+  // clustering-coefficient numerator — is the classic "bundle" /
+  // community-structure signal. Edge derivation is one per-order
+  // self-join bounded by items-per-order (~7 ⇒ ≤ 21 pairs per order,
+  // linear in lineitem); counting is degree-oriented wedge closure, so
+  // the wedge fan-out is outdeg² ≤ O(m) total, never deg² (a celebrity
+  // part cannot blow it up). No windows, no iteration — three shuffles.
+  private val q77 = Q("q77_triangle_count", Some("""
+    WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+    deg AS (SELECT k, count(*) AS d FROM (
+        SELECT u AS k FROM e0 UNION ALL SELECT v AS k FROM e0) GROUP BY k),
+    ed AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+                  THEN e0.u ELSE e0.v END AS s,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+                  THEN e0.v ELSE e0.u END AS t,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+                  THEN dv.d ELSE du.d END AS dt
+      FROM e0 JOIN deg du ON du.k = e0.u JOIN deg dv ON dv.k = e0.v),
+    tri AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM ed e1
+      JOIN ed e2 ON e1.s = e2.s
+        AND ((e1.dt < e2.dt) OR (e1.dt = e2.dt AND e1.t < e2.t))
+      JOIN ed e3 ON e3.s = e1.t AND e3.t = e2.t),
+    corners AS (SELECT k, count(*) AS n_tri FROM (
+        SELECT a AS k FROM tri UNION ALL SELECT b AS k FROM tri
+        UNION ALL SELECT c AS k FROM tri) GROUP BY k)
+    SELECT c.k AS node, cast(deg.d as bigint) AS degree,
+      cast(c.n_tri as bigint) AS n_tri
+    FROM corners c JOIN deg ON deg.k = c.k
+    ORDER BY n_tri DESC, node LIMIT 20"""),
+    (s, d) => {
+      val pp = graft.operators.Exec.materializeForSelfJoin(
+        T(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct())
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("supp"))
+        .where(col("supp") >= 2)
+        .select("u", "v")
+      GraphOps.triangleCounts(edges, "u", "v")
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(20)
+    })
+
+  // Two-level mergeable-sketch rollup — THE 100 TB aggregation pattern:
+  // persist small per-(group, day) sketches once, answer any coarser
+  // rollup by re-aggregating sketches, never re-reading raw data. KMV's
+  // merge (union, keep k smallest) is exact for the k minima, so the
+  // month-merged estimate provably EQUALS the direct estimate over raw
+  // rows — the query outputs both paths and the oracle hash-checks the
+  // equality. Both levels are the k-bounded partial aggregation
+  // (functions.KmvAggregator): the level-2 shuffle carries
+  // O(groups × months × k) sketch values, independent of row count.
+  private val q78 = Q("q78_sketch_merge", Some("""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m') AS m,
+        ('0x' || substr(md5(cast(o_custkey as varchar)), 1, 15))::BIGINT AS h
+      FROM orders),
+    mk AS (SELECT pri, m, h FROM (
+        SELECT pri, m, h, row_number() OVER (PARTITION BY pri, m ORDER BY h) AS rn
+        FROM h) t WHERE rn <= 64),
+    u AS (SELECT DISTINCT pri, h FROM mk),
+    r AS (SELECT pri, h,
+        row_number() OVER (PARTITION BY pri ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY pri) AS nd
+      FROM u),
+    mest AS (SELECT pri,
+        cast(CASE WHEN nd < 64 THEN cast(nd as double)
+             ELSE floor(63.0 * 1152921504606846976.0 / cast(h as double)) END as bigint) AS est_merged
+      FROM r WHERE rn = least(nd, 64)),
+    rd AS (SELECT pri, h,
+        row_number() OVER (PARTITION BY pri ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY pri) AS nd
+      FROM (SELECT DISTINCT pri, h FROM h) t),
+    dest AS (SELECT pri, cast(nd as bigint) AS n_exact,
+        cast(CASE WHEN nd < 64 THEN cast(nd as double)
+             ELSE floor(63.0 * 1152921504606846976.0 / cast(h as double)) END as bigint) AS est_direct
+      FROM rd WHERE rn = least(nd, 64))
+    SELECT m.pri, d.n_exact, m.est_merged, d.est_direct
+    FROM mest m JOIN dest d USING (pri) ORDER BY m.pri"""),
+    (s, d) => {
+      val kmv = udaf(new graft.functions.KmvAggregator(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      def est(sk: Column): Column =
+        when(size(sk) < 64, size(sk).cast("double"))
+          .otherwise(floor(lit(63.0) * lit(1.152921504606846976e18)
+            / element_at(sk, 64).cast("double")))
+          .cast("long")
+      val h = T(s, d, "orders").select(
+        col("o_orderpriority").as("pri"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      val monthly = h.groupBy("pri", "m").agg(kmv(col("h")).as("sk"))
+      val merged = monthly
+        .select(col("pri"), explode(col("sk")).as("h"))
+        .groupBy("pri").agg(kmv(col("h")).as("sk"))
+        .select(col("pri"), est(col("sk")).as("est_merged"))
+      val direct = h.groupBy("pri")
+        .agg(countDistinct(col("h")).as("n_exact"), kmv(col("h")).as("sk"))
+        .select(col("pri"), col("n_exact"), est(col("sk")).as("est_direct"))
+      merged.join(direct, Seq("pri"))
+        .select(col("pri"), col("n_exact"), col("est_merged"), col("est_direct"))
+        .orderBy("pri")
+    })
+
   // Content-defined chunking (CDC): the sub-document dedup primitive —
   // chunk boundaries where a rolling fingerprint of the trailing w=8
   // chars hits 0 mod 64, so boundaries survive insertions/deletions
@@ -5310,7 +5427,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76,
+    q73, q74, q75, q76, q77, q78,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

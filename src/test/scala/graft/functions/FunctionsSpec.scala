@@ -83,4 +83,24 @@ class FunctionsSpec extends AnyFunSuite {
       .select("g", "id", "score").as[(Long, Long, Double)].collect().toSet
     assert(viaAgg == viaWindow)
   }
+
+  test("KmvAggregator two-level merge equals the direct sketch (q78's claim)") {
+    // KMV merge (union, keep k smallest distinct) is exact for the k
+    // minima, so sketch-of-sketches == sketch-of-raw under ANY grouping.
+    val kmv = udaf(new KmvAggregator(16), org.apache.spark.sql.Encoders.scalaLong)
+    val rows = (0 until 2000).map { i =>
+      val h = math.abs((i * 2654435761L) % 257) // heavy duplication
+      (s"g${i % 3}", s"part${i % 7}", h)
+    }.toDF("g", "p", "h")
+    val direct = rows.groupBy("g").agg(kmv(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val twoLevel = rows.groupBy("g", "p").agg(kmv(col("h")).as("sk"))
+      .select(col("g"), explode(col("sk")).as("h"))
+      .groupBy("g").agg(kmv(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(twoLevel == direct)
+    direct.values.foreach { sk =>
+      assert(sk.length <= 16 && sk == sk.sorted && sk.distinct == sk)
+    }
+  }
 }
