@@ -468,4 +468,42 @@ object TextOps {
   /** Redact emails then phones; single pass over the column, codegen'd. */
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+
+  /** Per-document unigram entropy (nats) plus type/token counts — the
+    * information-theoretic quality axis: low entropy flags keyword
+    * stuffing and template boilerplate that per-surface heuristics
+    * (tx04) and n-gram repetition gates (tx09/tx12) see only partially;
+    * H = ln(n_tok) is the uniform ceiling, so `entropy / ln(n_tok)`
+    * is a length-normalized diversity score.
+    *
+    * Exactness: each term (c/n)·ln(n/c) is rounded to integer
+    * NANO-units before the per-doc sum (the tx15 move), so the sum is
+    * an exact long under any aggregation order — no float
+    * reassociation at any document length. `ln` is the only
+    * transcendental and the rounding absorbs cross-engine libm ulps.
+    *
+    * Scale shape — linear, no window: one explode, one hash agg on
+    * (doc, token) (map-side combinable), per-doc totals as a second
+    * hash agg joined back UNHINTED on the doc key. Docs with no tokens
+    * are excluded (their entropy is undefined; the caller's
+    * zero-token gate is tx02).
+    *
+    * @return [doc_id, n_tok, n_types, entropy_nano]
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(DedupOps.tokens(col(textCol))).as("_t"))
+    val counts = toks.groupBy("doc_id", "_t").agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy("doc_id")
+      .agg(sum("_c").cast("long").as("_n"), count(lit(1)).cast("long").as("n_types"))
+    counts.join(totals, "doc_id")
+      .withColumn("_term", expr(
+        "cast(round((cast(_c as double) / _n) * ln(cast(_n as double) / _c) * 1000000000.0) as bigint)"))
+      .groupBy("doc_id")
+      .agg(sum("_term").cast("long").as("entropy_nano"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("_n").as("n_tok"), col("n_types"),
+        col("entropy_nano"))
+  }
 }

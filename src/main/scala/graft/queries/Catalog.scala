@@ -5061,6 +5061,36 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // Per-document unigram entropy (TextOps.tokenEntropy): the
+  // information-theoretic quality axis — low entropy flags keyword
+  // stuffing and template boilerplate that surface heuristics (tx04)
+  // and repetition gates (tx09/tx12) see only partially. Each term
+  // (c/n)·ln(n/c) is rounded to integer nano-units BEFORE the per-doc
+  // sum (the tx15 move): the sum is an exact long under any aggregation
+  // order, and the rounding absorbs cross-engine libm ulps in ln. One
+  // explode + two hash aggs + one unhinted doc-key join — linear, no
+  // window.
+  private val tx17 = Q("tx17_token_entropy", Some("""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    counts AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+    totals AS (SELECT doc_id, sum(c) AS n, count(*) AS n_types
+               FROM counts GROUP BY doc_id),
+    terms AS (
+      SELECT c.doc_id,
+        cast(round((cast(c.c as double) / t.n) * ln(cast(t.n as double) / c.c)
+          * 1000000000.0) as bigint) AS term
+      FROM counts c JOIN totals t USING (doc_id))
+    SELECT t.doc_id, cast(t.n as bigint) AS n_tok,
+      cast(t.n_types as bigint) AS n_types, s.e AS entropy_nano
+    FROM totals t
+    JOIN (SELECT doc_id, cast(sum(term) as bigint) AS e
+          FROM terms GROUP BY doc_id) s USING (doc_id)
+    ORDER BY t.doc_id"""),
+    (s, d) => TextOps.tokenEntropy(T(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"))
+
   // Fixed-budget PPS sampling (systematic selection over the running
   // char total): exactly ≤32 docs per language, long docs included with
   // probability ∝ length — the fixed-SIZE complement of dp07's Bernoulli
@@ -5433,7 +5463,7 @@ object Catalog {
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13, tx14, tx15, tx16,
+    tx13, tx14, tx15, tx16, tx17,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18, dp19, dp20)

@@ -247,4 +247,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).map(_._5).toSeq == (1L to 10L))
     assert(out.map(_._4).distinct.length == 1)
   }
+
+  test("tokenEntropy matches the brute-force definition; edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),                 // single type: entropy 0
+      (2L, "a b c d"),                 // uniform: ln(4)
+      (3L, "a a b"),                   // skewed
+      (4L, "  "),                      // no tokens: excluded
+      (5L, "x")                        // one token: entropy 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def brute(toks: Seq[String]): Long = {
+      val n = toks.length.toDouble
+      toks.groupBy(identity).values.map { g =>
+        math.round((g.length / n) * math.log(n / g.length) * 1e9)
+      }.sum
+    }
+    assert(!got.contains(4L))
+    assert(got(1L) == ((4L, 1L, 0L)))
+    assert(got(5L) == ((1L, 1L, 0L)))
+    assert(got(2L) == ((4L, 4L, brute(Seq("a", "b", "c", "d")))))
+    // uniform over 4 types ≈ ln(4) nats (within 4 half-ulps of per-term rounding)
+    assert(math.abs(got(2L)._3 - math.log(4d) * 1e9) <= 2)
+    assert(got(3L) == ((3L, 2L, brute(Seq("a", "a", "b")))))
+  }
 }
