@@ -5297,6 +5297,65 @@ object Catalog {
         .orderBy("lang")
     })
 
+  // Stratified fixed-budget eval split (StratifyOps): a GLOBAL 60-doc
+  // budget apportioned across languages by largest-remainder (Hamilton)
+  // — every language gets floor(60·c/C) seats and the largest
+  // remainders split what's left, the rule that never strays more than
+  // one seat from exact proportionality — then each language's share is
+  // drawn by equidistant systematic selection in salted-md5 order (a
+  // deterministic stratified uniform draw). Apportionment runs on the
+  // reduced per-language table (dp11's window-over-reduced-table
+  // precedent); the per-language rank is the two-phase prefix sum over
+  // the composite key h32·R + doc_id (unique, numeric — dp17's
+  // composite-key move with the overflow guard); selection is pure
+  // BIGINT stride comparisons. dp16 fixes each group's budget a priori;
+  // THIS derives every group's budget from one global number.
+  private val dp21 = Q("dp21_stratified_split", Some("""
+    WITH tot AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    g AS (SELECT sum(c) AS ctot FROM tot),
+    base AS (SELECT lang, c, (60 * c) // ctot AS b, (60 * c) % ctot AS rem
+             FROM tot, g),
+    lo AS (SELECT 60 - sum(b) AS l FROM base),
+    seats AS (SELECT lang, c,
+        b + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= l
+                 THEN 1 ELSE 0 END AS seats
+      FROM base, lo),
+    r AS (SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY ('0x' || substr(md5('strat:' || cast(doc_id as varchar)), 1, 8))::BIGINT,
+                   doc_id) AS rank
+      FROM documents)
+    SELECT r.lang, r.doc_id, cast(r.rank as bigint) AS rank
+    FROM r JOIN seats USING (lang)
+    WHERE seats > 0 AND (rank * seats) // c > ((rank - 1) * seats) // c
+    ORDER BY r.lang, r.rank"""),
+    (s, d) => {
+      val docs = T(s, d, "documents").select("lang", "doc_id")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).cast("long").as("c"))
+      val seats = StratifyOps.largestRemainderSeats(counts, Seq("lang"), "c",
+        budget = 60)
+      val b = docs.agg(max("doc_id")).head()
+      if (b.isNullAt(0))
+        docs.withColumn("rank", lit(0L)).select("lang", "doc_id", "rank")
+      else {
+        // salted order key h32·R + doc_id: unique (doc_id breaks h32
+        // ties), numeric, non-negative — prefix-sum contract. Guard:
+        // (2^32 − 1)·R + (R − 1) must fit in a long.
+        val r = b.getLong(0) + 1
+        require(r <= Long.MaxValue / 4294967296L,
+          s"composite key h32*$r + doc_id overflows Long")
+        val keyed = docs
+          .withColumn("_h", conv(substring(
+            md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long"))
+          .withColumn("_key", col("_h") * r + col("doc_id"))
+        StratifyOps.stratifiedSystematic(keyed, Seq("lang"), "_key",
+            seats, "c", "seats", "rank")
+          .select(col("lang"), col("doc_id"), col("rank"))
+          .orderBy("lang", "rank")
+      }
+    })
+
   // Batched "model inference" over binary payloads: partition-parallel
   // scoring with per-partition model init and fixed-size micro-batches
   // (MultimodalOps.batchScore — the serving shape; batching/model-load
@@ -5466,5 +5525,6 @@ object Catalog {
     tx13, tx14, tx15, tx16, tx17,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
-    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18, dp19, dp20)
+    dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
+    dp19, dp20, dp21)
 }
