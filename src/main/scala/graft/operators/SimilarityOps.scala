@@ -1088,4 +1088,72 @@ object SimilarityOps {
       .collect()(0)
     (row.getLong(0), row.getLong(1))
   }
+
+  /** k-NN GRAPH construction: every corpus vector's k nearest neighbors
+    * among the vectors of its top-`nProbe` trained cells — the base
+    * structure for graph-based clustering, SNN density estimation, and
+    * graph-ANN index builds, where the "query set" is the corpus itself.
+    *
+    * [[ivfTopK]] cannot be pointed at the whole corpus: its probe
+    * ranking is a window over the query set, and with n queries that
+    * window shuffles n × cells rows. Here BOTH corpus-sized reductions
+    * are k-bounded partial aggregations instead: the index side is the
+    * usual one-pass argmax assignment ([[assignToCentroids]]), and the
+    * probe side ranks top-`nProbe` cells per vector with a
+    * [[graft.functions.TopKAggregator]] — map-side combine reduces each
+    * partition to ≤ nProbe rows per vector before the exchange, so the
+    * shuffle carries O(n × nProbe) no matter how many cells the
+    * centroid table has. Candidates are the (cell) equi-join of probes
+    * × assignments (≈ n × nProbe × cell population, never n²); each
+    * (query, neighbor) pair arises at most once because a neighbor is
+    * assigned to exactly one cell. Exact cosine runs only on
+    * candidates, via two unhinted vector equi-joins; the final top-k is
+    * the same k-bounded aggregation. Determinism: rounded cosine,
+    * (score desc, id asc) ties everywhere — oracle-checkable.
+    *
+    * Recall caveat (shared with every probed-cell op here): a true
+    * neighbor assigned outside the query's `nProbe` closest cells is
+    * missed; raise `nProbe` to trade cost for recall.
+    *
+    * @param centroids trained table (`cell` numeric, `cvec array<double>`)
+    * @return [query_id, rank, neighbor_id, sim], ranks 1..k
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, nProbe: Int = 2,
+      roundSim: Int = 6): DataFrame = {
+    import df.sparkSession.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val base = Exec.materializeForSelfJoin(
+      df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec")))
+    val assigned = assignToCentroids(base, "id", "vec", centroids, roundSim)
+      .select(col("id").as("neighbor_id"), col("cell"))
+    val probeScored = base
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("cell").cast("long").as("c"),
+        round(cosine(col("vec"), col("cvec")), roundSim).as("s"))
+      .as[(Long, Long, Double)]
+    val probes = probeScored.groupByKey(_._1)
+      .mapValues { case (_, cellId, sim) => Scored(cellId, sim) }
+      .agg(new TopKAggregator(nProbe).toColumn.name("pc"))
+      .toDF("query_id", "pc")
+      .select(col("query_id"), explode(col("pc")).as("p"))
+      .select(col("query_id"), col("p.id").as("cell"))
+    val cand = probes.join(assigned, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val qv = base.select(col("id").as("query_id"), col("vec").as("_kg_qv"))
+    val nv = base.select(col("id").as("neighbor_id"), col("vec").as("_kg_nv"))
+    val scored = cand.join(qv, Seq("query_id")).join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_kg_qv"), col("_kg_nv")), roundSim).as("sim"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .mapValues { case (_, nid, sim) => Scored(nid, sim) }
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as("neighbor_id"), col("s.score").as("sim"))
+  }
 }

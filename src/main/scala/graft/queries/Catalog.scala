@@ -4111,6 +4111,69 @@ object Catalog {
         .orderBy("cell", "id1", "id2")
     })
 
+  // k-NN graph construction (SimilarityOps.knnGraph): every vector's 5
+  // nearest neighbors among its top-2 probed trained cells — the base
+  // structure for graph clustering / SNN density / graph-ANN builds,
+  // where the query set IS the corpus. ivfTopK's probe window would
+  // shuffle n × cells rows here; instead BOTH corpus-sized reductions
+  // are k-bounded partial aggregations (assignment argmax + a
+  // TopKAggregator probe ranking whose map-side combine caps the
+  // exchange at n × nProbe). Same dd13 trained centroids and
+  // determinism contract; the oracle replays training, both
+  // assignments, the cell join, and the per-query rank.
+  private val ann14 = Q("ann14_knn_graph", Some(s"""
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    s3 AS (SELECT v.vec_id, c2.cell,
+             ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
+           FROM v CROSS JOIN c2),
+    a3 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn = 1),
+    pr AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn <= 2),
+    cand AS (SELECT pr.query_id, a3.vec_id AS neighbor_id
+             FROM pr JOIN a3 USING (cell)
+             WHERE a3.vec_id <> pr.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM cand c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, cast(rank as int) AS rank, neighbor_id, sim FROM (
+      SELECT query_id, neighbor_id, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val emb16 = T(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      val k = SimilarityOps.scaledCellCount(
+        Tables.parquetRowCount(s, s"$d/embeddings.parquet"), targetCell = 64)
+      val cent = SimilarityOps.kmeansFit(emb16, "vec_id", "v16", k = k,
+          iters = 2, samplePerCell = 16)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+      SimilarityOps.knnGraph(emb16, "vec_id", "v16",
+          graft.operators.Exec.materializeForSelfJoin(cent),
+          k = 5, nProbe = 2, roundSim = 6)
+        .orderBy("query_id", "rank")
+    })
+
   // Semantic decontamination: training vectors within 0.6 cosine of any
   // eval/benchmark vector (vec_id % 11 = 0, dp09's eval convention) —
   // the embedding-level complement of dp09's exact-shingle check:
@@ -5520,7 +5583,7 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-    ann11, ann12, ann13,
+    ann11, ann12, ann13, ann14,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07,

@@ -69,4 +69,49 @@ class SimilarityOpsSpec extends AnyFunSuite {
       ("a", 0) -> ((2L, 0.75)), ("a", 1) -> ((2L, -0.125)),
       ("b", 0) -> ((1L, 2.0)), ("b", 1) -> ((1L, 4.0))))
   }
+
+  test("knnGraph equals the window-based ivfTopK pointed at every vector") {
+    import spark.implicits._
+    // 60 deterministic 8-dim vectors, 4 trained-shaped centroids: the
+    // aggregator-reduced probe ranking and k-bounded top-k must produce
+    // EXACTLY the window formulation's rows (same rounded sims, same
+    // (sim desc, id) ties) — that is knnGraph's correctness claim.
+    def vec(i: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(i * 131 + d * 17).abs + 0.1 * d)
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    val cents = Seq(0, 1, 2, 3)
+      .map(c => (c.toLong, (0 until 8).map(d => math.cos(c * 37 + d * 29) + 1.1)))
+      .toDF("cell", "cvec")
+    val viaGraph = SimilarityOps.knnGraph(corpus, "id", "vec", cents,
+        k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val viaWindow = SimilarityOps.ivfTopK(corpus, lit(true), cents,
+        k = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaGraph == viaWindow)
+    assert(viaGraph.nonEmpty)
+    // structural invariants: no self edges, <= k per query, ranks dense
+    viaGraph.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.forall(_._2 != q))
+      assert(rows.size <= 5)
+      assert(rows.map(_._4).toSeq.sorted == (1 to rows.size))
+    }
+  }
+
+  test("knnGraph ranks a planted twin first with sim 1") {
+    import spark.implicits._
+    val base = (0 until 30).map(i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 7 + d).abs + 0.01)))
+    val twin = Seq((1000L, base(5)._2)) // exact copy of vector 5
+    val corpus = (base ++ twin).toDF("id", "vec")
+    val cents = Seq((0L, (0 until 8).map(_ => 1.0)), (1L, (0 until 8).map(d => d * 0.3)))
+      .toDF("cell", "cvec")
+    val got = SimilarityOps.knnGraph(corpus, "id", "vec", cents, k = 3)
+      .where(col("query_id") === 5L && col("rank") === 1)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((1000L, 1.0)))
+  }
 }

@@ -51,8 +51,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "dp19_dsir_select",         // 1-row feature-totals aggregate
     "ann12_sq8_topk",           // 1-row scale-array + query-code set
                                 // (ann01's bounded query-side pattern)
-    "ann13_ivfpq_residual_topk") // trained 16-cell centroid cross join
+    "ann13_ivfpq_residual_topk", // trained 16-cell centroid cross join
                                  // (assignment + probe ranking, ann11's shape)
+    "ann14_knn_graph")          // k-row trained centroid cross join
+                                // (assignment + the aggregator-reduced
+                                // probe ranking — dd13's bounded shape)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -122,8 +125,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "dp19_dsir_select",        // 1-row feature-totals aggregate
     "ann12_sq8_topk",          // dims-row scale array + query codes +
                                // re-rank query vectors — all bounded
-    "ann13_ivfpq_residual_topk") // centroids + residual codebook + per-cell
+    "ann13_ivfpq_residual_topk", // centroids + residual codebook + per-cell
                                  // ADC table + re-rank queries — all bounded
+    "ann14_knn_graph")          // k-row trained centroid broadcast
+                                // (assignment + probe ranking)
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
