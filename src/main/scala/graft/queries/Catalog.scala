@@ -3107,6 +3107,40 @@ object Catalog {
         .orderBy("pri")
     })
 
+  // First-order event-path transition matrix (the Markov-chain view of
+  // user journeys): consecutive-event pairs per user, counted into a
+  // (from, to) matrix with row-normalized probabilities. The only
+  // corpus-sized operation is ONE lead() window partitioned by the
+  // high-cardinality user key (hash-partitioned, per-user sort bounded
+  // by session length — the q47 shape); the normalization runs over the
+  // |types|² reduced matrix. One mirrored IEEE division per cell.
+  private val q79 = Q("q79_transition_matrix", Some("""
+    WITH tr AS (
+      SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, cast(c.n as bigint) AS n,
+      round(cast(c.n as double) / cast(t.tot as double), 6) AS p
+    FROM c JOIN t USING (from_type)
+    ORDER BY c.from_type, c.to_type"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = T(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+      val counts = tr.groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("tot"))
+      counts.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    })
+
   // Content-defined chunking (CDC): the sub-document dedup primitive —
   // chunk boundaries where a rolling fingerprint of the trailing w=8
   // chars hits 0 mod 64, so boundaries survive insertions/deletions
@@ -5154,6 +5188,75 @@ object Catalog {
     (s, d) => TextOps.tokenEntropy(T(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id"))
 
+  // Per-language Zipf slope: OLS fit of ln(freq) on ln(rank) over the
+  // corpus vocabulary — the classic corpus-health diagnostic (natural
+  // text sits near −1; templated/synthetic corpora flatten or steepen).
+  // The vocabulary rank is the two-phase prefix sum over the composite
+  // key (maxF − f)·2^32 + h32(token) — frequency-descending, NUMERIC,
+  // no per-language single-reducer window over the corpus-sized vocab.
+  // An h32 collision can only tie tokens of EQUAL frequency, where the
+  // regression sums are permutation-invariant (equal y), so the output
+  // is deterministic without a string tiebreak in the key. Every OLS
+  // term is rounded to integer nano-units before summation (exact
+  // longs, tx15's move); the closed-form slope is computed in doubles
+  // from the five exact sums, mirrored op-for-op.
+  private val tx18 = Q("tx18_zipf_slope", Some("""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    freq AS (SELECT lang, t, count(*) AS f FROM toks GROUP BY lang, t),
+    r AS (SELECT lang, f,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY f DESC, ('0x' || substr(md5(t), 1, 8))::BIGINT, t) AS rank
+      FROM freq),
+    terms AS (
+      SELECT lang,
+        cast(round(ln(cast(rank as double)) * 1000000000.0) as bigint) AS x,
+        cast(round(ln(cast(f as double)) * 1000000000.0) as bigint) AS y,
+        cast(round(ln(cast(rank as double)) * ln(cast(f as double)) * 1000000000.0) as bigint) AS xy,
+        cast(round(ln(cast(rank as double)) * ln(cast(rank as double)) * 1000000000.0) as bigint) AS xx
+      FROM r),
+    agg AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(xy) AS sxy, sum(xx) AS sxx
+            FROM terms GROUP BY lang)
+    SELECT lang, cast(n as bigint) AS n_vocab,
+      round((cast(n as double) * sxy - cast(sx as double) * sy)
+          / (cast(n as double) * sxx - cast(sx as double) * sx), 6) AS slope
+    FROM agg ORDER BY lang"""),
+    (s, d) => {
+      val freq = T(s, d, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(col("lang"), explode(DedupOps.tokens(col("text"))).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("f"))
+      val b = freq.agg(max("f")).head()
+      if (b.isNullAt(0))
+        freq.groupBy("lang").agg(count(lit(1)).as("n_vocab"), lit(0d).as("slope"))
+      else {
+        val maxF = b.getLong(0)
+        require(maxF < (1L << 31), s"frequency $maxF overflows the rank key")
+        val keyed = freq
+          .withColumn("_h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+          .withColumn("_key", (lit(maxF) - col("f")) * lit(4294967296L) + col("_h"))
+        val ranked = PrefixSumOps.exclusiveRunningSumAuto(
+            keyed.withColumn("_one", lit(1L)), Seq("lang"), "_key", "_one", "_excl")
+          .withColumn("rank", col("_excl") + 1L)
+        ranked
+          .select(col("lang"),
+            expr("cast(round(ln(cast(rank as double)) * 1000000000.0) as bigint)").as("x"),
+            expr("cast(round(ln(cast(f as double)) * 1000000000.0) as bigint)").as("y"),
+            expr("cast(round(ln(cast(rank as double)) * ln(cast(f as double)) * 1000000000.0) as bigint)").as("xy"),
+            expr("cast(round(ln(cast(rank as double)) * ln(cast(rank as double)) * 1000000000.0) as bigint)").as("xx"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum("xy").as("sxy"), sum("xx").as("sxx"))
+          .select(col("lang"), col("n").cast("long").as("n_vocab"),
+            round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+              / (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6)
+              .as("slope"))
+          .orderBy("lang")
+      }
+    })
+
   // Fixed-budget PPS sampling (systematic selection over the running
   // char total): exactly ≤32 docs per language, long docs included with
   // probability ∝ length — the fixed-SIZE complement of dp07's Bernoulli
@@ -5579,13 +5682,13 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78,
+    q73, q74, q75, q76, q77, q78, q79,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13, tx14, tx15, tx16, tx17,
+    tx13, tx14, tx15, tx16, tx17, tx18,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
