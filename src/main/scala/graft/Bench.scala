@@ -89,12 +89,19 @@ object Bench {
         // (linear in |Q|·n BY DESIGN — the fixed 100-query exact-Jaccard
         // truth side scales with n, so ~10x at 10x data IS its spec;
         // sub-10x there is overhead amortization, not sub-linearity)
+        // round-12 additions: q77 (wedge fan-out bounded by degree
+        // orientation — the ratio certifies the outdeg² bound holds on
+        // 10x edges), ann14 (candidates ~ n × nProbe × cell target:
+        // linear when cells scale with n), tx18 (explode linear in
+        // tokens; the prefix-sum rank runs over the vocabulary, which
+        // grows sublinearly)
         val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
           "tx06_tfidf", "q51_stream_join", "q66_stream_upsert",
           "dp03_seq_packing", "q68_pagerank", "ann07_recall",
           "dp09_decontam", "tx08_commonness", "dd12_substring_spans",
           "dd13_semantic_dedup", "ann08_kmeans_train",
-          "tx14_bigram_lm", "dd17_lsh_recall")
+          "tx14_bigram_lm", "dd17_lsh_recall",
+          "q77_triangle_count", "ann14_knn_graph", "tx18_zipf_slope")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY

@@ -5522,6 +5522,118 @@ object Catalog {
       }
     })
 
+  // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
+  // Muennighoff et al. 2023: repeated data decays in value, so instead
+  // of dropping duplicates, down-weight them): every copy of a
+  // c-duplicated document gets sampling weight (Σ_{i<c} r^i)/c with
+  // decay r = 1/2 — the c copies together are worth 2·(1 − 2^−c)
+  // effective epochs, split evenly. Computed in pure BIGINT micro-units
+  // ((2·10^6 − 2·10^6 div 2^c) div c, exponent capped where the term
+  // vanishes), so it is exact cross-engine. Copies are keyed by the
+  // first-8-token prefix fingerprint (this corpus has no byte-exact
+  // duplicates — dd01 — but plenty of shared-prefix near-copies; a
+  // production pipeline would key on dd06's cluster labels instead).
+  // One fixed-width md5 hash agg + one unhinted join back — dd01's
+  // linear shape, but emitting per-copy TRAINING WEIGHTS instead of a
+  // deduped roster.
+  private val dp22 = Q("dp22_softdedup_weights", Some("""
+    WITH f AS (SELECT doc_id,
+        md5(array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 8), ' ')) AS h
+      FROM documents),
+    g AS (SELECT h, count(*) AS c FROM f GROUP BY h),
+    w AS (SELECT h, c,
+        (2000000 - 2000000 // (1 << least(c, 21))) // c AS weight_micro
+      FROM g)
+    SELECT f.doc_id, cast(w.c as bigint) AS c,
+      cast(w.weight_micro as bigint) AS weight_micro
+    FROM f JOIN w USING (h)
+    ORDER BY f.doc_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), DedupOps.tokens(col("text")).as("_tk"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("_tk"), 1, 8), " ")).as("h"))
+      val g = docs.groupBy("h").agg(count(lit(1)).as("c"))
+        .withColumn("weight_micro",
+          expr("(2000000L - 2000000L div shiftleft(1L, cast(least(c, 21) as int))) div c"))
+      docs.join(g, "h")
+        .select(col("doc_id"), col("c").cast("long").as("c"),
+          col("weight_micro").cast("long").as("weight_micro"))
+        .orderBy("doc_id")
+    })
+
+  // Two-level mergeable-HISTOGRAM quantile rollup — q78's pattern for
+  // order statistics: per-(group, month) fixed-bin count vectors are
+  // the persisted artifact, any coarser rollup just SUMS counts
+  // (histogram merge is addition), and bin-granular p50/p95 thresholds
+  // come off the merged vector with the tx16 cum·den ≥ n·num rule. The
+  // query computes thresholds via BOTH paths (merged vs direct) and
+  // ships both — provably equal, hash-checked. No sort, no
+  // value-buffering percentile agg; the cumulative windows run over
+  // the ≤ bins-row reduced table per group.
+  private val q80 = Q("q80_histogram_rollup", Some("""
+    WITH b AS (
+      SELECT l_returnflag AS g, strftime(l_shipdate, '%Y-%m') AS m,
+        least(cast(floor(l_extendedprice / 117.1875) as bigint), 1023) AS bin
+      FROM lineitem),
+    lvl1 AS (SELECT g, m, bin, count(*) AS cnt FROM b GROUP BY g, m, bin),
+    merged AS (SELECT g, bin, sum(cnt) AS cnt FROM lvl1 GROUP BY g, bin),
+    mc AS (SELECT g, bin, cnt,
+        sum(cnt) OVER (PARTITION BY g ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER (PARTITION BY g) AS n
+      FROM merged),
+    mq AS (SELECT g, max(n) AS n,
+        min(CASE WHEN cum * 2 >= n THEN bin END) AS p50_merged,
+        min(CASE WHEN cum * 20 >= n * 19 THEN bin END) AS p95_merged
+      FROM mc GROUP BY g),
+    direct AS (SELECT g, bin, count(*) AS cnt FROM b GROUP BY g, bin),
+    dc AS (SELECT g, bin, cnt,
+        sum(cnt) OVER (PARTITION BY g ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER (PARTITION BY g) AS n
+      FROM direct),
+    dq AS (SELECT g,
+        min(CASE WHEN cum * 2 >= n THEN bin END) AS p50_direct,
+        min(CASE WHEN cum * 20 >= n * 19 THEN bin END) AS p95_direct
+      FROM dc GROUP BY g)
+    SELECT mq.g, cast(mq.n as bigint) AS n,
+      cast(mq.p50_merged as bigint) AS p50_merged,
+      cast(mq.p95_merged as bigint) AS p95_merged,
+      cast(dq.p50_direct as bigint) AS p50_direct,
+      cast(dq.p95_direct as bigint) AS p95_direct
+    FROM mq JOIN dq USING (g) ORDER BY mq.g"""),
+    (s, d) => {
+      val b = T(s, d, "lineitem").select(
+        col("l_returnflag").as("g"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        least(floor(col("l_extendedprice") / lit(117.1875)), lit(1023L))
+          .cast("long").as("bin"))
+      def thresholds(counts: DataFrame, p50: String, p95: String): DataFrame = {
+        val wCum = Window.partitionBy("g").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("g")
+        counts
+          .withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("n", sum("cnt").over(wAll))
+          .groupBy("g")
+          .agg(max("n").as("n"),
+            min(when(col("cum") * 2 >= col("n"), col("bin"))).as(p50),
+            min(when(col("cum") * 20 >= col("n") * 19, col("bin"))).as(p95))
+      }
+      val lvl1 = b.groupBy("g", "m", "bin").agg(count(lit(1)).as("cnt"))
+      val merged = thresholds(
+        lvl1.groupBy("g", "bin").agg(sum("cnt").as("cnt")), "p50_merged", "p95_merged")
+      val direct = thresholds(
+        b.groupBy("g", "bin").agg(count(lit(1)).as("cnt")), "p50_direct", "p95_direct")
+        .drop("n")
+      merged.join(direct, "g")
+        .select(col("g"), col("n").cast("long").as("n"),
+          col("p50_merged").cast("long"), col("p95_merged").cast("long"),
+          col("p50_direct").cast("long"), col("p95_direct").cast("long"))
+        .orderBy("g")
+    })
+
   // Batched "model inference" over binary payloads: partition-parallel
   // scoring with per-partition model init and fixed-size micro-batches
   // (MultimodalOps.batchScore — the serving shape; batching/model-load
@@ -5682,7 +5794,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79,
+    q73, q74, q75, q76, q77, q78, q79, q80,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
@@ -5692,5 +5804,5 @@ object Catalog {
     mm01, mm02, mm03, mm04, mm05, mm06, mm07,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
-    dp19, dp20, dp21)
+    dp19, dp20, dp21, dp22)
 }
