@@ -710,4 +710,67 @@ object DedupOps {
         "component diameter exceeds the bound - raise maxIterations")
     labels.select(col("id").as(idCol), col("label").as("cluster"))
   }
+
+  /** EXACT τ-Jaccard set-similarity join by prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al. WWW'07): every document
+    * pair whose 3-token-shingle sets overlap at Jaccard ≥ num/den, with
+    * ZERO false negatives. The banded-MinHash kernel (dd02/[[
+    * nearDupCandidatePairs]]) trades recall for cost — its S-curve
+    * (measured in dd17) drops pairs near the threshold; THIS is the
+    * exact-completeness complement for pipelines that must guarantee
+    * "no near-dup above τ survives".
+    *
+    * Prefix principle: order every set by one global element order
+    * (rarity-first here — rarest elements make the most selective
+    * prefixes); if J(A,B) ≥ τ then |A∩B| ≥ ceil(τ·|A|), so A and B
+    * MUST share an element among each one's first n − ceil(τ·n) + 1
+    * elements. Candidates = the prefix-token equi-join; exact
+    * verification by integer cross-multiplication (i·den ≥ num·(n1 +
+    * n2 − i)) — no float in the decision.
+    *
+    * Scale shape: the element order needs NO global rank — the
+    * composite numeric key f·2^40 + h40(shingle) (+ shingle-string
+    * tiebreak) is compared, never ranked, so rarity comes from one
+    * hash agg joined back unhinted. Per-doc positions are a window
+    * bounded by the document's own set size (the q47 per-key shape).
+    * The candidate join carries only prefix tokens (the filter's
+    * point); verification joins the full shingle table twice,
+    * restricted to candidates. Shingle sets are corpus-sized bytes —
+    * DISK_ONLY via [[Exec.materializeLarge]].
+    *
+    * @return [id1, id2, n_common, jaccard] for pairs with J ≥ num/den
+    */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den >= num, "need 0 < num/den <= 1")
+    val sh = Exec.materializeLarge(df
+      .select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("_tk"))
+      .select(col("id"),
+        explode(array_distinct(shinglesFromTokens(col("_tk"), 3))).as("sh")))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("_f"))
+    val keyed = sh.join(freq, Seq("sh"))
+      .withColumn("_h", conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long"))
+      .withColumn("_key", col("_f") * lit(1099511627776L) + col("_h"))
+    val wDoc = Window.partitionBy("id").orderBy(col("_key"), col("sh"))
+    val wCnt = Window.partitionBy("id")
+    val pref = keyed
+      .withColumn("_pos", row_number().over(wDoc))
+      .withColumn("_n", count(lit(1)).over(wCnt))
+      .where(col("_pos") <=
+        col("_n") - expr(s"($num * _n + ${den - 1}) div $den") + 1)
+      .select(col("id"), col("sh"), col("_n"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a._n").as("n1"), col("b._n").as("n2"))
+      .distinct()
+    val shA = sh.select(col("id").as("id1"), col("sh"))
+    val shB = sh.select(col("id").as("id2"), col("sh"))
+    cand.join(shA, Seq("id1")).join(shB, Seq("id2", "sh"))
+      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("_i"))
+      .where(col("_i") * den >= lit(num) * (col("n1") + col("n2") - col("_i")))
+      .select(col("id1"), col("id2"), col("_i").cast("long").as("n_common"),
+        round(col("_i").cast("double") / (col("n1") + col("n2") - col("_i")), 6)
+          .as("jaccard"))
+  }
 }

@@ -4875,6 +4875,51 @@ object Catalog {
         "doc_id", queryMax = 100L, shingleK = 3, bands = 4, rowsPerBand = 4)
       .orderBy("j_bucket"))
 
+  // EXACT τ-Jaccard set-similarity join by prefix filtering (DedupOps.
+  // jaccardJoinExact — the AllPairs/PPJoin family, Bayardo et al.
+  // WWW'07): every pair at shingle-Jaccard ≥ 1/2, ZERO false negatives
+  // — the exact-completeness complement of dd02's banded MinHash, whose
+  // S-curve (measured in dd17) drops pairs near the threshold. If
+  // J(A,B) ≥ τ the sets must share an element within each one's first
+  // n − ceil(τ·n) + 1 elements under ANY global order; rarity-first
+  // ordering makes those prefixes maximally selective. The order is a
+  // compared (never ranked) composite key f·2^40 + h40 + string
+  // tiebreak; verification is integer cross-multiplication — no float
+  // in any decision.
+  private val dd20 = Q("dd20_jaccard_join", Some("""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    shl AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(t) >= 3 THEN
+          list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks),
+    sh AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM shl),
+    freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+    pos AS (SELECT s.id, s.sh,
+        row_number() OVER (PARTITION BY s.id
+          ORDER BY f.f, ('0x' || substr(md5(s.sh), 1, 10))::BIGINT, s.sh) AS pos,
+        count(*) OVER (PARTITION BY s.id) AS n
+      FROM sh s JOIN freq f USING (sh)),
+    pref AS (SELECT id, sh, n FROM pos
+             WHERE pos <= n - (1 * n + 1) // 2 + 1),
+    cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2, a.n AS n1, b.n AS n2
+             FROM pref a JOIN pref b ON a.sh = b.sh AND a.id < b.id),
+    inter AS (SELECT c.id1, c.id2, c.n1, c.n2, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.id = c.id1
+              JOIN sh y ON y.id = c.id2 AND y.sh = x.sh
+              GROUP BY c.id1, c.id2, c.n1, c.n2)
+    SELECT id1, id2, cast(i as bigint) AS n_common,
+      round(cast(i as double) / (n1 + n2 - i), 6) AS jaccard
+    FROM inter WHERE i * 2 >= 1 * (n1 + n2 - i)
+    ORDER BY id1, id2"""),
+    (s, d) => DedupOps.jaccardJoinExact(T(s, d, "documents"), "doc_id",
+        "text", num = 1, den = 2)
+      .orderBy("id1", "id2"))
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -5796,7 +5841,7 @@ object Catalog {
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14, dd15, dd16, dd17, dd18, dd19,
+    dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,

@@ -376,4 +376,34 @@ class DedupOpsSpec extends AnyFunSuite {
     // bucket 0 holds the doc-2 pairs (j = 0); none can be candidates
     assert(got(0)._2 == 0L, s"disjoint docs can never share a band: $got")
   }
+
+  test("jaccardJoinExact: complete and exact vs brute force (zero false negatives)") {
+    import spark.implicits._
+    // staggered shared word runs -> a spread of pairwise Jaccards above
+    // and below tau, plus short-doc fallback shingles and a disjoint doc
+    val docs = (0 until 18).map { i =>
+      (i.toLong, (0 until 10).map(j => s"w${i * 2 + j}").mkString(" "))
+    } ++ Seq(
+      (100L, "w0 w1"),                       // < 3 tokens: fallback shingle
+      (101L, "w0 w1"),                       // its exact twin (J = 1)
+      (102L, "zz yy xx ww vv uu tt ss"))     // disjoint
+    val df = docs.toDF("doc_id", "text")
+    def shingleSet(text: String): Set[String] = {
+      val t = text.trim.split("\\s+").toSeq
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t.mkString(" "))
+    }
+    val sets = docs.map { case (id, tx) => id -> shingleSet(tx) }.toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size
+      u = sets(a).size + sets(b).size - i
+      if i * 2 >= u // J >= 1/2 via integer cross-multiplication
+    } yield (a, b, i.toLong)).toSet
+    assert(expect.nonEmpty && expect.exists(_._3 > 1))
+    val got = DedupOps.jaccardJoinExact(df, "doc_id", "text", num = 1, den = 2)
+      .select("id1", "id2", "n_common")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, s"missing: ${expect -- got}; extra: ${got -- expect}")
+  }
 }
