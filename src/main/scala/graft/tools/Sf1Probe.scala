@@ -48,7 +48,7 @@ object Sf1Probe {
       "lineitem.parquet", "embeddings.parquet").map { f =>
       val p = Paths.get(src, f)
       s"${JF.size(p)}:${JF.getLastModifiedTime(p).toMillis}"
-    }.mkString(",") + s":$copies:v2"
+    }.mkString(",") + s":$copies:v3"
     val marker = fs.resolve("_DONE")
     if (JF.exists(marker) && JF.readString(marker) == stamp) return
     val letters = "abcdefghij"
@@ -76,14 +76,22 @@ object Sf1Probe {
     val maxOrder = orders.agg(max("o_orderkey")).head().getLong(0) + 1
     val maxCust = orders.agg(max("o_custkey")).head().getLong(0) + 1
     val maxSupp = lineitem.agg(max("l_suppkey")).head().getLong(0) + 1
+    val maxPart = lineitem.agg(max("l_partkey")).head().getLong(0) + 1
     (0 until copies).map { i =>
       orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder))
         .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    // l_partkey shifts per copy like every other entity key: stacked
+    // UN-shifted partkeys would multiply every co-occurrence count x10,
+    // inflating q77's support-filtered co-purchase graph super-linearly
+    // — a corpus artifact, not a property of 10x real data (the same
+    // decorrelation reasoning as the rotated document text and the
+    // rolled embeddings)
     (0 until copies).map { i =>
       lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * maxSupp))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * maxPart))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
