@@ -759,8 +759,13 @@ object DedupOps {
       .where(col("_pos") <=
         col("_n") - expr(s"($num * _n + ${den - 1}) div $den") + 1)
       .select(col("id"), col("sh"), col("_n"))
+    // size filter (the AllPairs length bound): J ≥ τ forces
+    // min(n1,n2) ≥ τ·max(n1,n2), so size-mismatched prefix collisions
+    // are pruned INSIDE the join, before the distinct
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          least(col("a._n"), col("b._n")) * den >=
+            greatest(col("a._n"), col("b._n")) * num)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a._n").as("n1"), col("b._n").as("n2"))
       .distinct()

@@ -4906,7 +4906,8 @@ object Catalog {
     pref AS (SELECT id, sh, n FROM pos
              WHERE pos <= n - (1 * n + 1) // 2 + 1),
     cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2, a.n AS n1, b.n AS n2
-             FROM pref a JOIN pref b ON a.sh = b.sh AND a.id < b.id),
+             FROM pref a JOIN pref b ON a.sh = b.sh AND a.id < b.id
+               AND least(a.n, b.n) * 2 >= greatest(a.n, b.n) * 1),
     inter AS (SELECT c.id1, c.id2, c.n1, c.n2, count(*) AS i
               FROM cand c
               JOIN sh x ON x.id = c.id1
