@@ -5568,6 +5568,70 @@ object Catalog {
       }
     })
 
+  // Sliding-window distinct (7-day rolling unique users): the query
+  // COUNT(DISTINCT) cannot answer at scale — a naive rolling distinct
+  // re-scans 7 days of raw events per output day. With mergeable KMV
+  // sketches (q78's pattern over TIME instead of hierarchy) each day is
+  // sketched ONCE, and every window is a union of ≤ 7 sketches. No
+  // range join either: each day's sketch is exploded to the ≤ 7 window
+  // days it contributes to (sequence(0,6) → equi-keys), so the whole
+  // query is hash aggregations + one equi-semi-join against the
+  // reduced day list. n_days shows the left-edge ramp-up.
+  private val q81 = Q("q81_sliding_distinct", Some("""
+    WITH ev AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+        ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::BIGINT AS h
+      FROM events),
+    dh AS (SELECT DISTINCT day, h FROM ev),
+    dk AS (SELECT day, h FROM (
+        SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM dh) t WHERE rn <= 64),
+    days AS (SELECT DISTINCT day FROM ev),
+    contrib AS (
+      SELECT strftime(cast(dk.day as date) + cast(o.off as int), '%Y-%m-%d') AS wday,
+        dk.day AS sday, dk.h
+      FROM dk, (SELECT unnest(generate_series(0, 6)) AS off) o),
+    w AS (SELECT c.wday AS day, c.sday, c.h
+          FROM contrib c JOIN days d ON c.wday = d.day),
+    u AS (SELECT DISTINCT day, h FROM w),
+    r AS (SELECT day, h,
+        row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY day) AS nd
+      FROM u),
+    nd AS (SELECT day, count(distinct sday) AS n_days FROM w GROUP BY day)
+    SELECT r.day, cast(nd.n_days as bigint) AS n_days,
+      cast(CASE WHEN r.nd < 64 THEN cast(r.nd as double)
+           ELSE floor(63.0 * 1152921504606846976.0 / cast(r.h as double)) END
+        as bigint) AS est_7d
+    FROM r JOIN nd USING (day)
+    WHERE r.rn = least(r.nd, 64) ORDER BY r.day"""),
+    (s, d) => {
+      val kmv = udaf(new graft.functions.KmvAggregator(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val ev = T(s, d, "events").select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      val daily = ev.groupBy("day").agg(kmv(col("h")).as("sk"))
+      val days = daily.select(col("day").as("wday"))
+      val contrib = daily
+        .select(col("day").as("sday"), col("sk"),
+          explode(expr("sequence(0, 6)")).as("off"))
+        .withColumn("wday",
+          date_format(date_add(to_date(col("sday")), col("off")), "yyyy-MM-dd"))
+        .join(days, Seq("wday")) // windows anchored on observed days only
+      val merged = contrib
+        .select(col("wday").as("day"), col("sday"), explode(col("sk")).as("h"))
+        .groupBy("day")
+        .agg(countDistinct(col("sday")).as("n_days"), kmv(col("h")).as("sk"))
+      merged.select(col("day"), col("n_days").cast("long").as("n_days"),
+          when(size(col("sk")) < 64, size(col("sk")).cast("double"))
+            .otherwise(floor(lit(63.0) * lit(1.152921504606846976e18)
+              / element_at(col("sk"), 64).cast("double")))
+            .cast("long").as("est_7d"))
+        .orderBy("day")
+    })
+
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
   // of dropping duplicates, down-weight them): every copy of a
@@ -5784,6 +5848,95 @@ object Catalog {
         .orderBy("id1", "id2")
     })
 
+  // Cross-modal near-dup (the LAION-style image-text pair dedup): a
+  // pair is a duplicate only when BOTH modalities agree — the visual
+  // signature (mm06's banded 64-bit aHash, Hamming ≤ 8) AND the caption
+  // (dd02's banded MinHash candidates verified at exact shingle-Jaccard
+  // ≥ 1/2). Candidate sets from the two kernels INTERSECT via one
+  // (id1, id2) equi-join BEFORE any exact verification, so each
+  // modality's banding prunes the other's false candidates; exact
+  // Hamming + integer cross-multiplied Jaccard run only on the
+  // agreement set. All plumbing shared verbatim with mm06/dd02/dd20.
+  private val mm08 = Q("mm08_crossmodal_neardup", Some(s"""
+    WITH $minhashCtes,
+    ct AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id),
+    pp AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, length(text),
+          greatest((length(text) + 63) // 64, 1)),
+          i -> ascii(substr(text, i, 1))) AS picks
+      FROM documents WHERE length(text) > 0),
+    ps AS (
+      SELECT doc_id, picks, len(picks) AS n, list_sum(picks) AS sm FROM pp),
+    ph AS (
+      SELECT doc_id,
+        cast(list_sum(list_transform(generate_series(1, len(picks)),
+          j -> CASE WHEN picks[j] * n <= sm THEN 0
+                    WHEN j = 64 THEN -9223372036854775807 - 1
+                    ELSE (1::BIGINT << (j - 1)) END)) as bigint)
+          AS phash
+      FROM ps),
+    pbv AS (
+      SELECT doc_id, phash, bi, (phash >> (bi * 16)) & 65535 AS bval
+      FROM ph, (SELECT unnest(generate_series(0, 3)) AS bi) b),
+    cv AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+        l.phash AS h1, r.phash AS h2
+      FROM pbv l JOIN pbv r ON l.bi = r.bi AND l.bval = r.bval
+        AND l.doc_id < r.doc_id),
+    agree AS (SELECT cv.id1, cv.id2, cv.h1, cv.h2
+              FROM cv JOIN ct ON cv.id1 = ct.id1 AND cv.id2 = ct.id2),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+    v AS (
+      SELECT a.id1, a.id2, bit_count(xor(a.h1, a.h2)) AS hamming,
+        len(list_intersect(x.s, y.s)) AS i,
+        len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS u
+      FROM agree a
+      JOIN sets x ON x.doc_id = a.id1
+      JOIN sets y ON y.doc_id = a.id2)
+    SELECT id1, id2, cast(hamming as int) AS hamming,
+      round(cast(i as double) / u, 6) AS jaccard
+    FROM v WHERE hamming <= 8 AND i * 2 >= u
+    ORDER BY id1, id2"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val candText = DedupOps.minhashCandidates(docs, "text", "doc_id",
+        shingleK = 3, bands = 4, rowsPerBand = 4)
+      val hashed = MultimodalOps.perceptualHash64(
+        MultimodalOps.withBinaryPayload(docs, "text"), "payload", "doc_id")
+      val bv = Exec.materializeForSelfJoin(
+        hashed.select(col("doc_id"), col("phash"),
+            explode(expr("sequence(0, 3)")).as("bi"))
+          .withColumn("bval",
+            expr("shiftrightunsigned(phash, bi * 16) & 65535")))
+      val l = bv.select(col("bi"), col("bval"), col("doc_id").as("id1"),
+        col("phash").as("h1"))
+      val r = bv.select(col("bi"), col("bval"), col("doc_id").as("id2"),
+        col("phash").as("h2"))
+      val candVis = l.join(r, Seq("bi", "bval")).where(col("id1") < col("id2"))
+        .select("id1", "id2", "h1", "h2").distinct()
+      val agree = candVis.join(candText, Seq("id1", "id2"))
+      val sets = Exec.materializeLarge(
+        docs.select(col("doc_id"), DedupOps.tokens(col("text")).as("_t"))
+          .select(col("doc_id"),
+            array_distinct(DedupOps.shinglesFromTokens(col("_t"), 3)).as("s")))
+      agree
+        .join(sets.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
+        .withColumn("hamming", DedupOps.hamming64(col("h1"), col("h2")).cast("int"))
+        .withColumn("i", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("u",
+          size(col("s1")).cast("long") + size(col("s2")).cast("long") - col("i"))
+        .where(col("hamming") <= 8 && col("i") * 2 >= col("u"))
+        .select(col("id1"), col("id2"), col("hamming"),
+          round(col("i").cast("double") / col("u"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    })
+
   // Recursive CTE on the Spark SQL surface (Spark 4 WITH RECURSIVE): a
   // data-driven month spine from min to max order month, left-joined to
   // per-month counts — the classic gap-filling calendar recursion, and
@@ -5840,14 +5993,14 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80,
+    q73, q74, q75, q76, q77, q78, q79, q80, q81,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18,
-    mm01, mm02, mm03, mm04, mm05, mm06, mm07,
+    mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
     dp19, dp20, dp21, dp22)
