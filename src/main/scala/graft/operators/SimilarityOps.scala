@@ -1118,6 +1118,51 @@ object SimilarityOps {
     * @param centroids trained table (`cell` numeric, `cvec array<double>`)
     * @return [query_id, rank, neighbor_id, sim], ranks 1..k
     */
+  /** FILTERED vector search (the production "top-k with a metadata
+    * predicate" feature): each query's k nearest neighbors among ONLY
+    * the corpus vectors sharing its `attrCol` value — retrieval
+    * constrained to a tenant / language / license class. The filter is
+    * applied at CANDIDATE GENERATION (pre-filter), not by over-fetching
+    * and discarding (post-filter): the attribute equality rides the
+    * same equi-join as the probed cell, so candidate volume is the
+    * filtered population of probed cells and recall within probed
+    * cells is exact for the filtered set — the failure mode of
+    * post-filtering (k results all filtered away) cannot occur.
+    *
+    * Same [[ivfTopK]] scale shape otherwise: one corpus assignment
+    * pass, probe window over only the bounded query subset, exact
+    * cosine solely on (cell, attr)-matched candidates.
+    */
+  def ivfFilteredTopK(corpus: DataFrame, queryPred: Column,
+      centroids: DataFrame, attrCol: String, k: Int, nProbe: Int = 2,
+      roundSim: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignToCentroids(corpus, "id", "vec", centroids, roundSim)
+      .join(corpus.select(col("id"), col(attrCol)), Seq("id"))
+      .select(col("id").as("neighbor_id"), col("cell"), col(attrCol))
+    val queries = corpus.where(queryPred)
+    val scoredQ = queries
+      .select(col("id").as("query_id"), col("vec").cast("array<double>").as("_fv_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_fv_qsim", round(cosine(col("_fv_qv"), col("cvec")), roundSim))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_fv_qsim").desc, col("cell").asc)
+    val probes = scoredQ.withColumn("_fv_rn", row_number().over(wp))
+      .where(col("_fv_rn") <= nProbe).select(col("query_id"), col("cell"))
+      .join(queries.select(col("id").as("query_id"), col(attrCol)), Seq("query_id"))
+    val cand = probes.join(assigned, Seq("cell", attrCol))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", attrCol)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("_fv_qvec"))
+    val n = corpus.select(col("id").as("neighbor_id"), col("vec").as("_fv_nvec"))
+    val scored = cand.join(broadcast(q), Seq("query_id")).join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col(attrCol),
+        round(cosine(col("_fv_qvec"), col("_fv_nvec")), roundSim).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, k: Int, nProbe: Int = 2,
       roundSim: Int = 6): DataFrame = {

@@ -4208,6 +4208,77 @@ object Catalog {
         .orderBy("query_id", "rank")
     })
 
+  // FILTERED vector search (SimilarityOps.ivfFilteredTopK): top-k
+  // constrained to corpus vectors sharing the query's label — the
+  // production "ANN with a metadata predicate" feature (tenant /
+  // language / license filters). The filter rides the candidate
+  // equi-join itself (PRE-filter: cell AND attr are the join key), so
+  // the post-filtering failure mode — k results all filtered away —
+  // cannot occur, and recall within probed cells is exact for the
+  // filtered set. Same trained centroids and determinism contract as
+  // dd13/ann14.
+  private val ann15 = Q("ann15_filtered_topk", Some(s"""
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    s3 AS (SELECT v.vec_id, c2.cell,
+             ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
+           FROM v CROSS JOIN c2),
+    a3 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn = 1),
+    lb AS (SELECT vec_id, label FROM embeddings),
+    a3l AS (SELECT a3.vec_id, a3.cell, lb.label FROM a3 JOIN lb USING (vec_id)),
+    pr AS (SELECT t.vec_id AS query_id, t.cell, lb.label FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3 WHERE vec_id < 20) t
+           JOIN lb ON lb.vec_id = t.vec_id
+           WHERE t.rn <= 2),
+    cand AS (SELECT pr.query_id, a3l.vec_id AS neighbor_id, pr.label
+             FROM pr JOIN a3l ON pr.cell = a3l.cell AND pr.label = a3l.label
+             WHERE a3l.vec_id <> pr.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, c.label,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM cand c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, cast(rank as int) AS rank, neighbor_id, label, sim FROM (
+      SELECT query_id, neighbor_id, label, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val emb16 = T(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      val k = SimilarityOps.scaledCellCount(
+        Tables.parquetRowCount(s, s"$d/embeddings.parquet"), targetCell = 64)
+      val cent = SimilarityOps.kmeansFit(emb16, "vec_id", "v16", k = k,
+          iters = 2, samplePerCell = 16)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+      val corpus = graft.operators.Exec.materializeForSelfJoin(
+        T(s, d, "embeddings").select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, 16).as("vec"), col("label")))
+      SimilarityOps.ivfFilteredTopK(corpus, col("id") < 20,
+          graft.operators.Exec.materializeForSelfJoin(cent),
+          attrCol = "label", k = 5, nProbe = 2, roundSim = 6)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("neighbor_id"), col("label"), col("sim"))
+        .orderBy("query_id", "rank")
+    })
+
   // Semantic decontamination: training vectors within 0.6 cosine of any
   // eval/benchmark vector (vec_id % 11 = 0, dp09's eval convention) —
   // the embedding-level complement of dp09's exact-shingle check:
@@ -5997,7 +6068,7 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-    ann11, ann12, ann13, ann14,
+    ann11, ann12, ann13, ann14, ann15,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08,

@@ -101,6 +101,34 @@ class SimilarityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfFilteredTopK: neighbors carry the query's label only; same-label twin wins") {
+    import spark.implicits._
+    // two interleaved label populations; vector 3's exact twin exists in
+    // BOTH labels — the filtered search must return the SAME-label twin
+    // and never a cross-label row, even though the cross-label twin has
+    // identical cosine (the post-filter failure mode made visible)
+    def vec(i: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(i * 53 + d * 11).abs + 0.05)
+    val base = (0 until 40).map(i => (i.toLong, vec(i), i % 2))
+    val twins = Seq((500L, vec(3), 1), (501L, vec(3), 0)) // query 3 has label 1
+    val corpus = (base ++ twins).toDF("id", "vec", "label")
+    val cents = Seq((0L, (0 until 8).map(_ => 1.0)), (1L, (0 until 8).map(d => d * 0.25)))
+      .toDF("cell", "cvec")
+    val got = SimilarityOps.ivfFilteredTopK(corpus, col("id") < 10, cents,
+        attrCol = "label", k = 3, nProbe = 2)
+      .select("query_id", "rank", "neighbor_id", "label", "sim")
+      .as[(Long, Int, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    val labelOf = (base ++ twins).map(t => t._1 -> t._3).toMap
+    got.foreach { case (q, _, n, l, _) =>
+      assert(l == labelOf(q), s"query $q got cross-label neighbor $n")
+      assert(labelOf(n) == labelOf(q))
+    }
+    val q3 = got.filter(_._1 == 3L).sortBy(_._2)
+    assert(q3.head._3 == 500L && q3.head._5 == 1.0,
+      s"same-label twin must rank first for query 3: ${q3.toSeq}")
+  }
+
   test("knnGraph ranks a planted twin first with sim 1") {
     import spark.implicits._
     val base = (0 until 30).map(i =>

@@ -53,9 +53,11 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // (ann01's bounded query-side pattern)
     "ann13_ivfpq_residual_topk", // trained 16-cell centroid cross join
                                  // (assignment + probe ranking, ann11's shape)
-    "ann14_knn_graph")          // k-row trained centroid cross join
+    "ann14_knn_graph",          // k-row trained centroid cross join
                                 // (assignment + the aggregator-reduced
                                 // probe ranking — dd13's bounded shape)
+    "ann15_filtered_topk")      // k-row centroid cross join (assignment
+                                // + bounded query probe ranking)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -127,8 +129,9 @@ class PlanAuditSpec extends AnyFunSuite {
                                // re-rank query vectors — all bounded
     "ann13_ivfpq_residual_topk", // centroids + residual codebook + per-cell
                                  // ADC table + re-rank queries — all bounded
-    "ann14_knn_graph")          // k-row trained centroid broadcast
+    "ann14_knn_graph",          // k-row trained centroid broadcast
                                 // (assignment + probe ranking)
+    "ann15_filtered_topk")      // centroids + bounded query-vector set
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
