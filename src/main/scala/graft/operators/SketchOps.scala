@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch building blocks shared by the batch catalog (q78,
+  * q81) and the streaming monitors (q82): KMV daily sketches and the
+  * sliding-window merge + estimator tail. Factored so the streaming
+  * variant computes the IDENTICAL expression tree — the q76/tx15
+  * shared-tail discipline.
+  */
+object SketchOps {
+
+  /** The q46 KMV estimator over a sorted k-sketch column: exact count
+    * when the sketch is short of k, else (k−1)·2^60 / kth-minimum.
+    */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+        / element_at(sk, k).cast("double")))
+      .cast("long")
+
+  /** Registered KMV UDAF (k-bounded partial aggregation). */
+  def kmvUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new graft.functions.KmvAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+
+  /** Per-day KMV(64) sketches of the md5-hashed user id — one bounded
+    * sketch row per observed day, the persisted artifact of the
+    * sliding-distinct pipeline. Input needs `ts` (timestamp) and
+    * `user_id`.
+    */
+  def dailyUserSketches(events: DataFrame): DataFrame = {
+    val kmv = kmvUdaf(64)
+    events.select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("day").agg(kmv(col("h")).as("sk"))
+  }
+
+  /** The sliding-window tail over a per-day sketch table `[day, sk]`:
+    * each day's sketch contributes to the ≤ 7 window days it can
+    * affect (sequence(0,6) → equi-keys; NO range join), windows anchor
+    * only on observed days, and the per-window union re-aggregates
+    * through the same KMV (union-take-k IS sketch merge — exact for
+    * the k minima). Returns `[day, n_days, est_7d]`.
+    */
+  def slidingDistinct7d(daily: DataFrame): DataFrame = {
+    val kmv = kmvUdaf(64)
+    val days = daily.select(col("day").as("wday"))
+    val contrib = daily
+      .select(col("day").as("sday"), col("sk"),
+        explode(expr("sequence(0, 6)")).as("off"))
+      .withColumn("wday",
+        date_format(date_add(to_date(col("sday")), col("off")), "yyyy-MM-dd"))
+      .join(days, Seq("wday"))
+    contrib
+      .select(col("wday").as("day"), col("sday"), explode(col("sk")).as("h"))
+      .groupBy("day")
+      .agg(countDistinct(col("sday")).as("n_days"), kmv(col("h")).as("sk"))
+      .select(col("day"), col("n_days").cast("long").as("n_days"),
+        kmvEstimate(col("sk"), 64).as("est_7d"))
+  }
+}

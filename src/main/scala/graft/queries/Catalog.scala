@@ -5676,32 +5676,24 @@ object Catalog {
         as bigint) AS est_7d
     FROM r JOIN nd USING (day)
     WHERE r.rn = least(r.nd, 64) ORDER BY r.day"""),
-    (s, d) => {
-      val kmv = udaf(new graft.functions.KmvAggregator(64),
-        org.apache.spark.sql.Encoders.scalaLong)
-      val ev = T(s, d, "events").select(
-        date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      val daily = ev.groupBy("day").agg(kmv(col("h")).as("sk"))
-      val days = daily.select(col("day").as("wday"))
-      val contrib = daily
-        .select(col("day").as("sday"), col("sk"),
-          explode(expr("sequence(0, 6)")).as("off"))
-        .withColumn("wday",
-          date_format(date_add(to_date(col("sday")), col("off")), "yyyy-MM-dd"))
-        .join(days, Seq("wday")) // windows anchored on observed days only
-      val merged = contrib
-        .select(col("wday").as("day"), col("sday"), explode(col("sk")).as("h"))
-        .groupBy("day")
-        .agg(countDistinct(col("sday")).as("n_days"), kmv(col("h")).as("sk"))
-      merged.select(col("day"), col("n_days").cast("long").as("n_days"),
-          when(size(col("sk")) < 64, size(col("sk")).cast("double"))
-            .otherwise(floor(lit(63.0) * lit(1.152921504606846976e18)
-              / element_at(col("sk"), 64).cast("double")))
-            .cast("long").as("est_7d"))
-        .orderBy("day")
-    })
+    (s, d) => SketchOps.slidingDistinct7d(
+        SketchOps.dailyUserSketches(T(s, d, "events")))
+      .orderBy("day"))
+
+  // q81 run CONTINUOUSLY (StreamingOps.streamSlidingDistinct): per
+  // micro-batch, per-day KMV sketches fold into a generation state
+  // table — KMV merge is associative, so ANY micro-batching folds to
+  // exactly the batch sketch — then the window-merge + estimator tail
+  // shared VERBATIM with q81 (SketchOps). State is one ≤ 64-value
+  // sketch per observed day (days, not users — the smallest table in
+  // the topology); the oracle IS q81's batch SQL.
+  private val q82 = Q("q82_stream_sliding_distinct",
+    q81.oracle,
+    (s, d) => graft.streaming.StreamingOps.streamSlidingDistinct(s,
+        s"$d/events.parquet",
+        queryName = "graft_stream_sliding_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
+      .orderBy("day"))
 
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
@@ -6064,7 +6056,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81,
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

@@ -458,6 +458,63 @@ object StreamingOps {
     spark.read.parquet(out)
   }
 
+  /** Streaming sliding-window distinct (q81 run CONTINUOUSLY): per
+    * micro-batch, fold per-day KMV sketches into a generation state
+    * table — KMV merge is associative (union, keep the k smallest
+    * distinct), so ANY micro-batching folds to exactly the batch
+    * sketch — then the identical window-merge + estimator tail as the
+    * batch op ([[graft.operators.SketchOps.slidingDistinct7d]], shared
+    * verbatim). The state is one ≤ 64-value sketch per observed DAY —
+    * the smallest table in the topology (days, not users); at 100 TB
+    * the generation rewrite bucket-prunes by day exactly like the
+    * streaming MERGE (q66), and a dashboard reads the tail off the
+    * day-count-sized state without ever re-scanning raw events.
+    */
+  def streamSlidingDistinct(spark: SparkSession, eventsPath: String,
+      splits: Int = 4, queryName: String = "graft_stream_sliding",
+      statePartitions: Option[Int] = None,
+      diagnostics: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.SketchOps
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = Files.createTempDirectory(s"graft_sliding_$queryName")
+    // normalize the vintage-dependent ts ONCE, then re-split so
+    // AvailableNow + maxFilesPerTrigger=1 exercises several
+    // micro-batches (the q66/q76 discipline)
+    val src = base.resolve("src")
+    graft.sources.Tables.normalizeTs(
+        spark.read.parquet(asSourceDir(eventsPath)))
+      .select(col("ts"), col("user_id")).repartition(splits)
+      .write.parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val genRoot = base.resolve("gen"); Files.createDirectories(genRoot)
+    @volatile var lastGen = -1L
+    val kmv = SketchOps.kmvUdaf(64)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val daily = SketchOps.dailyUserSketches(batch)
+        val prev =
+          if (lastGen >= 0) spark.read.parquet(s"$genRoot/g$lastGen")
+          else daily.limit(0)
+        prev.unionByName(daily)
+          .select(col("day"), explode(col("sk")).as("h"))
+          .groupBy("day").agg(kmv(col("h")).as("sk"))
+          .write.mode("overwrite").parquet(s"$genRoot/g$id")
+        lastGen = id
+        diagnostics.foreach(_ += id)
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+    withStatePartitions(spark, statePartitions) {
+      q.start().awaitTermination()
+    }
+    require(lastGen >= 0, "no micro-batch ran")
+    SketchOps.slidingDistinct7d(spark.read.parquet(s"$genRoot/g$lastGen"))
+  }
+
   /** X1 restated: append a bounded source to a parquet sink in durable
     * micro-batches via foreachBatch (per-chunk flush semantics).
     */

@@ -268,4 +268,22 @@ class StreamingOpsSpec extends AnyFunSuite {
         math.round(r.getDouble(3) * 100))).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("streamSlidingDistinct folds micro-batched sketches to the batch answer") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val batches = scala.collection.mutable.Buffer.empty[Long]
+    val got = StreamingOps.streamSlidingDistinct(spark, s"$dir/events.parquet",
+        splits = 4, queryName = "graft_test_sliding",
+        diagnostics = Some(batches))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batches.length >= 2,
+      s"re-split source must yield several micro-batches, got $batches")
+    // KMV merge associativity: the folded state must equal the batch op
+    val want = graft.operators.SketchOps.slidingDistinct7d(
+        graft.operators.SketchOps.dailyUserSketches(
+          graft.sources.Tables.events(spark, dir)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
