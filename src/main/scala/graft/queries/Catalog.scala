@@ -5680,6 +5680,76 @@ object Catalog {
         SketchOps.dailyUserSketches(T(s, d, "events")))
       .orderBy("day"))
 
+  // Sketch SET OPERATIONS (the theta-sketch trick on KMV): estimate
+  // the user-set UNION and INTERSECTION of every event-type pair from
+  // per-type sketches alone — the "audience overlap" question, answered
+  // without ever joining raw user sets. The union sketch is the k
+  // smallest of the merged sketches (exact for the k minima); the
+  // intersection estimate is the classic ratio estimator
+  // i/m · est_union where i counts union-sketch members present in
+  // BOTH input sketches — computed in pure integers (i·est_union div
+  // m). Exact intersections ride along for calibration. Everything
+  // past the one sketch-building aggregation runs on the |types|-row
+  // reduced table.
+  private val q83 = Q("q83_sketch_setops", Some("""
+    WITH ev AS (
+      SELECT DISTINCT event_type AS et,
+        ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::BIGINT AS h
+      FROM events),
+    sk AS (SELECT et, list_slice(list_sort(list(h)), 1, 64) AS sk
+           FROM ev GROUP BY et),
+    pairs AS (SELECT a.et AS et1, b.et AS et2, a.sk AS sk1, b.sk AS sk2
+              FROM sk a JOIN sk b ON a.et < b.et),
+    c AS (SELECT et1, et2,
+        list_slice(list_sort(list_distinct(list_concat(sk1, sk2))), 1, 64) AS usk,
+        sk1, sk2
+      FROM pairs),
+    est AS (SELECT et1, et2, len(usk) AS m,
+        len(list_filter(usk, x -> list_contains(sk1, x) AND list_contains(sk2, x))) AS i,
+        cast(CASE WHEN len(usk) < 64 THEN cast(len(usk) as double)
+             ELSE floor(63.0 * 1152921504606846976.0 / cast(usk[64] as double)) END
+          as bigint) AS est_union
+      FROM c),
+    ex AS (SELECT a.et AS et1, b.et AS et2, count(*) AS n_exact
+           FROM ev a JOIN ev b ON a.h = b.h AND a.et < b.et
+           GROUP BY a.et, b.et)
+    SELECT e.et1, e.et2,
+      cast(coalesce(ex.n_exact, 0) as bigint) AS n_exact_inter,
+      cast((e.i * e.est_union) // e.m as bigint) AS est_inter,
+      e.est_union
+    FROM est e LEFT JOIN ex ON ex.et1 = e.et1 AND ex.et2 = e.et2
+    ORDER BY e.et1, e.et2"""),
+    (s, d) => {
+      val kmv = SketchOps.kmvUdaf(64)
+      val ev = T(s, d, "events").select(col("event_type").as("et"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h")).distinct()
+      val sk = ev.groupBy("et").agg(kmv(col("h")).as("sk"))
+      val pairs = sk.as("a").join(sk.as("b"), col("a.et") < col("b.et"))
+        .select(col("a.et").as("et1"), col("b.et").as("et2"),
+          col("a.sk").as("sk1"), col("b.sk").as("sk2"))
+      val est = pairs
+        .withColumn("usk", slice(array_sort(array_union(col("sk1"), col("sk2"))), 1, 64))
+        .withColumn("m", size(col("usk")))
+        .withColumn("i", size(filter(col("usk"),
+          x => array_contains(col("sk1"), x) && array_contains(col("sk2"), x))))
+        .withColumn("est_union",
+          when(col("m") < 64, col("m").cast("double"))
+            .otherwise(floor(lit(63.0) * lit(1.152921504606846976e18)
+              / element_at(col("usk"), 64).cast("double")))
+            .cast("long"))
+      val exact = ev.as("a").join(ev.as("b"),
+          col("a.h") === col("b.h") && col("a.et") < col("b.et"))
+        .groupBy(col("a.et").as("et1"), col("b.et").as("et2"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("et1", "et2"), "left")
+        .select(col("et1"), col("et2"),
+          coalesce(col("n_exact"), lit(0L)).cast("long").as("n_exact_inter"),
+          expr("(i * est_union) div m").cast("long").as("est_inter"),
+          col("est_union"))
+        .orderBy("et1", "et2")
+    })
+
   // q81 run CONTINUOUSLY (StreamingOps.streamSlidingDistinct): per
   // micro-batch, per-day KMV sketches fold into a generation state
   // table — KMV merge is associative, so ANY micro-batching folds to
@@ -6056,7 +6126,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

@@ -56,8 +56,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann14_knn_graph",          // k-row trained centroid cross join
                                 // (assignment + the aggregator-reduced
                                 // probe ranking — dd13's bounded shape)
-    "ann15_filtered_topk")      // k-row centroid cross join (assignment
+    "ann15_filtered_topk",      // k-row centroid cross join (assignment
                                 // + bounded query probe ranking)
+    "q83_sketch_setops")        // |types|-row sketch-table pair join
+                                // (5 rows — everything past sketch
+                                // building runs on the reduced table)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
