@@ -5680,6 +5680,108 @@ object Catalog {
         SketchOps.dailyUserSketches(T(s, d, "events")))
       .orderBy("day"))
 
+  // Last-touch attribution (marketing analytics' standard question:
+  // which channel gets credit for each conversion): every purchase is
+  // attributed to the LAST preceding non-purchase event in the user's
+  // stream — one conditional last_value(... IGNORE NULLS) window per
+  // user (hash-partitioned, per-user sort bounded — the q47/q79
+  // shape); the share normalization runs over the ≤ |types|-row
+  // reduced attribution table (window, no 1-row cross join).
+  private val q84 = Q("q84_attribution", Some("""
+    WITH a AS (
+      SELECT event_type,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+      FROM events),
+    p AS (SELECT coalesce(attr, 'none') AS attr_type, count(*) AS n
+          FROM a WHERE event_type = 'purchase' GROUP BY coalesce(attr, 'none')),
+    t AS (SELECT attr_type, n, sum(n) OVER () AS tot FROM p)
+    SELECT attr_type, cast(n as bigint) AS n_purchases,
+      round(cast(n as double) / cast(tot as double), 6) AS share
+    FROM t ORDER BY attr_type"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val p = T(s, d, "events")
+        .withColumn("attr", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("attr"), lit("none")).as("attr_type"))
+        .agg(count(lit(1)).as("n"))
+      p.withColumn("tot", sum("n").over(Window.partitionBy(lit(1))))
+        .select(col("attr_type"), col("n").cast("long").as("n_purchases"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6).as("share"))
+        .orderBy("attr_type")
+    })
+
+  // Per-source DATA CARD (Datasheets-for-Datasets observability: the
+  // one-table corpus summary a pipeline publishes with every release):
+  // per source — document/token volume, decimal-exact mean quality
+  // (per-doc score rounded to 4dp, decimal-summed: immune to float
+  // reassociation at any partitioning), PII match volume, documents in
+  // a >1-size prefix-fingerprint duplicate cluster (dp22's key), and
+  // language spread. Every signal is an existing linear operator
+  // (tx02's mirrored quality, tx10's RE2-safe PII counts, dp22's
+  // fingerprint) composed into ONE pass + one fingerprint hash agg.
+  private val dp23 = Q("dp23_data_card", Some("""
+    WITH f AS (
+      SELECT doc_id, source, lang,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc,
+        round(0.5 * least(length(text) / 512.0, 1.0)
+          + 0.25 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                 ELSE cast(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                        x -> list_contains(['a','an','the','and','or','of','in','to','is'], lower(x)))) as double)
+                      / len(regexp_split_to_array(trim(text), '\s+')) END)
+          + 0.25 * (1.0 - least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 16.0
+                               / length(text), 1.0)), 4) AS q4,
+        len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+          + len(regexp_extract_all(text, '\+1-[0-9]{3}-[0-9]{4}')) AS pii,
+        md5(array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 8), ' ')) AS h
+      FROM documents),
+    g AS (SELECT h, count(*) AS c FROM f GROUP BY h)
+    SELECT f.source, cast(count(*) as bigint) AS n_docs,
+      cast(sum(f.tc) as bigint) AS n_tokens,
+      round(cast(sum(cast(f.q4 as decimal(12,4))) as double) / count(*), 6) AS avg_quality,
+      cast(sum(f.pii) as bigint) AS n_pii,
+      cast(sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_docs,
+      cast(count(distinct f.lang) as bigint) AS n_langs
+    FROM f JOIN g USING (h)
+    GROUP BY f.source ORDER BY f.source"""),
+    (s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val stops = Seq("a", "an", "the", "and", "or", "of", "in", "to", "is")
+      val quality =
+        lit(0.5) * least(length(col("text")) / 512.0, lit(1.0)) +
+        lit(0.25) * when(length(trim(col("text"))) === 0, 0.0)
+          .otherwise(size(filter(toks, x => lower(x).isInCollection(stops)))
+            .cast("double") / size(toks)) +
+        lit(0.25) * (lit(1.0) -
+          least(TextOps.punctCount(col("text")) * 16.0 / length(col("text")), lit(1.0)))
+      val f = T(s, d, "documents")
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).as("tc"),
+          round(quality, 4).as("q4"),
+          (TextOps.emailCount(col("text")) + TextOps.phoneCount(col("text"))).as("pii"),
+          col("text"))
+        .withColumn("_tk", DedupOps.tokens(col("text")))
+        .withColumn("h", md5(array_join(slice(col("_tk"), 1, 8), " ")))
+        .drop("text", "_tk")
+      val g = f.groupBy("h").agg(count(lit(1)).as("c"))
+      f.join(g, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tc").cast("long").as("n_tokens"),
+          round(sum(col("q4").cast("decimal(12,4)")).cast("double")
+            / count(lit(1)), 6).as("avg_quality"),
+          sum("pii").cast("long").as("n_pii"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    })
+
   // Sketch SET OPERATIONS (the theta-sketch trick on KMV): estimate
   // the user-set UNION and INTERSECTION of every event-type pair from
   // per-type sketches alone — the "audience overlap" question, answered
@@ -6126,7 +6228,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
@@ -6136,5 +6238,5 @@ object Catalog {
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
-    dp19, dp20, dp21, dp22)
+    dp19, dp20, dp21, dp22, dp23)
 }
