@@ -4992,6 +4992,58 @@ object Catalog {
         "text", num = 1, den = 2)
       .orderBy("id1", "id2"))
 
+  // EXACT dedup roster: connected components over dd20's
+  // zero-false-negative τ-Jaccard edges — dd06's cluster collapse with
+  // a completeness GUARANTEE on the edge set (banded MinHash drops
+  // near-threshold pairs; the prefix-filtered join cannot), so "every
+  // doc above τ similarity shares a cluster" holds by construction.
+  // Same hash-min + pointer-jumping CC, same recursive-CTE oracle
+  // replay as dd06.
+  private val dd21 = Q("dd21_exact_clusters", Some(s"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    shl AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(t) >= 3 THEN
+          list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks),
+    sh AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM shl),
+    freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+    pos AS (SELECT s.id, s.sh,
+        row_number() OVER (PARTITION BY s.id
+          ORDER BY f.f, ('0x' || substr(md5(s.sh), 1, 10))::BIGINT, s.sh) AS pos,
+        count(*) OVER (PARTITION BY s.id) AS n
+      FROM sh s JOIN freq f USING (sh)),
+    pref AS (SELECT id, sh, n FROM pos
+             WHERE pos <= n - (1 * n + 1) // 2 + 1),
+    cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2, a.n AS n1, b.n AS n2
+             FROM pref a JOIN pref b ON a.sh = b.sh AND a.id < b.id
+               AND least(a.n, b.n) * 2 >= greatest(a.n, b.n) * 1),
+    inter AS (SELECT c.id1, c.id2, c.n1, c.n2, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.id = c.id1
+              JOIN sh y ON y.id = c.id2 AND y.sh = x.sh
+              GROUP BY c.id1, c.id2, c.n1, c.n2),
+    epairs AS (SELECT id1, id2 FROM inter WHERE i * 2 >= 1 * (n1 + n2 - i)),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM epairs
+              UNION ALL SELECT id2, id1 FROM epairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id
+    ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.jaccardJoinExact(docs, "doc_id", "text",
+        num = 1, den = 2)
+      DedupOps.connectedComponents(docs.select(col("doc_id")),
+          pairs.select(col("id1").as("src"), col("id2").as("dst")), "doc_id")
+        .orderBy("doc_id")
+    })
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -6230,7 +6282,7 @@ object Catalog {
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20,
+    dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
