@@ -1089,35 +1089,6 @@ object SimilarityOps {
     (row.getLong(0), row.getLong(1))
   }
 
-  /** k-NN GRAPH construction: every corpus vector's k nearest neighbors
-    * among the vectors of its top-`nProbe` trained cells — the base
-    * structure for graph-based clustering, SNN density estimation, and
-    * graph-ANN index builds, where the "query set" is the corpus itself.
-    *
-    * [[ivfTopK]] cannot be pointed at the whole corpus: its probe
-    * ranking is a window over the query set, and with n queries that
-    * window shuffles n × cells rows. Here BOTH corpus-sized reductions
-    * are k-bounded partial aggregations instead: the index side is the
-    * usual one-pass argmax assignment ([[assignToCentroids]]), and the
-    * probe side ranks top-`nProbe` cells per vector with a
-    * [[graft.functions.TopKAggregator]] — map-side combine reduces each
-    * partition to ≤ nProbe rows per vector before the exchange, so the
-    * shuffle carries O(n × nProbe) no matter how many cells the
-    * centroid table has. Candidates are the (cell) equi-join of probes
-    * × assignments (≈ n × nProbe × cell population, never n²); each
-    * (query, neighbor) pair arises at most once because a neighbor is
-    * assigned to exactly one cell. Exact cosine runs only on
-    * candidates, via two unhinted vector equi-joins; the final top-k is
-    * the same k-bounded aggregation. Determinism: rounded cosine,
-    * (score desc, id asc) ties everywhere — oracle-checkable.
-    *
-    * Recall caveat (shared with every probed-cell op here): a true
-    * neighbor assigned outside the query's `nProbe` closest cells is
-    * missed; raise `nProbe` to trade cost for recall.
-    *
-    * @param centroids trained table (`cell` numeric, `cvec array<double>`)
-    * @return [query_id, rank, neighbor_id, sim], ranks 1..k
-    */
   /** FILTERED vector search (the production "top-k with a metadata
     * predicate" feature): each query's k nearest neighbors among ONLY
     * the corpus vectors sharing its `attrCol` value — retrieval
@@ -1163,6 +1134,35 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** k-NN GRAPH construction: every corpus vector's k nearest neighbors
+    * among the vectors of its top-`nProbe` trained cells — the base
+    * structure for graph-based clustering, SNN density estimation, and
+    * graph-ANN index builds, where the "query set" is the corpus itself.
+    *
+    * [[ivfTopK]] cannot be pointed at the whole corpus: its probe
+    * ranking is a window over the query set, and with n queries that
+    * window shuffles n × cells rows. Here BOTH corpus-sized reductions
+    * are k-bounded partial aggregations instead: the index side is the
+    * usual one-pass argmax assignment ([[assignToCentroids]]), and the
+    * probe side ranks top-`nProbe` cells per vector with a
+    * [[graft.functions.TopKAggregator]] — map-side combine reduces each
+    * partition to ≤ nProbe rows per vector before the exchange, so the
+    * shuffle carries O(n × nProbe) no matter how many cells the
+    * centroid table has. Candidates are the (cell) equi-join of probes
+    * × assignments (≈ n × nProbe × cell population, never n²); each
+    * (query, neighbor) pair arises at most once because a neighbor is
+    * assigned to exactly one cell. Exact cosine runs only on
+    * candidates, via two unhinted vector equi-joins; the final top-k is
+    * the same k-bounded aggregation. Determinism: rounded cosine,
+    * (score desc, id asc) ties everywhere — oracle-checkable.
+    *
+    * Recall caveat (shared with every probed-cell op here): a true
+    * neighbor assigned outside the query's `nProbe` closest cells is
+    * missed; raise `nProbe` to trade cost for recall.
+    *
+    * @param centroids trained table (`cell` numeric, `cvec array<double>`)
+    * @return [query_id, rank, neighbor_id, sim], ranks 1..k
+    */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, k: Int, nProbe: Int = 2,
       roundSim: Int = 6): DataFrame = {
@@ -1200,5 +1200,108 @@ object SimilarityOps {
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("s.id").as("neighbor_id"), col("s.score").as("sim"))
+  }
+
+  /** Graph-ANN SEARCH over a prebuilt k-NN graph ([[knnGraph]] output)
+    * — the HNSW/NSG-style serving complement of the IVF family
+    * (VERDICT r12 #3): instead of scanning every vector of the query's
+    * probed cells, start from per-cell ENTRY POINTS and walk the
+    * graph's proximity edges a fixed number of rounds, then exact-
+    * cosine re-rank only the visited pool. Graph edges cross cell
+    * boundaries (a node's neighbors live in ITS probed cells, not the
+    * query's), so the walk escapes the query's nProbe-cell horizon —
+    * the recall ceiling every probed-cell op here shares.
+    *
+    * Relational formulation (the dd06 bounded-iteration discipline, not
+    * a sequential beam): seeds = the minimum vector id of each of the
+    * query's top-`nProbe` cells (deterministic entry points, the role
+    * HNSW's fixed entry node plays) PLUS the query's own graph node —
+    * queries here are corpus members (the [[knnGraph]] setting), so the
+    * warm start makes the visited pool a SUPERSET of the query's
+    * outgoing k-NN edges, which are exactly the ivfTopK result on the
+    * same probes: recall ≥ the IVF arm by construction (truth items
+    * globally dominate the rank order, so hits = min(|pool ∩ truth|,
+    * k) is monotone in the pool). Each round expands the WHOLE
+    * frontier at once via one equi-join on the undirected edge set
+    * (src → dst), pruning already-visited nodes with an anti-join so a
+    * round's join input is only the new rim. `rounds` bounds the walk:
+    * the visited pool is ≤ seeds·(maxdeg+1)^rounds per query, and every
+    * round is one shuffle on a two-long edge key — no per-query
+    * sequential state, so 10^6 concurrent queries batch through the
+    * same 2·`rounds` joins. The final exact re-rank is a window over
+    * only the bounded query set's pools. Frontier/visited state is
+    * fixed-width and loop-carried → localCheckpoint per round with
+    * release of superseded handles (the connectedComponents pattern).
+    *
+    * Determinism: min-id entry points, set-union frontier, rounded
+    * cosine with (sim desc, id asc) ties — oracle-replayable round by
+    * round (the unpruned replay `seeds ∪ expand(seeds) ∪ expand²(seeds)`
+    * reaches the identical visited set, since expand distributes over
+    * union and re-expanding a visited node adds only visited nodes).
+    *
+    * @param edges k-NN graph as [query_id, neighbor_id] (directed;
+    *              symmetrized here — HNSW likewise inserts back-links)
+    * @return [query_id, rank, neighbor_id, sim], ranks 1..k
+    */
+  def graphAnnSearch(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, edges: DataFrame, queryPred: Column,
+      k: Int, nProbe: Int = 2, rounds: Int = 2,
+      roundSim: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
+    val base = Exec.materializeForSelfJoin(
+      df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec")))
+    val assigned = assignToCentroids(base, "id", "vec", centroids, roundSim)
+    // entry point per cell: the cell's minimum vector id — O(cells)
+    // rows from one map-side-combinable min
+    val ep = assigned.groupBy("cell").agg(min("id").as("node"))
+    val queries = base.where(queryPred)
+    val scoredQ = queries
+      .select(col("id").as("query_id"), col("vec").as("_ga_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_ga_qsim", round(cosine(col("_ga_qv"), col("cvec")), roundSim))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_ga_qsim").desc, col("cell").asc)
+    val probes = scoredQ.withColumn("_ga_rn", row_number().over(wp))
+      .where(col("_ga_rn") <= nProbe).select(col("query_id"), col("cell"))
+    val seeds = probes.join(ep, Seq("cell"))
+      .select(col("query_id"), col("node"))
+      .unionByName(queries.select(col("id").as("query_id"), col("id").as("node")))
+      .distinct()
+    val und = Exec.materializeForSelfJoin(
+      edges.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        .unionByName(
+          edges.select(col("neighbor_id").as("src"), col("query_id").as("dst")))
+        .distinct())
+    var visited = Exec.materializeForSelfJoin(seeds)
+    var frontier = visited
+    for (_ <- 1 to rounds) {
+      val rim = frontier.join(und, frontier("node") === und("src"))
+        .select(frontier("query_id"), und("dst").as("node")).distinct()
+      // prune nodes already visited: re-expanding them can only re-reach
+      // visited nodes (expand distributes over union), so the pruned
+      // walk's visited set equals the unpruned one the oracle replays
+      val next = Exec.materializeForSelfJoin(
+        rim.join(visited, Seq("query_id", "node"), "left_anti"))
+      val merged = Exec.materializeForSelfJoin(
+        visited.unionByName(next))
+      if (!(frontier eq visited)) Exec.releaseMaterialized(frontier)
+      Exec.releaseMaterialized(visited)
+      visited = merged
+      frontier = next
+    }
+    Exec.releaseMaterialized(und)
+    if (!(frontier eq visited)) Exec.releaseMaterialized(frontier)
+    val pool = visited.where(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("_ga_qvec"))
+    val n = base.select(col("id").as("neighbor_id"), col("vec").as("_ga_nvec"))
+    val scored = pool.join(broadcast(q), Seq("query_id")).join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_ga_qvec"), col("_ga_nvec")), roundSim).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }

@@ -12,11 +12,20 @@ import org.apache.spark.sql.functions._
 object SketchOps {
 
   /** The q46 KMV estimator over a sorted k-sketch column: exact count
-    * when the sketch is short of k, else (k−1)·2^60 / kth-minimum.
+    * when the sketch is short of k, else (k−1)·hashRange / kth-minimum.
+    *
+    * `hashRange` must be the size of the UNIFORM hash domain the sketch
+    * values were drawn from; the default 2^60 matches the repo-wide
+    * convention of hashing with the first 15 hex chars of md5
+    * (`conv(substring(md5(x), 1, 15), 16, 10)` — see
+    * [[dailyUserSketches]] and q46/q78). A caller sketching with a
+    * different hash width MUST pass its own range or the estimate is
+    * scaled by the width mismatch with no other signal (ADVICE r12).
     */
-  def kmvEstimate(sk: Column, k: Int): Column =
+  def kmvEstimate(sk: Column, k: Int,
+      hashRange: Double = 1.152921504606846976e18): Column =
     when(size(sk) < k, size(sk).cast("double"))
-      .otherwise(floor(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+      .otherwise(floor(lit((k - 1).toDouble) * lit(hashRange)
         / element_at(sk, k).cast("double")))
       .cast("long")
 

@@ -476,20 +476,36 @@ object StreamingOps {
       diagnostics: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
     import java.nio.file.Files
     import graft.operators.SketchOps
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is only needed while the vintage events file is read
+    // and re-written below (both eager) — scope it instead of mutating
+    // the session for the rest of its life (ADVICE r12)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
     val base = Files.createTempDirectory(s"graft_sliding_$queryName")
     // normalize the vintage-dependent ts ONCE, then re-split so
     // AvailableNow + maxFilesPerTrigger=1 exercises several
     // micro-batches (the q66/q76 discipline)
     val src = base.resolve("src")
-    graft.sources.Tables.normalizeTs(
-        spark.read.parquet(asSourceDir(eventsPath)))
-      .select(col("ts"), col("user_id")).repartition(splits)
-      .write.parquet(src.toString)
+    try {
+      graft.sources.Tables.normalizeTs(
+          spark.read.parquet(asSourceDir(eventsPath)))
+        .select(col("ts"), col("user_id")).repartition(splits)
+        .write.parquet(src.toString)
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
+    }
     val schema = spark.read.parquet(src.toString).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src.toString)
     val genRoot = base.resolve("gen"); Files.createDirectories(genRoot)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
     @volatile var lastGen = -1L
     val kmv = SketchOps.kmvUdaf(64)
     val q = stream.writeStream
@@ -502,6 +518,10 @@ object StreamingOps {
           .select(col("day"), explode(col("sk")).as("h"))
           .groupBy("day").agg(kmv(col("h")).as("sk"))
           .write.mode("overwrite").parquet(s"$genRoot/g$id")
+        // the new generation is durably written; its predecessor is dead
+        // state — delete it so the workspace holds ONE state copy, not
+        // one per micro-batch (ADVICE r12)
+        if (lastGen >= 0) rmTree(genRoot.resolve(s"g$lastGen"))
         lastGen = id
         diagnostics.foreach(_ += id)
       }
@@ -512,6 +532,9 @@ object StreamingOps {
       q.start().awaitTermination()
     }
     require(lastGen >= 0, "no micro-batch ran")
+    // the stream is complete: the re-split source copy and checkpoint are
+    // dead; only the final generation backs the returned (lazy) frame
+    rmTree(src); rmTree(base.resolve("ckpt"))
     SketchOps.slidingDistinct7d(spark.read.parquet(s"$genRoot/g$lastGen"))
   }
 

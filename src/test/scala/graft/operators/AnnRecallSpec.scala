@@ -75,6 +75,29 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"ann13 residual IVF-PQ recall $recall below 0.25")
   }
 
+  test("graph-ANN search (ann17) never retrieves worse than IVF on the same index") {
+    // This IS a cross-config ordering assert, and unlike the r7-banned
+    // kind it is structural, not a corpus-draw property: the graph arm
+    // warm-starts at the query's own node, so its re-rank pool is a
+    // SUPERSET of the query's outgoing k-NN edges — which are exactly
+    // the ivf arm's result on the same probes — and hits =
+    // min(|pool ∩ truth|, k) is monotone in the pool (truth items
+    // globally dominate the (sim desc, id asc) order). A violation
+    // means the seed/expansion plumbing broke, on ANY corpus.
+    val rows = graft.queries.Catalog.all.find(_.name == "ann17_graph_recall").get
+      .fn(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(rows.keySet == Set("graph", "ivf"))
+    assert(rows("graph")._1 == rows("ivf")._1, "arms must share the query set")
+    val (g, i) = (rows("graph")._2, rows("ivf")._2)
+    assert(g >= 0.0 && g <= 1.0 && i >= 0.0 && i <= 1.0)
+    assert(g >= i,
+      s"graph-ANN recall $g fell below IVF recall $i on the same trained " +
+        "index — the warm-start superset invariant is broken")
+  }
+
   // NOTE: no cross-config ordering (e.g. ivf > pq) is asserted. On
   // near-random embeddings that ordering is a property of the particular
   // corpus draw, not of the code — a regenerated corpus could flip it and
