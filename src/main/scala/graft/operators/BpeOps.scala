@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary training — the
+  * tokenizer-design step beyond tx11's coverage curve: each round counts
+  * adjacent symbol pairs corpus-wide and emits the argmax merge, exactly
+  * the inner loop of Sennrich et al.'s subword training (reference scope:
+  * the pipeline's text surface, `crawler/src/utils/`, stops at whitespace
+  * tokens; this is the LLM-pipeline extension on top).
+  *
+  * 100 TB shape — the key structural fact of BPE training: after ONE
+  * corpus pass builds the distinct-word frequency table, every merge
+  * round runs on that VOCABULARY-sized table, never the corpus. Pair
+  * counting is an explode + map-side-combinable hash agg on a fixed-width
+  * (left, right) key weighted by word frequency; the argmax is a
+  * TakeOrderedAndProject (limit 1); the merge applies as a pure
+  * higher-order fold over each word's symbol array, with the winning pair
+  * broadcast-joined in (no driver collect in the loop). Round state is
+  * localCheckpointed (the loop discipline) so plans don't grow.
+  *
+  * Determinism contract (oracle-replayable): the merge rule is the
+  * textbook leftmost-greedy fold — walking a word's symbols, the current
+  * symbol merges into the accumulator iff the accumulator's LAST token
+  * equals the merge's left and the current symbol equals its right; a
+  * just-merged token (left||right, strictly longer than left) can never
+  * re-match as left, so "aaa" under (a,a) gives [aa, a], the reference
+  * BPE behavior. Symbols are joined on the unit separator (U+001F, which
+  * [[DedupOps.tokens]]' whitespace split guarantees never appears inside
+  * a symbol); ties on pair count break by (left, right) binary string
+  * order on both engines.
+  */
+object BpeOps {
+
+  /** One corpus pass → distinct-word frequencies with each word's initial
+    * character-symbol sequence (`seq`, U+001F-joined).
+    */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(DedupOps.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), char(31))"))
+
+  /** Adjacent-pair counts over the current symbol sequences, weighted by
+    * word frequency: [l, r, cnt]. Words of one symbol contribute nothing
+    * (the transform guard — Spark's `sequence(1, 0)` would count DOWN).
+    */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), expr("split(seq, char(31))").as("_syms"))
+      .select(col("freq"), explode(expr(
+        """CASE WHEN size(_syms) < 2 THEN array()
+           ELSE transform(sequence(1, size(_syms) - 1),
+             i -> struct(element_at(_syms, i) AS l, element_at(_syms, i + 1) AS r))
+           END""")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Apply one merge (the 1-row `best` table, columns l/r) to every
+    * word's symbol sequence: the leftmost-greedy fold, fully declarative
+    * (broadcast join + higher-order `aggregate`), no driver-side value.
+    */
+  def applyMerge(words: DataFrame, best: DataFrame): DataFrame =
+    words.crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
+      .withColumn("_syms", expr("split(seq, char(31))"))
+      .withColumn("seq", expr(
+        """aggregate(
+             slice(_syms, 2, size(_syms) - 1),
+             element_at(_syms, 1),
+             (acc, x) -> CASE WHEN (acc = _ml
+                                    OR right(acc, length(_ml) + 1) = concat(char(31), _ml))
+                               AND x = _mr
+                         THEN concat(acc, x)
+                         ELSE concat(acc, char(31), x) END)"""))
+      .drop("_syms", "_ml", "_mr")
+
+  /** `rounds` BPE merge rounds over the corpus: returns one row per
+    * round — [round, left_sym, right_sym, pair_count], the merge table a
+    * tokenizer build persists. Requires every round to find at least one
+    * adjacent pair (true for any natural corpus with multi-character
+    * words; a fully-merged degenerate corpus yields fewer rows).
+    */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    var cur = Exec.materializeForSelfJoin(wordTable(df, textCol))
+    var out: DataFrame = null
+    for (round <- 1 to rounds) {
+      val best = Exec.materializeForSelfJoin(
+        pairCounts(cur).orderBy(col("cnt").desc, col("l"), col("r")).limit(1))
+      val row = best.select(lit(round).as("round"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("cnt").cast("long").as("pair_count"))
+      out = if (out == null) row else out.unionByName(row)
+      if (round < rounds) {
+        val next = Exec.materializeForSelfJoin(applyMerge(cur, best))
+        Exec.releaseMaterialized(cur)
+        cur = next
+      }
+    }
+    out
+  }
+}
