@@ -64,6 +64,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Like-for-like series (VERDICT r12 #7): the full-catalog total
+    // drifts upward on MIX alone as queries are added each round, so the
+    // artifact also reports the total over the FIXED round-11 143-query
+    // subset — constant work, comparable across rounds without
+    // interpretation. Names frozen from CORRECTNESS_r11.json.
+    val subsetVals = results.collect {
+      case (k, v) if v >= 0 && R11Subset.names(k) => v
+    }
+    val subsetJson =
+      s""""subset_r11":{"n":${subsetVals.size},"total_sec":${math.round(subsetVals.sum * 1000) / 1000.0}}"""
     val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     // Optional one-decade scale probe (VERDICT r5/r6 next-round #7): build
     // the synthetic 10x corpus (tools.Sf1Probe — structure-preserving
@@ -169,7 +179,7 @@ object Bench {
          s""","sf1":{$telemetry}""")
       } else ("", "")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","warmup_sec":$warmupSec,"queries":$qs,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","warmup_sec":$warmupSec,$subsetJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; stdout is the contract
@@ -183,7 +193,7 @@ object Bench {
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"warm","warmup_sec":${r3(warmupSec)},"queries":$top,"queries_total":${results.size},"full":"BENCH_full.json","errors":$errJson,"sf":"$sfDir"$sf1Compact}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"warm","warmup_sec":${r3(warmupSec)},$subsetJson,"queries":$top,"queries_total":${results.size},"full":"BENCH_full.json","errors":$errJson,"sf":"$sfDir"$sf1Compact}"""
     println(compact)
     spark.stop()
   }

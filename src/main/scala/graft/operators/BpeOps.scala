@@ -82,7 +82,16 @@ object BpeOps {
     * adjacent pair (true for any natural corpus with multi-character
     * words; a fully-merged degenerate corpus yields fewer rows).
     */
-  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    trainRounds(df, textCol, rounds, needFinalWords = false)._1
+
+  /** The shared training loop: `rounds` (argmax, apply) iterations.
+    * Returns (merge table, final word table with merged `seq`s). When
+    * `needFinalWords` is false the last round's merge application is
+    * skipped (the merge table alone doesn't need it).
+    */
+  private def trainRounds(df: DataFrame, textCol: String, rounds: Int,
+      needFinalWords: Boolean): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
     var cur = Exec.materializeForSelfJoin(wordTable(df, textCol))
     var out: DataFrame = null
@@ -92,12 +101,37 @@ object BpeOps {
       val row = best.select(lit(round).as("round"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("cnt").cast("long").as("pair_count"))
       out = if (out == null) row else out.unionByName(row)
-      if (round < rounds) {
+      if (round < rounds || needFinalWords) {
         val next = Exec.materializeForSelfJoin(applyMerge(cur, best))
         Exec.releaseMaterialized(cur)
         cur = next
       }
     }
-    out
+    (out, cur)
+  }
+
+  /** The train→APPLY cycle (what tx19's merge table is FOR): encode the
+    * corpus with the learned merges and report, per document, the
+    * whitespace token count, the BPE token count after `rounds` merges,
+    * and the character volume — the compression curve tokenizer design
+    * optimizes. Encoding never touches the corpus text twice: merges
+    * apply on the VOCABULARY (each distinct word's symbol count), and
+    * one exploded-token equi-join back distributes the counts to
+    * documents — sum over a doc's words of |bpe_symbols(word)|. Docs
+    * with no non-empty tokens are absent (inner join, mirrored).
+    *
+    * @return [idCol, n_ws_tokens, n_bpe_tokens, n_chars]
+    */
+  def encodedTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val vocab = trainRounds(df, textCol, rounds, needFinalWords = true)._2
+      .select(col("w"), expr("size(split(seq, char(31)))").as("_n_bpe"))
+    df.select(col(idCol), explode(DedupOps.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .join(vocab, Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_ws_tokens"),
+        sum("_n_bpe").cast("long").as("n_bpe_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
   }
 }

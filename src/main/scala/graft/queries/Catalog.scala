@@ -4321,9 +4321,15 @@ object Catalog {
            FROM seeds s JOIN gu u ON u.src = s.node),
     f2 AS (SELECT DISTINCT f.query_id, u.dst AS node
            FROM f1 f JOIN gu u ON u.src = f.node),
+    f3 AS (SELECT DISTINCT f.query_id, u.dst AS node
+           FROM f2 f JOIN gu u ON u.src = f.node),
+    vis1 AS (SELECT query_id, node FROM seeds
+             UNION SELECT query_id, node FROM f1),
     vis AS (SELECT query_id, node FROM seeds
             UNION SELECT query_id, node FROM f1
             UNION SELECT query_id, node FROM f2),
+    vis3 AS (SELECT query_id, node FROM vis
+             UNION SELECT query_id, node FROM f3),
     gpool AS (SELECT query_id, node AS neighbor_id FROM vis WHERE node <> query_id),
     gsc AS (
       SELECT p.query_id, p.neighbor_id,
@@ -4490,6 +4496,148 @@ object Catalog {
               .as("recall"))
       }
       recallOf("graph", graphArm).unionByName(recallOf("ivf", ivfArm))
+        .orderBy("method")
+    })
+
+  // Graph-search DEPTH curve (the dd17/ann07 measured-quality
+  // discipline applied to ann16's walk): recall at expansion depth 1, 2
+  // and 3 on the same trained index / query set / k, with the IVF arm
+  // as the probed-cell baseline. This is the query a deployment re-runs
+  // when tuning the latency/recall knob — each extra round is one more
+  // edge equi-join, and the visited pool (hence recall, by the
+  // monotone-hits argument in graphAnnSearch's scaladoc) can only grow
+  // with depth, so the curve is structurally non-decreasing; where it
+  // FLATTENS is the measured answer to "how deep is worth walking". The
+  // oracle scores the depth-3 pool once and ranks each depth's subset.
+  private val ann18 = Q("ann18_graph_depth_curve", Some(s"""
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    s3 AS (SELECT v.vec_id, c2.cell,
+             ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
+           FROM v CROSS JOIN c2),
+    a3 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn = 1),
+    $graphSearchCtes,
+    p3sc AS (
+      SELECT p.query_id, p.node AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM vis3 p
+      JOIN v q ON q.vec_id = p.query_id
+      JOIN v n ON n.vec_id = p.node
+      WHERE p.node <> p.query_id),
+    a_r1 AS (SELECT query_id, neighbor_id FROM (
+      SELECT s.query_id, s.neighbor_id,
+        row_number() OVER (PARTITION BY s.query_id ORDER BY s.sim DESC, s.neighbor_id) AS rank
+      FROM p3sc s JOIN vis1 p ON p.query_id = s.query_id AND p.node = s.neighbor_id)
+      t WHERE rank <= 5),
+    a_r2 AS (SELECT query_id, neighbor_id FROM (
+      SELECT s.query_id, s.neighbor_id,
+        row_number() OVER (PARTITION BY s.query_id ORDER BY s.sim DESC, s.neighbor_id) AS rank
+      FROM p3sc s JOIN vis p ON p.query_id = s.query_id AND p.node = s.neighbor_id)
+      t WHERE rank <= 5),
+    a_r3 AS (SELECT query_id, neighbor_id FROM (
+      SELECT s.query_id, s.neighbor_id,
+        row_number() OVER (PARTITION BY s.query_id ORDER BY s.sim DESC, s.neighbor_id) AS rank
+      FROM p3sc s) t WHERE rank <= 5),
+    icand AS (SELECT DISTINCT q.query_id, a3.vec_id AS neighbor_id
+              FROM qpr q JOIN a3 USING (cell)
+              WHERE a3.vec_id <> q.query_id),
+    isc AS (
+      SELECT c.query_id, c.neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM icand c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id),
+    a_ivf AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM isc) t WHERE rank <= 5),
+    tsc AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM v q JOIN v n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 20),
+    t AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM tsc) x WHERE rank <= 5),
+    r AS (
+      SELECT 'graph_r1' AS method,
+        (SELECT count(DISTINCT query_id) FROM t) AS n_queries,
+        (SELECT count(*) FROM a_r1 a JOIN t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS total_hits
+      UNION ALL SELECT 'graph_r2',
+        (SELECT count(DISTINCT query_id) FROM t),
+        (SELECT count(*) FROM a_r2 a JOIN t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+      UNION ALL SELECT 'graph_r3',
+        (SELECT count(DISTINCT query_id) FROM t),
+        (SELECT count(*) FROM a_r3 a JOIN t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+      UNION ALL SELECT 'ivf',
+        (SELECT count(DISTINCT query_id) FROM t),
+        (SELECT count(*) FROM a_ivf a JOIN t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id))
+    SELECT method, cast(n_queries as bigint) AS n_queries,
+      cast(total_hits as bigint) AS total_hits,
+      cast(total_hits as double) / (n_queries * 5) AS recall
+    FROM r ORDER BY method"""),
+    (s, d) => {
+      val emb16 = T(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      val k = SimilarityOps.scaledCellCount(
+        Tables.parquetRowCount(s, s"$d/embeddings.parquet"), targetCell = 64)
+      val cent = SimilarityOps.kmeansFit(emb16, "vec_id", "v16", k = k,
+          iters = 2, samplePerCell = 16)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+      val idx = graft.operators.Exec.materializeForSelfJoin(cent)
+      // the graph builds ONCE; each depth arm re-walks it (the walk is
+      // the cheap part — a diagnostic query pays 3 bounded expansions,
+      // the dd17 trade)
+      val g = graft.operators.Exec.materializeForSelfJoin(
+        SimilarityOps.knnGraph(emb16, "vec_id", "v16", idx,
+          k = 5, nProbe = 2, roundSim = 6)
+          .select("query_id", "neighbor_id"))
+      val e = emb16.select(col("vec_id").as("id"),
+        col("v16").cast("array<double>").as("vec"))
+      val ivfArm = SimilarityOps.ivfTopK(e, col("id") < 20, idx,
+        k = 5, nProbe = 2, roundSim = 6)
+      val truth = graft.operators.Exec.materializeForSelfJoin(
+        SimilarityOps.bruteForceTopK(e.where(col("id") < 20), e,
+          k = 5, roundSim = 6).select("query_id", "neighbor_id"))
+      def recallOf(method: String, approx: DataFrame): DataFrame = {
+        val hits = approx.select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        truth.agg(countDistinct("query_id").as("n_queries")).crossJoin(hits)
+          .select(lit(method).as("method"), col("n_queries"),
+            col("total_hits"),
+            (col("total_hits").cast("double") / (col("n_queries") * lit(5)))
+              .as("recall"))
+      }
+      Seq(1, 2, 3).map { r =>
+        recallOf(s"graph_r$r",
+          SimilarityOps.graphAnnSearch(emb16, "vec_id", "v16", idx, g,
+            col("id") < 20, k = 5, nProbe = 2, rounds = r, roundSim = 6))
+      }.reduce(_ unionByName _)
+        .unionByName(recallOf("ivf", ivfArm))
         .orderBy("method")
     })
 
@@ -6178,6 +6326,39 @@ object Catalog {
         rounds = 3)
       .orderBy("round"))
 
+  // BPE ENCODE pass (the train→apply cycle tx19's merge table exists
+  // for): per document, the whitespace token count, the BPE token count
+  // after 3 learned merges, and the character volume — the compression
+  // curve tokenizer design optimizes. The corpus text is touched
+  // exactly once more: merges apply on the VOCABULARY (each distinct
+  // word's symbol count after the fold), and one exploded-token
+  // equi-join distributes the counts back to documents. Docs with no
+  // non-empty tokens are absent (inner join, mirrored).
+  private val tx20 = Q("tx20_bpe_encode", Some(s"""
+    WITH w AS (SELECT w, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) t
+      WHERE length(w) > 0 GROUP BY w),
+    s0 AS (SELECT w, freq,
+        array_to_string(list_transform(generate_series(1, length(w)),
+          i -> substr(w, i, 1)), chr(31)) AS seq
+      FROM w),
+    ${bpeRoundCtes(1, withMerge = true)},
+    ${bpeRoundCtes(2, withMerge = true)},
+    ${bpeRoundCtes(3, withMerge = true)},
+    vb AS (SELECT w, len(string_split(seq, chr(31))) AS n_bpe FROM s3),
+    tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0),
+    tt AS (SELECT doc_id, w FROM tok WHERE length(w) > 0)
+    SELECT t.doc_id, cast(count(*) as bigint) AS n_ws_tokens,
+      cast(sum(vb.n_bpe) as bigint) AS n_bpe_tokens,
+      cast(sum(length(t.w)) as bigint) AS n_chars
+    FROM tt t JOIN vb USING (w)
+    GROUP BY t.doc_id ORDER BY t.doc_id"""),
+    (s, d) => graft.operators.BpeOps.encodedTokenCounts(
+        T(s, d, "documents"), "doc_id", "text", rounds = 3)
+      .orderBy("doc_id"))
+
   // Sketch SET OPERATIONS (the theta-sketch trick on KMV): estimate
   // the user-set UNION and INTERSECTION of every event-type pair from
   // per-type sketches alone — the "audience overlap" question, answered
@@ -6628,9 +6809,9 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-    ann11, ann12, ann13, ann14, ann15, ann16, ann17,
+    ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13, tx14, tx15, tx16, tx17, tx18, tx19,
+    tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

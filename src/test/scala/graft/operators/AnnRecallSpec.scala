@@ -98,6 +98,21 @@ class AnnRecallSpec extends AnyFunSuite {
         "index — the warm-start superset invariant is broken")
   }
 
+  test("graph depth curve (ann18) is non-decreasing in expansion depth") {
+    // structural, like the ann17 assert: the visited pool at depth d+1
+    // is a superset of the pool at depth d, and hits are monotone in
+    // the pool — a decreasing curve means the frontier bookkeeping
+    // dropped nodes
+    val rows = graft.queries.Catalog.all.find(_.name == "ann18_graph_depth_curve").get
+      .fn(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(3))
+      .toMap
+    assert(Set("graph_r1", "graph_r2", "graph_r3", "ivf").subsetOf(rows.keySet))
+    assert(rows("graph_r1") <= rows("graph_r2"))
+    assert(rows("graph_r2") <= rows("graph_r3"))
+  }
+
   // NOTE: no cross-config ordering (e.g. ivf > pq) is asserted. On
   // near-random embeddings that ordering is a property of the particular
   // corpus draw, not of the code — a regenerated corpus could flip it and

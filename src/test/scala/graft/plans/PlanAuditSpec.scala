@@ -58,9 +58,12 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // probe ranking — dd13's bounded shape)
     "ann15_filtered_topk",      // k-row centroid cross join (assignment
                                 // + bounded query probe ranking)
-    "q83_sketch_setops")        // |types|-row sketch-table pair join
+    "q83_sketch_setops",        // |types|-row sketch-table pair join
                                 // (5 rows — everything past sketch
                                 // building runs on the reduced table)
+    "ann17_graph_recall",       // ann07's recallOf shape: 1-row hit
+                                // counts x 1-row query counts
+    "ann18_graph_depth_curve")  // same recallOf shape, one per depth arm
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -134,7 +137,11 @@ class PlanAuditSpec extends AnyFunSuite {
                                  // ADC table + re-rank queries — all bounded
     "ann14_knn_graph",          // k-row trained centroid broadcast
                                 // (assignment + probe ranking)
-    "ann15_filtered_topk")      // centroids + bounded query-vector set
+    "ann15_filtered_topk",      // centroids + bounded query-vector set
+    "ann16_graph_search",       // centroids (probe ranking) + bounded
+                                // re-rank query-vector broadcast
+    "ann17_graph_recall",       // same, per graded arm
+    "ann18_graph_depth_curve")  // same, per depth arm
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
