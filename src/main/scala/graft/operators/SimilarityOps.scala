@@ -1246,8 +1246,34 @@ object SimilarityOps {
   def graphAnnSearch(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, edges: DataFrame, queryPred: Column,
       k: Int, nProbe: Int = 2, rounds: Int = 2,
+      roundSim: Int = 6): DataFrame =
+    graphAnnSearchByDepth(df, idCol, vecCol, centroids, edges, queryPred,
+        k, nProbe, rounds, roundSim)
+      .where(col("depth") === rounds)
+      .drop("depth")
+
+  /** [[graphAnnSearch]] at EVERY depth 1..`maxRounds` in one pass — the
+    * depth/recall curve's engine (ann18). One expansion walk tags each
+    * visited node with its first-reach round; the pool is exact-cosine
+    * scored ONCE (the expensive part — two corpus-sized vector joins),
+    * and each depth's top-k is a window over the scored rows with
+    * first-reach ≤ d. Running the single-depth search d times would
+    * redo the assignment pass, the probe ranking, and the re-rank joins
+    * per depth; here they are all paid once (the r12 dd21 lesson:
+    * never re-execute a shared subplan per arm). Correctness: the
+    * anti-join-pruned frontier's first-reach depth IS BFS depth, so
+    * {node : fdepth ≤ d} equals the d-round visited set of the
+    * single-depth walk, and the per-depth rank over the once-scored
+    * pool is the same (sim desc, id asc) order.
+    *
+    * @return [query_id, depth, rank, neighbor_id, sim], depth 1..maxRounds
+    */
+  def graphAnnSearchByDepth(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, edges: DataFrame, queryPred: Column,
+      k: Int, nProbe: Int = 2, maxRounds: Int = 2,
       roundSim: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val rounds = maxRounds
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
     val base = Exec.materializeForSelfJoin(
       df.select(col(idCol).cast("long").as("id"),
@@ -1269,6 +1295,7 @@ object SimilarityOps {
       .select(col("query_id"), col("node"))
       .unionByName(queries.select(col("id").as("query_id"), col("id").as("node")))
       .distinct()
+      .withColumn("fdepth", lit(0))
     val und = Exec.materializeForSelfJoin(
       edges.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
         .unionByName(
@@ -1276,14 +1303,17 @@ object SimilarityOps {
         .distinct())
     var visited = Exec.materializeForSelfJoin(seeds)
     var frontier = visited
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val rim = frontier.join(und, frontier("node") === und("src"))
         .select(frontier("query_id"), und("dst").as("node")).distinct()
       // prune nodes already visited: re-expanding them can only re-reach
       // visited nodes (expand distributes over union), so the pruned
-      // walk's visited set equals the unpruned one the oracle replays
+      // walk's visited set equals the unpruned one the oracle replays —
+      // and a pruned node's tag is its FIRST-reach depth (= BFS depth)
       val next = Exec.materializeForSelfJoin(
-        rim.join(visited, Seq("query_id", "node"), "left_anti"))
+        rim.join(visited.select("query_id", "node"),
+            Seq("query_id", "node"), "left_anti")
+          .withColumn("fdepth", lit(r)))
       val merged = Exec.materializeForSelfJoin(
         visited.unionByName(next))
       if (!(frontier eq visited)) Exec.releaseMaterialized(frontier)
@@ -1294,14 +1324,21 @@ object SimilarityOps {
     Exec.releaseMaterialized(und)
     if (!(frontier eq visited)) Exec.releaseMaterialized(frontier)
     val pool = visited.where(col("node") =!= col("query_id"))
-      .select(col("query_id"), col("node").as("neighbor_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"), col("fdepth"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("_ga_qvec"))
     val n = base.select(col("id").as("neighbor_id"), col("vec").as("_ga_nvec"))
-    val scored = pool.join(broadcast(q), Seq("query_id")).join(n, Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("_ga_qvec"), col("_ga_nvec")), roundSim).as("sim"))
+    // score the FULL pool once; each depth ranks its fdepth-<=-d subset
+    val scored = Exec.materializeForSelfJoin(
+      pool.join(broadcast(q), Seq("query_id")).join(n, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("fdepth"),
+          round(cosine(col("_ga_qvec"), col("_ga_nvec")), roundSim).as("sim")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    (1 to rounds).map { d =>
+      scored.where(col("fdepth") <= d)
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("query_id"), lit(d).as("depth"), col("rank"),
+          col("neighbor_id"), col("sim"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -4608,9 +4608,6 @@ object Catalog {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
           x => x.getField("mean")).as("cvec"))
       val idx = graft.operators.Exec.materializeForSelfJoin(cent)
-      // the graph builds ONCE; each depth arm re-walks it (the walk is
-      // the cheap part — a diagnostic query pays 3 bounded expansions,
-      // the dd17 trade)
       val g = graft.operators.Exec.materializeForSelfJoin(
         SimilarityOps.knnGraph(emb16, "vec_id", "v16", idx,
           k = 5, nProbe = 2, roundSim = 6)
@@ -4632,10 +4629,15 @@ object Catalog {
             (col("total_hits").cast("double") / (col("n_queries") * lit(5)))
               .as("recall"))
       }
+      // ONE walk tags first-reach depth, ONE exact-cosine scoring of the
+      // depth-3 pool; each depth ranks its subset (mirrors the oracle's
+      // p3sc-once design) — running the single-depth search 3x would
+      // re-pay assignment, probing, and the re-rank joins per arm
+      val byDepth = graft.operators.Exec.materializeForSelfJoin(
+        SimilarityOps.graphAnnSearchByDepth(emb16, "vec_id", "v16", idx, g,
+          col("id") < 20, k = 5, nProbe = 2, maxRounds = 3, roundSim = 6))
       Seq(1, 2, 3).map { r =>
-        recallOf(s"graph_r$r",
-          SimilarityOps.graphAnnSearch(emb16, "vec_id", "v16", idx, g,
-            col("id") < 20, k = 5, nProbe = 2, rounds = r, roundSim = 6))
+        recallOf(s"graph_r$r", byDepth.where(col("depth") === r))
       }.reduce(_ unionByName _)
         .unionByName(recallOf("ivf", ivfArm))
         .orderBy("method")

@@ -142,4 +142,34 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .select("neighbor_id", "sim").as[(Long, Double)].collect()
     assert(got.toSeq == Seq((1000L, 1.0)))
   }
+
+  test("graphAnnSearch escapes the probed-cell horizon that caps ivfTopK") {
+    import spark.implicits._
+    // three cells; the query probes {c0, c1}. Vector 20 is assigned to
+    // the UNPROBED c2 — ivfTopK can never return it — but the c1 bridge
+    // vector 10 probes {c1, c2}, so its k-NN edges reach into c2 and the
+    // graph walk finds 20 via bridge expansion: the exact recall headroom
+    // the ann17/ann18 measurements quantify, as a deterministic unit case.
+    val corpus = (Seq(
+      (0L, Seq(1.0, 0.05)),            // the query: probes c0, c1
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.92, 0.08)), (3L, Seq(0.95, 0.05)),
+      (10L, Seq(0.55, 0.84)),          // bridge: assigned c1, probes {c1, c2}
+      (20L, Seq(0.3, 0.95)),           // target: assigned c2 (unprobed by query)
+      (21L, Seq(0.05, 0.9)), (22L, Seq(0.02, 0.95))))
+      .toDF("id", "vec")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.6, 0.8)), (2L, Seq(0.0, 1.0)))
+      .toDF("cell", "cvec")
+    val e = corpus.select(col("id"), col("vec"))
+    val ivf = SimilarityOps.ivfTopK(e, col("id") === 0, cents, k = 10, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!ivf.contains(20L), s"ivf must not see the unprobed cell: $ivf")
+    val g = SimilarityOps.knnGraph(corpus, "id", "vec", cents, k = 3, nProbe = 2)
+    val walked = SimilarityOps.graphAnnSearch(corpus, "id", "vec", cents, g,
+        col("id") === 0, k = 10, nProbe = 2, rounds = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(walked.contains(20L),
+      s"the walk must reach cell c2 via the bridge's cross-cell edges: $walked")
+    assert(ivf.subsetOf(walked),
+      "warm start: the walked pool must contain the full ivf result")
+  }
 }
