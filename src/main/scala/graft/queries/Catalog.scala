@@ -6270,6 +6270,77 @@ object Catalog {
         .orderBy("shard")
     })
 
+  // INCREMENTAL shard manifest (ShardExport.assignShardsIncremental —
+  // the daily-append mode of dp24, completing the incremental family
+  // dd08/dd14/dd18): the first 3/5 of the interleave order is "already
+  // exported" HISTORY, summarized by ONE number (its running token
+  // total); the batch continues cutting from that offset touching only
+  // its own rows — O(batch). The correctness claim is the whole point:
+  // the ORACLE runs the FULL history+batch computation and restricts to
+  // the batch suffix, so a hash match PROVES appends never re-cut
+  // existing shards (floor((offset + batch_cumsum)/budget) = the full
+  // run's cut for every batch row, by the dp03 overflow-pack rule).
+  private val dp25 = Q("dp25_incremental_shards", Some("""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    w AS (SELECT lang, cast(floor(sqrt(n)) as bigint) AS w,
+            cast(row_number() OVER (ORDER BY lang) - 1 as bigint) AS src_idx
+          FROM c),
+    tot AS (SELECT cast(sum(w) as bigint) AS wt FROM w),
+    r AS (SELECT doc_id, lang,
+            cast(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+              as bigint) AS src_rank
+          FROM documents),
+    v AS (SELECT r.doc_id, r.lang, r.src_rank,
+            cast(((r.src_rank - 1) * tot.wt) // w.w as bigint) AS vtime,
+            w.src_idx
+          FROM r JOIN w USING (lang) CROSS JOIN tot),
+    g AS (SELECT doc_id,
+            cast(row_number() OVER (ORDER BY vtime, src_idx) as bigint)
+              AS global_pos
+          FROM v),
+    tk AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+           FROM documents),
+    o AS (SELECT g.doc_id, g.global_pos, tk.tok FROM g JOIN tk USING (doc_id)),
+    rr AS (SELECT doc_id, global_pos, tok,
+             sum(tok) OVER (ORDER BY global_pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cum_excl
+           FROM o),
+    hb AS (SELECT cast(count(*) * 3 // 5 as bigint) AS h FROM documents),
+    sa AS (SELECT doc_id, global_pos, tok, cum_excl // 4096 AS shard
+           FROM rr WHERE global_pos > (SELECT h FROM hb))
+    SELECT cast(shard as bigint) AS shard, cast(count(*) as bigint) AS n_docs,
+      cast(sum(tok) as bigint) AS n_tokens,
+      cast(min(global_pos) as bigint) AS first_pos,
+      cast(max(global_pos) as bigint) AS last_pos,
+      md5(string_agg(cast(doc_id as varchar), ',' ORDER BY global_pos)) AS content_md5
+    FROM sa GROUP BY shard ORDER BY shard"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextOps.tokenCount(col("text")).as("tok"))
+      val w = docs.groupBy("lang").agg(count(lit(1)).as("_n"))
+        .withColumn("w", floor(sqrt(col("_n"))).cast("long"))
+        .withColumn("src_idx",
+          (row_number().over(Window.orderBy("lang")) - 1).cast("long"))
+        .select("lang", "w", "src_idx")
+      val inter = graft.operators.Exec.materializeForSelfJoin(
+        PrefixSumOps.mixtureInterleave(docs, "lang", "doc_id", w)
+          .select(col("doc_id"), col("global_pos"), col("tok")))
+      // history boundary = the first 3/5 positions; its token total is
+      // the ONE number the incremental path consumes (mirrored in hb +
+      // the oracle's full-cumsum restriction)
+      val h = inter.agg(count(lit(1))).head().getLong(0) * 3 / 5
+      val offset = inter.where(col("global_pos") <= h)
+        .agg(coalesce(sum("tok"), lit(0L))).head().getLong(0)
+      val batch = inter.where(col("global_pos") > h)
+      graft.sinks.ShardExport.manifest(
+          graft.sinks.ShardExport.assignShardsIncremental(batch,
+            "global_pos", "tok", tokenBudget = 4096L, offsetTokens = offset),
+          "doc_id", "global_pos", "tok")
+        .orderBy("shard")
+    })
+
   /** One BPE oracle round: pair counts over `sJ`'s sequences, the argmax
     * merge `mK`, and (for non-final rounds) the merged sequences `sK` —
     * the CTE chain [[graft.operators.BpeOps]] mirrors. The leftmost-
@@ -6817,5 +6888,5 @@ object Catalog {
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
-    dp19, dp20, dp21, dp22, dp23, dp24)
+    dp19, dp20, dp21, dp22, dp23, dp24, dp25)
 }

@@ -41,6 +41,32 @@ object ShardExport {
       .withColumn("shard", expr(s"cum_excl div ${tokenBudget}L"))
   }
 
+  /** INCREMENTAL shard assignment (the daily-append mode): continue
+    * cutting from a running token offset — the total tokens of
+    * everything already exported — touching ONLY the new batch
+    * (O(batch), the dd08/dd18 incremental discipline). Because the cut
+    * rule is `shard = floor(exclusive_cumsum / budget)` and the
+    * exclusive cumsum of a batch row equals `offsetTokens` + its
+    * batch-local cumsum, the incremental assignment is IDENTICAL to
+    * what a full re-run over history+batch would give the batch rows —
+    * appends never re-cut existing shards, by construction (dp25
+    * proves this cross-engine: its oracle runs the full computation
+    * and restricts to the batch suffix).
+    *
+    * @param offsetTokens sum of `tokCol` over all previously exported
+    *                     rows (one number — the manifest's running
+    *                     total, not a scan of history)
+    */
+  def assignShardsIncremental(df: DataFrame, posCol: String, tokCol: String,
+      tokenBudget: Long, offsetTokens: Long): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(offsetTokens >= 0, "offsetTokens must be non-negative")
+    PrefixSumOps.exclusiveRunningSumAuto(df, Seq(), posCol, tokCol, "_se_batch")
+      .withColumn("cum_excl", col("_se_batch") + lit(offsetTokens))
+      .withColumn("shard", expr(s"cum_excl div ${tokenBudget}L"))
+      .drop("_se_batch")
+  }
+
   /** The manifest relation over an [[assignShards]] result: one row per
     * shard — [shard, n_docs, n_tokens, first_pos, last_pos,
     * content_md5]. The content hash is md5 over the comma-joined doc

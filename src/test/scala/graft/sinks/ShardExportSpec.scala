@@ -48,6 +48,22 @@ class ShardExportSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("assignShardsIncremental equals the full run restricted to the batch (no re-cut)") {
+    import spark.implicits._
+    val all = input
+    for (boundary <- Seq(0L, 17L, 39L)) {
+      val offset = all.where(col("pos") <= boundary)
+        .agg(coalesce(sum("tok"), lit(0L))).as[Long].head()
+      val full = ShardExport.assignShards(all, "pos", "tok", budget)
+        .where(col("pos") > boundary)
+        .select("pos", "shard").as[(Long, Long)].collect().toMap
+      val inc = ShardExport.assignShardsIncremental(
+          all.where(col("pos") > boundary), "pos", "tok", budget, offset)
+        .select("pos", "shard").as[(Long, Long)].collect().toMap
+      assert(inc == full, s"boundary $boundary: incremental cut diverged")
+    }
+  }
+
   test("writeShards: one file per shard; round-trip reproduces order and manifest hash") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     val a = ShardExport.assignShards(input, "pos", "tok", budget)
