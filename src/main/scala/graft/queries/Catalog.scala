@@ -6517,6 +6517,40 @@ object Catalog {
         statePartitions = streamStatePartitions)
       .orderBy("day"))
 
+  // Streaming token-bounded shard export (StreamingOps.streamShardExport
+  // — dp24's cut rule run CONTINUOUSLY, the 11th streaming topology):
+  // documents stream in as contiguous-id buckets; each micro-batch
+  // appends its rows with their bucket-LOCAL exclusive token cumsum;
+  // the global cut composes at close from the (#splits)-row bucket
+  // totals. The state decomposition (offset + local — PrefixSumOps'
+  // two-phase trick applied in TIME) makes the result identical under
+  // ANY micro-batch arrival order, so the oracle is simply the batch
+  // doc_id-order computation — no file-source ordering assumption
+  // anywhere. StreamingOpsSpec additionally asserts multiple
+  // micro-batches really ran and the manifest equals the batch
+  // assignShards result.
+  private val q85 = Q("q85_stream_shard_export", Some("""
+    WITH tk AS (SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+      FROM documents),
+    rr AS (SELECT doc_id, tok,
+        sum(tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cum_excl
+      FROM tk),
+    sa AS (SELECT doc_id, tok, cum_excl // 4096 AS shard FROM rr)
+    SELECT cast(shard as bigint) AS shard, cast(count(*) as bigint) AS n_docs,
+      cast(sum(tok) as bigint) AS n_tokens,
+      cast(min(doc_id) as bigint) AS first_pos,
+      cast(max(doc_id) as bigint) AS last_pos,
+      md5(string_agg(cast(doc_id as varchar), ',' ORDER BY doc_id)) AS content_md5
+    FROM sa GROUP BY shard ORDER BY shard"""),
+    (s, d) => graft.streaming.StreamingOps.streamShardExport(s,
+        s"$d/documents.parquet",
+        queryName = "graft_stream_shards_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
+      .orderBy("shard"))
+
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
   // of dropping duplicates, down-weight them): every copy of a
@@ -6878,7 +6912,7 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

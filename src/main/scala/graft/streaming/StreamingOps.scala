@@ -538,6 +538,84 @@ object StreamingOps {
     SketchOps.slidingDistinct7d(spark.read.parquet(s"$genRoot/g$lastGen"))
   }
 
+  /** Streaming token-bounded shard export (dp24's cut rule run
+    * CONTINUOUSLY — the production export is incremental): documents
+    * stream in as contiguous-id-range buckets (= input splits); each
+    * micro-batch appends its rows with their BUCKET-LOCAL exclusive
+    * token cumsum (a per-bucket window — bounded by the split, never
+    * the corpus), plus nothing else: the streaming state is per-bucket
+    * token totals, implicit in the appended rows. At close, the global
+    * cut composes: bucket offsets = the exclusive prefix over the
+    * (#splits)-row totals table, shard = (offset + local_cumsum) div
+    * budget.
+    *
+    * The design point is ORDER-INDEPENDENCE: because the cut
+    * decomposes as offset + local (the PrefixSumOps two-phase trick
+    * applied in TIME instead of space), the result is identical under
+    * ANY micro-batch arrival order — no reliance on file-source
+    * ordering, no sequential state handoff between batches — and
+    * equals the batch [[graft.sinks.ShardExport.assignShards]] over
+    * doc_id order (dp25's no-re-cut property, streamed). At 100 TB the
+    * appended rows are the shard files themselves (each batch writes
+    * its rows once); only the totals composition — one row per input
+    * split — runs at close.
+    *
+    * @return the manifest [shard, n_docs, n_tokens, first_pos,
+    *         last_pos, content_md5] with position = doc_id
+    */
+  def streamShardExport(spark: SparkSession, docsPath: String,
+      tokenBudget: Long = 4096L, splits: Int = 4,
+      queryName: String = "graft_stream_shards",
+      statePartitions: Option[Int] = None,
+      diagnostics: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.expressions.Window
+    val base = Files.createTempDirectory(s"graft_shards_$queryName")
+    val docs = spark.read.parquet(asSourceDir(docsPath))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.TextOps.tokenCount(col("text")).as("tok"))
+    val mx = docs.agg(max("doc_id")).head()
+    require(!mx.isNullAt(0), "empty documents corpus")
+    val width = mx.getLong(0) / splits + 1
+    val src = base.resolve("src")
+    docs.withColumn("bucket", expr(s"doc_id div ${width}L"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val asg = base.resolve("assigned")
+    val wLoc = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          batch
+            .withColumn("local_excl", sum("tok").over(wLoc) - col("tok"))
+            .write.mode("append").parquet(asg.toString)
+          diagnostics.foreach(_ += id)
+        }
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+    withStatePartitions(spark, statePartitions) {
+      q.start().awaitTermination()
+    }
+    val assigned = spark.read.parquet(asg.toString)
+    // the totals table is one row per input split — the window runs over
+    // #splits rows, not data
+    val offsets = assigned.groupBy("bucket").agg(sum("tok").as("_bt"))
+      .withColumn("_off",
+        sum("_bt").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("_bt"))
+      .select("bucket", "_off")
+    val cut = assigned.join(offsets, Seq("bucket"))
+      .withColumn("cum_excl", col("_off") + col("local_excl"))
+      .withColumn("shard", expr(s"cum_excl div ${tokenBudget}L"))
+    graft.sinks.ShardExport.manifest(cut, "doc_id", "doc_id", "tok")
+  }
+
   /** X1 restated: append a bounded source to a parquet sink in durable
     * micro-batches via foreachBatch (per-chunk flush semantics).
     */

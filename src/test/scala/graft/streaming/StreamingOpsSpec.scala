@@ -286,4 +286,30 @@ class StreamingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("streamShardExport composes bucket-local cumsums to the batch cut") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val batches = scala.collection.mutable.Buffer.empty[Long]
+    val got = StreamingOps.streamShardExport(spark, s"$dir/documents.parquet",
+        splits = 4, queryName = "graft_test_shards",
+        diagnostics = Some(batches))
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("content_md5"))).toSet
+    assert(batches.length >= 2,
+      s"bucketed source must yield several micro-batches, got $batches")
+    // offset + local decomposition: the streamed cut must equal the
+    // batch assignShards over doc_id order, regardless of arrival order
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.TextOps.tokenCount(col("text")).as("tok"))
+    val want = graft.sinks.ShardExport.manifest(
+        graft.sinks.ShardExport.assignShards(docs, "doc_id", "tok", 4096L),
+        "doc_id", "doc_id", "tok")
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("content_md5"))).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
