@@ -1268,10 +1268,19 @@ object SimilarityOps {
     *
     * @return [query_id, depth, rank, neighbor_id, sim], depth 1..maxRounds
     */
+  /** `warmStart = false` models the FOREIGN-query serving case: a query
+    * vector that is not a corpus member has no graph node of its own, so
+    * the walk starts from the per-cell entry points alone — the honest
+    * cold-start configuration whose recall ann18's `graph_cold_r3` arm
+    * measures against IVF (which serves foreign queries natively: its
+    * probe ranking needs only the query vector). The warm-start superset
+    * guarantee (pool ⊇ the ivf result) does NOT hold cold; depth buys it
+    * back empirically.
+    */
   def graphAnnSearchByDepth(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, edges: DataFrame, queryPred: Column,
       k: Int, nProbe: Int = 2, maxRounds: Int = 2,
-      roundSim: Int = 6): DataFrame = {
+      roundSim: Int = 6, warmStart: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rounds = maxRounds
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
@@ -1291,9 +1300,12 @@ object SimilarityOps {
       .orderBy(col("_ga_qsim").desc, col("cell").asc)
     val probes = scoredQ.withColumn("_ga_rn", row_number().over(wp))
       .where(col("_ga_rn") <= nProbe).select(col("query_id"), col("cell"))
-    val seeds = probes.join(ep, Seq("cell"))
+    val entrySeeds = probes.join(ep, Seq("cell"))
       .select(col("query_id"), col("node"))
-      .unionByName(queries.select(col("id").as("query_id"), col("id").as("node")))
+    val seeds = (if (warmStart)
+        entrySeeds.unionByName(
+          queries.select(col("id").as("query_id"), col("id").as("node")))
+      else entrySeeds)
       .distinct()
       .withColumn("fdepth", lit(0))
     val und = Exec.materializeForSelfJoin(

@@ -4342,7 +4342,18 @@ object Catalog {
     granked AS (
       SELECT query_id, neighbor_id, sim,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-      FROM gsc)"""
+      FROM gsc),
+    seeds_c AS (SELECT DISTINCT q.query_id, e.node FROM qpr q JOIN ep e USING (cell)),
+    f1c AS (SELECT DISTINCT s.query_id, u.dst AS node
+            FROM seeds_c s JOIN gu u ON u.src = s.node),
+    f2c AS (SELECT DISTINCT f.query_id, u.dst AS node
+            FROM f1c f JOIN gu u ON u.src = f.node),
+    f3c AS (SELECT DISTINCT f.query_id, u.dst AS node
+            FROM f2c f JOIN gu u ON u.src = f.node),
+    vis3c AS (SELECT query_id, node FROM seeds_c
+              UNION SELECT query_id, node FROM f1c
+              UNION SELECT query_id, node FROM f2c
+              UNION SELECT query_id, node FROM f3c)"""
 
   // Graph-ANN SEARCH (SimilarityOps.graphAnnSearch — VERDICT r12 #3):
   // the HNSW/NSG-style serving complement of IVF, searched over ann14's
@@ -4509,6 +4520,9 @@ object Catalog {
   // with depth, so the curve is structurally non-decreasing; where it
   // FLATTENS is the measured answer to "how deep is worth walking". The
   // oracle scores the depth-3 pool once and ranks each depth's subset.
+  // A 5th arm, graph_cold_r3, drops the warm start (entry points only —
+  // the FOREIGN-query serving case, where the query has no graph node;
+  // ivf serves foreign queries natively, so that is the fair fight).
   private val ann18 = Q("ann18_graph_depth_curve", Some(s"""
     WITH ${kmeansCtes(
       """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
@@ -4550,6 +4564,19 @@ object Catalog {
       SELECT s.query_id, s.neighbor_id,
         row_number() OVER (PARTITION BY s.query_id ORDER BY s.sim DESC, s.neighbor_id) AS rank
       FROM p3sc s) t WHERE rank <= 5),
+    pcsc AS (
+      SELECT p.query_id, p.node AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM vis3c p
+      JOIN v q ON q.vec_id = p.query_id
+      JOIN v n ON n.vec_id = p.node
+      WHERE p.node <> p.query_id),
+    a_c3 AS (SELECT query_id, neighbor_id FROM (
+      SELECT s.query_id, s.neighbor_id,
+        row_number() OVER (PARTITION BY s.query_id ORDER BY s.sim DESC, s.neighbor_id) AS rank
+      FROM pcsc s) t WHERE rank <= 5),
     icand AS (SELECT DISTINCT q.query_id, a3.vec_id AS neighbor_id
               FROM qpr q JOIN a3 USING (cell)
               WHERE a3.vec_id <> q.query_id),
@@ -4588,6 +4615,10 @@ object Catalog {
       UNION ALL SELECT 'graph_r3',
         (SELECT count(DISTINCT query_id) FROM t),
         (SELECT count(*) FROM a_r3 a JOIN t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+      UNION ALL SELECT 'graph_cold_r3',
+        (SELECT count(DISTINCT query_id) FROM t),
+        (SELECT count(*) FROM a_c3 a JOIN t
            ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
       UNION ALL SELECT 'ivf',
         (SELECT count(DISTINCT query_id) FROM t),
@@ -4636,9 +4667,17 @@ object Catalog {
       val byDepth = graft.operators.Exec.materializeForSelfJoin(
         SimilarityOps.graphAnnSearchByDepth(emb16, "vec_id", "v16", idx, g,
           col("id") < 20, k = 5, nProbe = 2, maxRounds = 3, roundSim = 6))
+      // the COLD arm (foreign-query serving: entry points only, no
+      // warm start — ivf serves foreign queries natively, so this is
+      // the fair fight; the superset guarantee does not hold cold and
+      // depth has to buy recall back empirically)
+      val cold = SimilarityOps.graphAnnSearchByDepth(emb16, "vec_id", "v16",
+        idx, g, col("id") < 20, k = 5, nProbe = 2, maxRounds = 3,
+        roundSim = 6, warmStart = false)
       Seq(1, 2, 3).map { r =>
         recallOf(s"graph_r$r", byDepth.where(col("depth") === r))
       }.reduce(_ unionByName _)
+        .unionByName(recallOf("graph_cold_r3", cold.where(col("depth") === 3)))
         .unionByName(recallOf("ivf", ivfArm))
         .orderBy("method")
     })
