@@ -111,7 +111,14 @@ object Bench {
           "dp09_decontam", "tx08_commonness", "dd12_substring_spans",
           "dd13_semantic_dedup", "ann08_kmeans_train",
           "tx14_bigram_lm", "dd17_lsh_recall",
-          "q77_triangle_count", "ann14_knn_graph", "tx18_zipf_slope")
+          "q77_triangle_count", "ann14_knn_graph", "tx18_zipf_slope",
+          // round-13 additions: dd20 (prefix-filtered exact join —
+          // clusters x10, sizes constant on the rotated corpus, so the
+          // candidate set scales ~linearly; isolated 3-probe 3.1-3.4x
+          // after the cold first shot), dp24 (two-phase prefix sum:
+          // 1.2-1.4x), ann16 (knn build + bounded walk — rides ann14's
+          // envelope, 2.7x warm / inflated on cold sf1 file reads)
+          "dd20_jaccard_join", "dp24_shard_manifest", "ann16_graph_search")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY
