@@ -138,9 +138,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann14_knn_graph",          // k-row trained centroid broadcast
                                 // (assignment + probe ranking)
     "ann15_filtered_topk",      // centroids + bounded query-vector set
-    "ann16_graph_search",       // centroids (probe ranking) + bounded
-                                // re-rank query-vector broadcast
-    "ann17_graph_recall",       // same, per graded arm
+    // ann16_graph_search left this list with SharedArtifacts: its probe
+    // ranking + re-rank broadcasts now execute eagerly against the
+    // cached index inside graphAnnSearchByDepth's materialized `scored`,
+    // so the final plan is windowed checkpoint scans — hint-free
+    "ann17_graph_recall",       // recallOf arms' bounded broadcasts
     "ann18_graph_depth_curve")  // same, per depth arm
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
