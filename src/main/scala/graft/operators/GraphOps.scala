@@ -65,4 +65,55 @@ object GraphOps {
       .select(col("k").as("node"), col("d").cast("long").as("degree"),
         col("n_tri").cast("long").as("n_tri"))
   }
+
+  /** Bounded multi-source BFS: the hop distance from every node to its
+    * NEAREST seed, walked at most `maxRounds` rounds — the "blast
+    * radius" / influence-neighborhood query over co-occurrence graphs
+    * (which suppliers sit within 2 hops of a recalled part; which docs
+    * sit within 3 links of a known-bad source).
+    *
+    * Relational formulation (the dd06 / graphAnnSearch bounded-iteration
+    * discipline): whole-frontier expansion via ONE equi-join on the
+    * symmetrized edge set per round, already-visited nodes pruned with
+    * an anti-join so each round's join input is only the new rim. The
+    * anti-join makes first-reach depth = BFS depth = min seed distance
+    * (re-expanding a visited node can only re-reach visited nodes).
+    * Every round is a fixed number of shuffles on the node key — no
+    * per-seed sequential state, so a million seeds batch through the
+    * same `maxRounds` joins. Loop state is fixed-width [node, dist] →
+    * localCheckpoint per round, superseded handles released (the
+    * connectedComponents memory contract).
+    *
+    * Input edges are undirected `[uCol, vCol]`; seeds any DataFrame with
+    * `seedCol`. Output: `[node, dist]`, dist 0 for seeds, one row per
+    * node reached within `maxRounds`.
+    */
+  def boundedDistances(edges: DataFrame, uCol: String, vCol: String,
+      seeds: DataFrame, seedCol: String, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0 && maxRounds <= 16, "maxRounds must be in [0, 16]")
+    val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+    val und = Exec.materializeForSelfJoin(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+        .distinct())
+    var visited = Exec.materializeForSelfJoin(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0)))
+    var frontier = visited
+    for (r <- 1 to maxRounds) {
+      val rim = frontier.join(und, frontier("node") === und("src"))
+        .select(und("dst").as("node")).distinct()
+      val next = Exec.materializeForSelfJoin(
+        rim.join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("dist", lit(r)))
+      val merged = Exec.materializeForSelfJoin(visited.unionByName(next))
+      if (!(frontier eq visited)) Exec.releaseMaterialized(frontier)
+      Exec.releaseMaterialized(visited)
+      visited = merged
+      frontier = next
+    }
+    Exec.releaseMaterialized(und)
+    if (!(frontier eq visited)) Exec.releaseMaterialized(frontier)
+    visited
+  }
 }

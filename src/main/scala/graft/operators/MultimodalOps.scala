@@ -114,6 +114,59 @@ object MultimodalOps {
           "j -> IF(element_at(_picks, j) * _n > _sum, shiftleft(1L, j - 1), 0L)), " +
           "0L, (a, x) -> a + x) as bigint)").as("phash"))
 
+  /** Scene-cut segmentation — the video-side structural analysis every
+    * multimodal curation pipeline runs before frame-level dedup or
+    * captioning: sample frames ([[frameSample]]'s stride windows),
+    * signature each frame with the [[perceptualHash64]] aHash applied
+    * frame-wise, and cut wherever consecutive signatures differ by more
+    * than `threshold` Hamming bits. Segments are the runs between cuts:
+    * a running sum over the per-doc cut indicators (cuts partition the
+    * frame sequence, so segment id = #cuts at-or-before the frame).
+    *
+    * Scale shape: one narrow codegen'd pass for frames + signatures (no
+    * shuffle), then ONE window partitioned by document — frames per doc
+    * are bounded by payload length / stride, so no partition is ever
+    * corpus-sized (the per-doc analogue of tx09's repetition windows).
+    * Zero-length frames (empty payloads) are dropped — they have no
+    * signature, matching [[perceptualHash64]]'s empty-payload contract.
+    *
+    * @return [idCol, seg, start_frame, end_frame, n_frames], one row
+    *         per (document, segment)
+    */
+  def sceneCuts(df: DataFrame, payloadCol: String, idCol: String,
+      frameLen: Int, stride: Int, threshold: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSample(df, payloadCol, idCol, frameLen, stride)
+      .where(length(col("frame")) > 0)
+      .select(col(idCol), col("frame_idx"), col("frame"))
+    // staged like perceptualHash64: _picks / _n / _sum are materialized
+    // columns, never inlined trees (the re-evaluation pitfall)
+    val hashed = frames
+      .withColumn("_picks", expr(
+        "transform(sequence(1, length(frame), " +
+          "greatest((length(frame) + 63) div 64, 1)), " +
+          "i -> cast(conv(hex(substring(frame, i, 1)), 16, 10) as bigint))"))
+      .select(col(idCol), col("frame_idx"), col("_picks"),
+        size(col("_picks")).as("_n"),
+        expr("aggregate(_picks, 0L, (a, x) -> a + x)").as("_sum"))
+      .select(col(idCol), col("frame_idx"),
+        expr("cast(aggregate(transform(sequence(1, _n), " +
+          "j -> IF(element_at(_picks, j) * _n > _sum, shiftleft(1L, j - 1), 0L)), " +
+          "0L, (a, x) -> a + x) as bigint)").as("fhash"))
+    val w = Window.partitionBy(idCol).orderBy("frame_idx")
+    hashed
+      .withColumn("_prev", lag(col("fhash"), 1).over(w))
+      .withColumn("_cut", when(col("_prev").isNull, lit(0))
+        .otherwise((DedupOps.hamming64(col("fhash"), col("_prev")) > threshold)
+          .cast("int")))
+      .withColumn("seg", sum(col("_cut"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("seg"))
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** STUB — deterministic fake media decode. A real implementation would
     * decode image dimensions / audio duration from the payload bytes
     * here; the container has no codec libs, so dimensions are derived

@@ -3029,21 +3029,10 @@ object Catalog {
       cast(c.n_tri as bigint) AS n_tri
     FROM corners c JOIN deg ON deg.k = c.k
     ORDER BY n_tri DESC, node LIMIT 20"""),
-    (s, d) => {
-      val pp = graft.operators.Exec.materializeForSelfJoin(
-        T(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct())
-      val edges = pp.as("a").join(pp.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-        .agg(count(lit(1)).as("supp"))
-        .where(col("supp") >= 2)
-        .select("u", "v")
-      GraphOps.triangleCounts(edges, "u", "v")
-        .orderBy(col("n_tri").desc, col("node"))
-        .limit(20)
-    })
+    (s, d) => GraphOps.triangleCounts(
+        SharedArtifacts.copurchaseEdges(s, d), "u", "v")
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20))
 
   // Two-level mergeable-sketch rollup — THE 100 TB aggregation pattern:
   // persist small per-(group, day) sketches once, answer any coarser
@@ -5337,19 +5326,15 @@ object Catalog {
         "text", num = 1, den = 2)
       .orderBy("id1", "id2"))
 
-  // EXACT dedup roster: connected components over dd20's
-  // zero-false-negative τ-Jaccard edges — dd06's cluster collapse with
-  // a completeness GUARANTEE on the edge set (banded MinHash drops
-  // near-threshold pairs; the prefix-filtered join cannot), so "every
-  // doc above τ similarity shares a cluster" holds by construction.
-  // Same hash-min + pointer-jumping CC, same recursive-CTE oracle
-  // replay as dd06. The join runs ONCE: connectedComponents
-  // materializes its undirected edge set before iterating (r12 judge
-  // item #2 — the roster previously re-executed the full exact-Jaccard
-  // join every neighbor-min round), so dd21 costs dd20 + CC.
-  private val dd21 = Q("dd21_exact_clusters", Some(s"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+  /** Shared oracle chain for the exact-cluster family (dd21 roster,
+    * dp26 canonical selection): dd20's prefix-filtered exact-Jaccard
+    * join replayed end-to-end, plus the UNION-recursive component
+    * fixpoint `reach` (min(lab) per id = the CC label). Plain triple
+    * quotes — `\\s` stays a single backslash; interpolating callers
+    * splice it verbatim.
+    */
+  private val exactClusterCtes = """toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
     shl AS (
       SELECT doc_id,
         list_distinct(CASE WHEN len(t) >= 3 THEN
@@ -5380,7 +5365,20 @@ object Catalog {
     reach(id, lab) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)"""
+
+  // EXACT dedup roster: connected components over dd20's
+  // zero-false-negative τ-Jaccard edges — dd06's cluster collapse with
+  // a completeness GUARANTEE on the edge set (banded MinHash drops
+  // near-threshold pairs; the prefix-filtered join cannot), so "every
+  // doc above τ similarity shares a cluster" holds by construction.
+  // Same hash-min + pointer-jumping CC, same recursive-CTE oracle
+  // replay as dd06. The join runs ONCE: connectedComponents
+  // materializes its undirected edge set before iterating (r12 judge
+  // item #2 — the roster previously re-executed the full exact-Jaccard
+  // join every neighbor-min round), so dd21 costs dd20 + CC.
+  private val dd21 = Q("dd21_exact_clusters", Some(s"""
+    WITH RECURSIVE $exactClusterCtes
     SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id
     ORDER BY doc_id"""),
     (s, d) => {
@@ -6325,6 +6323,74 @@ object Catalog {
         .orderBy("shard")
     })
 
+  // Canonical-document selection — the KEEP POLICY that turns dd21's
+  // cluster roster into an actionable dedup decision (the "which copy
+  // survives" step every production dedup ships): per exact-Jaccard
+  // cluster, keep the highest-quality member (tx02's mirrored quality
+  // score; ties broken by doc_id) and count the rest as removed.
+  // Composes three existing artifacts — the shared verified edge set,
+  // dd06's CC, tx02's pure-Column quality — in one join + one
+  // cluster-partitioned window (clusters are small by construction, so
+  // the window never sees a corpus-sized partition). Output restricted
+  // to clusters that actually collapse (n_members >= 2).
+  private val dp26 = Q("dp26_canonical_docs", Some(s"""
+    WITH RECURSIVE $exactClusterCtes,
+    cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+    qf AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok_cnt,
+        length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+          x -> list_contains(['a','an','the','and','or','of','in','to','is'], lower(x)))) AS stop_cnt,
+        length(text) AS n_len
+      FROM documents),
+    qs AS (SELECT doc_id,
+        0.5 * least(n_len / 512.0, 1.0)
+          + 0.25 * (CASE WHEN tok_cnt = 0 THEN 0.0
+                         ELSE cast(stop_cnt as double) / tok_cnt END)
+          + 0.25 * (1.0 - least(punct_cnt * 16.0 / n_len, 1.0)) AS quality
+      FROM qf),
+    r AS (SELECT cl.cluster, cl.doc_id,
+        row_number() OVER (PARTITION BY cl.cluster
+          ORDER BY qs.quality DESC, cl.doc_id) AS rn,
+        count(*) OVER (PARTITION BY cl.cluster) AS n_members
+      FROM cl JOIN qs USING (doc_id))
+    SELECT cluster, doc_id AS kept_doc, cast(n_members as bigint) AS n_members,
+      cast(n_members - 1 as bigint) AS n_removed
+    FROM r WHERE rn = 1 AND n_members >= 2 ORDER BY cluster"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val clusters = DedupOps.connectedComponents(docs.select(col("doc_id")),
+        SharedArtifacts.jaccardEdges12(s, d)
+          .select(col("id1").as("src"), col("id2").as("dst")), "doc_id")
+      val toksQ = split(trim(col("text")), "\\s+")
+      val stops = Seq("a", "an", "the", "and", "or", "of", "in", "to", "is")
+      val quality = docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("tok_cnt"),
+          TextOps.punctCount(col("text")).as("punct_cnt"),
+          size(filter(toksQ, x => lower(x).isInCollection(stops))).as("stop_cnt"),
+          length(col("text")).as("n_len"))
+        .select(col("doc_id"),
+          (lit(0.5) * least(col("n_len") / 512.0, lit(1.0))
+            + lit(0.25) * when(col("tok_cnt") === 0, 0.0)
+                .otherwise(col("stop_cnt").cast("double") / col("tok_cnt"))
+            + lit(0.25) * (lit(1.0)
+                - least(col("punct_cnt") * 16.0 / col("n_len"), lit(1.0))))
+            .as("quality"))
+      val wRank = Window.partitionBy("cluster")
+        .orderBy(col("quality").desc, col("doc_id"))
+      clusters.join(quality, Seq("doc_id"))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("cluster")))
+        .where(col("rn") === 1 && col("n_members") >= 2)
+        .select(col("cluster"), col("doc_id").as("kept_doc"),
+          col("n_members").cast("long").as("n_members"),
+          (col("n_members") - 1).cast("long").as("n_removed"))
+        .orderBy("cluster")
+    })
+
   /** One BPE oracle round: pair counts over `sJ`'s sequences, the argmax
     * merge `mK`, and (for non-final rounds) the merged sequences `sK` —
     * the CTE chain [[graft.operators.BpeOps]] mirrors. The leftmost-
@@ -6534,6 +6600,41 @@ object Catalog {
         queryName = "graft_stream_shards_" + math.abs(d.hashCode),
         statePartitions = streamStatePartitions)
       .orderBy("shard"))
+
+  // Bounded multi-source BFS over the co-purchase graph
+  // (GraphOps.boundedDistances): hop distance from every part to its
+  // nearest SEED part (pk % 13 == 0) within 3 rounds — the blast-radius
+  // query (recall propagation, bad-source neighborhoods) that completes
+  // the graph family: q68 global importance, dd06 components, q77 local
+  // density, this one reachability. Whole-frontier expansion, one edge
+  // equi-join per round, visited pruned by anti-join (first-reach depth
+  // = BFS depth, so the oracle's UNION-recursive enumeration min()s to
+  // the identical distance). The edge set is q77's shared artifact.
+  private val q86 = Q("q86_graph_distance", Some("""
+    WITH RECURSIVE pp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+    und AS (SELECT u AS s, v AS t FROM e0 UNION SELECT v, u FROM e0),
+    nodes AS (SELECT DISTINCT s AS k FROM und),
+    reach(node, dist) AS (
+      SELECT k, 0 FROM nodes WHERE k % 13 = 0
+      UNION
+      SELECT e.t, r.dist + 1 FROM reach r JOIN und e ON e.s = r.node
+      WHERE r.dist < 3)
+    SELECT node, cast(min(dist) as int) AS dist
+    FROM reach GROUP BY node ORDER BY node"""),
+    (s, d) => {
+      val edges = SharedArtifacts.copurchaseEdges(s, d)
+      val seeds = edges.select(col("u").as("k"))
+        .unionByName(edges.select(col("v").as("k")))
+        .where(col("k") % 13 === 0).distinct()
+      GraphOps.boundedDistances(edges, "u", "v", seeds, "k", maxRounds = 3)
+        .select(col("node"), col("dist").cast("int").as("dist"))
+        .orderBy("node")
+    })
 
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
@@ -6840,6 +6941,70 @@ object Catalog {
         .orderBy("id1", "id2")
     })
 
+  // Scene-cut segmentation (MultimodalOps.sceneCuts): mm02's sampled
+  // frames signatured with mm06's frame-wise aHash, cut where adjacent
+  // signatures differ by > 22 Hamming bits (measured at sf0.01: median
+  // adjacent delta 19-20 bits, so 22 cuts ~23% of transitions — real
+  // structure, not cut-everything), segments = runs between cuts via a
+  // per-doc running cut count. The video-curation step between frame
+  // sampling (mm02) and frame-level near-dup (mm06): a deployment
+  // dedups/captions one keyframe per SEGMENT, not per frame. Same
+  // doc_id < 200 payload bound as mm02.
+  private val mm09 = Q("mm09_scene_cuts", Some("""
+    WITH fr0 AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(length(text) - 63, 1), 48),
+          p -> substr(text, p, 64)) AS frames
+      FROM documents WHERE doc_id < 200),
+    fr AS (
+      SELECT doc_id,
+        unnest(generate_series(0, len(frames) - 1)) AS frame_idx,
+        unnest(frames) AS frame
+      FROM fr0),
+    fnz AS (SELECT * FROM fr WHERE length(frame) > 0),
+    p AS (
+      SELECT doc_id, frame_idx,
+        list_transform(generate_series(1, length(frame),
+          greatest((length(frame) + 63) // 64, 1)),
+          i -> ascii(substr(frame, i, 1))) AS picks
+      FROM fnz),
+    s AS (SELECT doc_id, frame_idx, picks, len(picks) AS n,
+        list_sum(picks) AS sm FROM p),
+    h AS (
+      SELECT doc_id, frame_idx,
+        cast(list_sum(list_transform(generate_series(1, len(picks)),
+          j -> CASE WHEN picks[j] * n <= sm THEN 0
+                    WHEN j = 64 THEN -9223372036854775807 - 1
+                    ELSE (1::BIGINT << (j - 1)) END)) as bigint) AS fhash
+      FROM s),
+    c AS (
+      SELECT doc_id, frame_idx, fhash,
+        lag(fhash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+      FROM h),
+    k AS (
+      SELECT doc_id, frame_idx,
+        CASE WHEN prev IS NULL THEN 0
+             WHEN bit_count(xor(fhash, prev)) > 22 THEN 1 ELSE 0 END AS cut
+      FROM c),
+    g AS (
+      SELECT doc_id, frame_idx,
+        sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM k)
+    SELECT doc_id, cast(seg as bigint) AS seg,
+      cast(min(frame_idx) as int) AS start_frame,
+      cast(max(frame_idx) as int) AS end_frame,
+      cast(count(*) as bigint) AS n_frames
+    FROM g GROUP BY doc_id, seg ORDER BY doc_id, seg"""),
+    (s, d) => MultimodalOps.sceneCuts(
+        MultimodalOps.withBinaryPayload(
+          T(s, d, "documents").where(col("doc_id") < 200), "text"),
+        "payload", "doc_id", frameLen = 64, stride = 48, threshold = 22)
+      .select(col("doc_id"), col("seg").cast("long").as("seg"),
+        col("start_frame"), col("end_frame"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy("doc_id", "seg"))
+
   // Recursive CTE on the Spark SQL surface (Spark 4 WITH RECURSIVE): a
   // data-driven month spine from min to max order month, left-joined to
   // per-month counts — the classic gap-filling calendar recursion, and
@@ -6896,15 +7061,15 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
-    mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08,
+    mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
-    dp19, dp20, dp21, dp22, dp23, dp24, dp25)
+    dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26)
 }

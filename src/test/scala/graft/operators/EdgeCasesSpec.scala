@@ -101,6 +101,33 @@ class EdgeCasesSpec extends AnyFunSuite {
       s"unrelated payloads only ${ham(h(1L), h(5L))} bits apart")
   }
 
+  test("sceneCuts: uniform payload is one segment; segments partition the frames") {
+    // scene A: constant bytes -> every frame hashes to 0, zero cuts.
+    // scene B: varied bytes appended -> the transition flips > threshold
+    // bits and opens at least one new segment.
+    val flat = "a" * 160
+    val varied = (0 until 96).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val df = MultimodalOps.withBinaryPayload(
+      Seq((1L, flat), (2L, "a" * 96 + varied)).toDF("media_id", "text"), "text")
+    val segs = MultimodalOps.sceneCuts(df, "payload", "media_id",
+        frameLen = 64, stride = 48, threshold = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // uniform doc: exactly one segment covering frames 0..2
+    assert(segs(1L).toSeq === Seq((1L, 0L, 0, 2, 3L)))
+    // two-scene doc: more than one segment, and the segments tile the
+    // frame sequence exactly (contiguous, disjoint, complete)
+    val s2 = segs(2L)
+    assert(s2.length >= 2, s"expected a cut, got ${s2.toSeq}")
+    assert(s2.head._3 == 0 && s2.map(_._2).toSeq == s2.indices.map(_.toLong).toSeq)
+    s2.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._4 + 1, s"gap between $a and $b")
+      case _ => ()
+    }
+    assert(s2.map(_._5).sum == s2.last._4 + 1, "n_frames must sum to the frame count")
+  }
+
   test("saltedJoin on empty skewed side is empty") {
     val skewed = Seq.empty[(Long, Long)].toDF("k", "id")
     val small = Seq((1L, "x")).toDF("k", "name")

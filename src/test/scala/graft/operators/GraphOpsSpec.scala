@@ -75,4 +75,36 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  private def distances(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      rounds: Int): Map[Long, Int] = {
+    import spark.implicits._
+    GraphOps.boundedDistances(edges.toDF("u", "v"), "u", "v",
+        seeds.toDF("k"), "k", rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("boundedDistances: path graph BFS depths, walk stops at the bound") {
+    // path 1-2-3-4-5-6, seed at 1, 3 rounds: node 4 at dist 3 is the
+    // last one reached; nodes 5 (dist 4) and 6 (dist 5) are absent
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(distances(path, Seq(1L), 3) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("boundedDistances: multi-source min distance, undirected edges") {
+    // path 1-2-3-4-5, seeds at BOTH ends: middle node 3 is dist 2 from
+    // each, everything else dist <= 1 — the min-over-seeds contract
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(distances(path, Seq(1L, 5L), 3) ===
+      Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("boundedDistances: a cycle re-reaches visited nodes without inflating distance") {
+    // 4-cycle 1-2-3-4-1 seeded at 1: nodes 2 and 4 at dist 1, node 3
+    // reached twice at round 2 (via 2 and via 4) but reported once
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(distances(cyc, Seq(1L), 3) ===
+      Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
 }
