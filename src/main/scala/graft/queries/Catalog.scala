@@ -4945,6 +4945,22 @@ object Catalog {
         FROM $prev r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src
         GROUP BY e.dst) c ON c.node = n.node"""
 
+  /** One personalized-pagerank power iteration (q87's oracle): teleport
+    * mass returns ONLY to the seed set (q68's uniform `init` becomes a
+    * seed-conditional `sinit`), random-walk mass flows over the
+    * symmetrized edge set `eu` with its degrees `degu`.
+    */
+  private def pprIterSql(prev: String): String = s"""
+      SELECT n.node,
+        (CASE WHEN s.node IS NOT NULL
+              THEN (15 * (SELECT sinit FROM smeta)) // 100 ELSE 0 END)
+          + (85 * coalesce(c.contrib, 0)) // 100 AS pr
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+      LEFT JOIN (
+        SELECT eu.dst AS node, cast(sum(r.pr // d.deg) as bigint) AS contrib
+        FROM $prev r JOIN eu ON eu.src = r.node JOIN degu d ON d.src = eu.src
+        GROUP BY eu.dst) c ON c.node = n.node"""
+
   private val q68 = Q("q68_pagerank", Some(s"""
     WITH e AS (
       SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
@@ -6391,6 +6407,48 @@ object Catalog {
         .orderBy("cluster")
     })
 
+  // Cluster-aware leakage-safe split — the PREVENTIVE counterpart of
+  // dp12/dp14's leakage DETECTION: assign train/val/test by hashing the
+  // dup-CLUSTER label (dd21's exact-Jaccard components), not the doc id,
+  // so every member of a near-duplicate cluster lands in the same split
+  // by construction and eval can never score a near-copy of a training
+  // doc. dp02's md5-fraction split applied one level up; singleton docs
+  // are their own cluster, so the split remains ~80/10/10 by cluster
+  // mass. One CC over the shared verified edge set + one hash agg.
+  private val dp27 = Q("dp27_cluster_split", Some(s"""
+    WITH RECURSIVE $exactClusterCtes,
+    cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+    a AS (
+      SELECT cl.doc_id, cl.cluster, d.n_chars,
+        ('0x' || substr(md5('csplit:' || cast(cl.cluster as varchar)), 1, 15))::BIGINT
+          / 1152921504606846976.0 AS frac
+      FROM cl JOIN documents d USING (doc_id)),
+    s AS (SELECT doc_id, cluster, n_chars,
+        CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+             ELSE 'test' END AS split
+      FROM a)
+    SELECT split, count(DISTINCT cluster) AS n_clusters, count(*) AS n_docs,
+      cast(sum(n_chars) as bigint) AS total_chars
+    FROM s GROUP BY split ORDER BY split"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val clusters = DedupOps.connectedComponents(docs.select(col("doc_id")),
+        SharedArtifacts.jaccardEdges12(s, d)
+          .select(col("id1").as("src"), col("id2").as("dst")), "doc_id")
+      clusters.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("frac",
+          conv(substring(md5(concat(lit("csplit:"),
+              col("cluster").cast("string"))), 1, 15), 16, 10)
+            .cast("long").cast("double") / 1.152921504606846976e18)
+        .withColumn("split", when(col("frac") < 0.8, "train")
+          .when(col("frac") < 0.9, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(countDistinct("cluster").as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("split")
+    })
+
   /** One BPE oracle round: pair counts over `sJ`'s sequences, the argmax
     * merge `mK`, and (for non-final rounds) the merged sequences `sK` —
     * the CTE chain [[graft.operators.BpeOps]] mirrors. The leftmost-
@@ -6634,6 +6692,80 @@ object Catalog {
       GraphOps.boundedDistances(edges, "u", "v", seeds, "k", maxRounds = 3)
         .select(col("node"), col("dist").cast("int").as("dist"))
         .orderBy("node")
+    })
+
+  // PERSONALIZED pagerank (the PPR retrieval/recommendation primitive:
+  // "what is relevant to THIS segment", vs q68's global importance):
+  // teleport mass returns only to the seed customers (custkey % 50 == 0)
+  // and diffuses over the SYMMETRIZED customer-supplier graph, so
+  // supplier mass flows back to co-purchasing customers — 4 power
+  // iterations localize the walk around the seed segment (bipartite
+  // collaborative filtering). Same integer micro-unit arithmetic,
+  // per-round materialization, and release discipline as q68; the
+  // oracle replays every round via pprIterSql.
+  private val q87 = Q("q87_personalized_pagerank", Some(s"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    eu AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM eu),
+    degu AS (SELECT src, count(*) AS deg FROM eu GROUP BY src),
+    seeds AS (SELECT node FROM nodes WHERE node < 10000000 AND node % 50 = 0),
+    smeta AS (SELECT 1000000000000 // count(*) AS sinit FROM seeds),
+    p0 AS (SELECT n.node,
+        CASE WHEN s.node IS NOT NULL THEN (SELECT sinit FROM smeta)
+             ELSE 0 END AS pr
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+    p1 AS (${pprIterSql("p0")}),
+    p2 AS (${pprIterSql("p1")}),
+    p3 AS (${pprIterSql("p2")}),
+    p4 AS (${pprIterSql("p3")})
+    SELECT node, pr FROM p4 WHERE pr > 0
+    ORDER BY pr DESC, node LIMIT 100"""),
+    (s, d) => {
+      val e = Exec.materializeForSelfJoin(
+        T(s, d, "orders").join(T(s, d, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))
+          .distinct())
+      val eu = Exec.materializeForSelfJoin(
+        e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct())
+      Exec.releaseMaterialized(e)
+      val nodes = Exec.materializeForSelfJoin(
+        eu.select(col("src").as("node")).distinct())
+      val seeds = Exec.materializeForSelfJoin(
+        nodes.where(col("node") < 10000000L && col("node") % 50 === 0)
+          .withColumn("_seed", lit(1)))
+      val smeta = Exec.materializeForSelfJoin(
+        seeds.agg(expr("1000000000000 div count(*)").as("sinit")))
+      // degrees ride the edge rows (q68's one-join-per-round move)
+      val euDeg = Exec.materializeForSelfJoin(
+        eu.join(eu.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
+      Exec.releaseMaterialized(eu)
+      def teleport(c: Column): Column =
+        when(col("_seed") === 1, c).otherwise(lit(0L))
+      var ranks = nodes.join(seeds.select("node", "_seed"), Seq("node"), "left")
+        .crossJoin(broadcast(smeta))
+        .select(col("node"), teleport(col("sinit")).as("pr"))
+      for (_ <- 1 to 4) {
+        val contribs = ranks.join(euDeg, col("node") === col("src"))
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("contrib"))
+        val prev = ranks
+        ranks = Exec.materializeForSelfJoin(
+          nodes.join(seeds.select("node", "_seed"), Seq("node"), "left")
+            .join(contribs, col("node") === col("dst"), "left")
+            .crossJoin(broadcast(smeta))
+            .select(col("node"),
+              (teleport(expr("(15 * sinit) div 100"))
+                + expr("(85 * coalesce(contrib, 0)) div 100")).as("pr")))
+        Exec.releaseMaterialized(prev)
+      }
+      ranks.where(col("pr") > 0)
+        .orderBy(col("pr").desc, col("node")).limit(100)
+        .orderBy(col("pr").desc, col("node"))
     })
 
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
@@ -7062,6 +7194,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
+    q87,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
@@ -7071,5 +7204,5 @@ object Catalog {
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
-    dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26)
+    dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27)
 }
