@@ -4620,6 +4620,69 @@ object Catalog {
         .orderBy("method")
     })
 
+  // INCREMENTAL index maintenance (the ann-side member of the
+  // incremental family dd08/dd14/dd18): a new batch (vec_id % 5 == 0)
+  // arrives against an index whose quantizer was trained on HISTORY
+  // alone — the deployment never retrains on ingest; it assigns the
+  // batch to the FROZEN centroids (O(batch) work, one broadcast argmax
+  // pass) and monitors per-cell occupancy for the retrain trigger
+  // (n_new doubling a cell's history population signals quantizer
+  // drift — the ANN-index analogue of dd18's sub-bucket monitoring).
+  // The oracle replays history-only training (kmeansCtes over `hist`)
+  // and the frozen-centroid assignment of history + batch.
+  private val ann19 = Q("ann19_index_update", Some(s"""
+    WITH ${kmeansCtes(
+      """hist AS (SELECT vec_id, e FROM v WHERE vec_id % 5 <> 0),
+    kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+             FROM hist),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""",
+      trainSrc = "hist")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    s3 AS (SELECT v.vec_id, c2.cell,
+             ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
+           FROM v CROSS JOIN c2),
+    a3 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn = 1)
+    SELECT cell,
+      cast(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) as bigint) AS n_history,
+      cast(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) as bigint) AS n_new,
+      cast(CASE WHEN sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) * 2
+                     >= sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END as int) AS retrain
+    FROM a3 GROUP BY cell ORDER BY cell"""),
+    (s, d) => {
+      val emb16 = T(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      val hist = emb16.where(col("vec_id") % 5 =!= 0)
+      // k scales with the HISTORY population (the kp CTE mirror); the
+      // count is a 1-row metadata aggregate, not a corpus shuffle
+      val k = SimilarityOps.scaledCellCount(hist.count(), targetCell = 64)
+      val frozen = graft.operators.Exec.materializeForSelfJoin(
+        SimilarityOps.kmeansFit(hist, "vec_id", "v16", k = k,
+            iters = 2, samplePerCell = 16)
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+            x => x.getField("mean")).as("cvec")))
+      SimilarityOps.assignToCentroids(
+          emb16.select(col("vec_id").cast("long").as("id"),
+            col("v16").cast("array<double>").as("vec")),
+          "id", "vec", frozen, roundSim = 6)
+        .groupBy("cell")
+        .agg(
+          sum(when(col("id") % 5 =!= 0, 1L).otherwise(0L)).as("n_history"),
+          sum(when(col("id") % 5 === 0, 1L).otherwise(0L)).as("n_new"))
+        .select(col("cell"), col("n_history"), col("n_new"),
+          when(col("n_new") * 2 >= col("n_history"), 1).otherwise(0)
+            .cast("int").as("retrain"))
+        .orderBy("cell")
+    })
+
   // Semantic decontamination: training vectors within 0.6 cosine of any
   // eval/benchmark vector (vec_id % 11 = 0, dp09's eval convention) —
   // the embedding-level complement of dp09's exact-shingle check:
@@ -7198,7 +7261,7 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-    ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18,
+    ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
