@@ -118,7 +118,11 @@ object Bench {
           // after the cold first shot), dp24 (two-phase prefix sum:
           // 1.2-1.4x), ann16 (knn build + bounded walk — rides ann14's
           // envelope, 2.7x warm / inflated on cold sf1 file reads)
-          "dd20_jaccard_join", "dp24_shard_manifest", "ann16_graph_search")
+          "dd20_jaccard_join", "dp24_shard_manifest", "ann16_graph_search",
+          // q87 (4 fixed PPR rounds over the 10x symmetrized graph —
+          // isolated 3-probe 2.2-2.5x), q86 (BFS over the shared edge
+          // artifact — 1.1-1.5x, edge-build-bound on the first touch)
+          "q87_personalized_pagerank", "q86_graph_distance")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY
