@@ -150,6 +150,10 @@ object Bench {
         // scales must pay their materialization cost cold.
         def timed(dir: String): Seq[(String, Option[Double])] = {
           spark.catalog.clearCache()
+          // session artifacts too: without this the sf0.1 pass serves
+          // the warmup's trained indexes / edge sets while sf1 builds
+          // them cold, inflating artifact-consuming probes (q77/q86)
+          graft.queries.SharedArtifacts.clear()
           probes.map { n =>
             // dp01 also runs connectedComponents: clear the slot before
             // dd06 so a dd06 failure can't republish an earlier query's

@@ -59,7 +59,22 @@ object SharedArtifacts {
     cache.computeIfAbsent(key, _ => build)
   }
 
-  def clear(): Unit = cache.clear()
+  /** Drop every cached artifact AND release its pinned checkpoint
+    * blocks (values are the `localCheckpoint` handles themselves, so
+    * [[Exec.releaseMaterialized]] applies; a stopped session's release
+    * is a no-op). Cold-cache probe protocols (Bench's sf1 section,
+    * Sf1Probe) call this next to `clearCache()` so BOTH scales pay
+    * artifact builds cold — without it the small-scale side rides the
+    * warmup's session artifacts while the big side builds, inflating
+    * ratios (the q77 17× in-run artifact, BASELINE round 13).
+    */
+  def clear(): Unit = {
+    cache.values.forEach { df =>
+      try graft.operators.Exec.releaseMaterialized(df)
+      catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
 
   /** The 16-dim trained IVF centroid table every emb16-family query
     * assigns against (dd13/dd15 semantic dedup, ann14 graph build,

@@ -146,6 +146,7 @@ object Sf1Probe {
         // sf0.1 pass vs a cold sf1 pass flatters the ratio (graft.Bench's
         // sf1-section protocol)
         spark.catalog.clearCache()
+        graft.queries.SharedArtifacts.clear()
         val t0 = System.nanoTime()
         cat(n).fn(spark, sf).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
