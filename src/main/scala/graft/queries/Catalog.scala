@@ -4683,6 +4683,143 @@ object Catalog {
         .orderBy("cell")
     })
 
+  // IVF nProbe/recall curve (ann18's depth-curve discipline applied to
+  // the OTHER serving knob): recall at nProbe 1/2/4 on the shared
+  // trained index, query set, and k. Structurally non-decreasing — the
+  // candidate pool at nProbe p+1 ⊇ p, and the truth items globally
+  // dominate the sim order, so hits = |pool ∩ truth| (capped at k) is
+  // monotone in the pool. The pool is scored ONCE at nProbe 4 (each
+  // corpus vector joins through its single assigned cell, tagged with
+  // that cell's probe rank); each arm ranks its prn ≤ p subset — never
+  // three assignment passes (the r12 dd21 lesson).
+  private val ann20 = Q("ann20_nprobe_curve", Some(s"""
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    s3 AS (SELECT v.vec_id, c2.cell,
+             ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
+           FROM v CROSS JOIN c2),
+    a3 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn = 1),
+    qp AS (SELECT vec_id AS query_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY csim DESC, cell) AS prn
+           FROM s3 WHERE vec_id < 20),
+    cand AS (SELECT q.query_id, a3.vec_id AS neighbor_id, min(q.prn) AS prn
+             FROM qp q JOIN a3 USING (cell)
+             WHERE q.prn <= 4 AND a3.vec_id <> q.query_id
+             GROUP BY q.query_id, a3.vec_id),
+    csc AS (
+      SELECT c.query_id, c.neighbor_id, c.prn,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM cand c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id),
+    a_p1 AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM csc WHERE prn <= 1) t WHERE rank <= 5),
+    a_p2 AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM csc WHERE prn <= 2) t WHERE rank <= 5),
+    a_p4 AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM csc WHERE prn <= 4) t WHERE rank <= 5),
+    tsc AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM v q JOIN v n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 20),
+    t AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM tsc) x WHERE rank <= 5),
+    r AS (
+      SELECT 'ivf_p1' AS method,
+        (SELECT count(DISTINCT query_id) FROM t) AS n_queries,
+        (SELECT count(*) FROM a_p1 a JOIN t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS total_hits
+      UNION ALL SELECT 'ivf_p2',
+        (SELECT count(DISTINCT query_id) FROM t),
+        (SELECT count(*) FROM a_p2 a JOIN t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+      UNION ALL SELECT 'ivf_p4',
+        (SELECT count(DISTINCT query_id) FROM t),
+        (SELECT count(*) FROM a_p4 a JOIN t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id))
+    SELECT method, cast(n_queries as bigint) AS n_queries,
+      cast(total_hits as bigint) AS total_hits,
+      cast(total_hits as double) / (n_queries * 5) AS recall
+    FROM r ORDER BY method"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb16 = T(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      val idx = SharedArtifacts.centroids16(s, d)
+      val base = graft.operators.Exec.materializeForSelfJoin(
+        emb16.select(col("vec_id").cast("long").as("id"),
+          col("v16").cast("array<double>").as("vec")))
+      val assigned = SimilarityOps.assignToCentroids(base, "id", "vec",
+        idx, roundSim = 6)
+      val wq = Window.partitionBy("query_id")
+        .orderBy(col("_np_qsim").desc, col("cell").asc)
+      val probes = base.where(col("id") < 20)
+        .select(col("id").as("query_id"), col("vec").as("_np_qv"))
+        .crossJoin(broadcast(idx))
+        .withColumn("_np_qsim",
+          round(SimilarityOps.cosine(col("_np_qv"), col("cvec")), 6))
+        .withColumn("prn", row_number().over(wq))
+        .where(col("prn") <= 4)
+        .select("query_id", "cell", "prn")
+      val cand = probes
+        .join(assigned.select(col("id").as("neighbor_id"), col("cell")), Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id").agg(min("prn").as("prn"))
+      val qv = base.select(col("id").as("query_id"), col("vec").as("_np_qvec"))
+      val nv = base.select(col("id").as("neighbor_id"), col("vec").as("_np_nvec"))
+      // score the nProbe-4 pool ONCE; each arm ranks its prn <= p subset
+      val scored = graft.operators.Exec.materializeForSelfJoin(
+        cand.join(broadcast(qv.where(col("query_id") < 20)), Seq("query_id"))
+          .join(nv, Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), col("prn"),
+            round(SimilarityOps.cosine(col("_np_qvec"), col("_np_nvec")), 6)
+              .as("sim")))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      val e = base.select(col("id"), col("vec"))
+      val truth = graft.operators.Exec.materializeForSelfJoin(
+        SimilarityOps.bruteForceTopK(e.where(col("id") < 20), e,
+          k = 5, roundSim = 6).select("query_id", "neighbor_id"))
+      def recallOf(method: String, approx: DataFrame): DataFrame = {
+        val hits = approx.select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        truth.agg(countDistinct("query_id").as("n_queries")).crossJoin(hits)
+          .select(lit(method).as("method"), col("n_queries"),
+            col("total_hits"),
+            (col("total_hits").cast("double") / (col("n_queries") * lit(5)))
+              .as("recall"))
+      }
+      Seq(1, 2, 4).map { p =>
+        recallOf(s"ivf_p$p", scored.where(col("prn") <= p)
+          .withColumn("rank", row_number().over(wr)).where(col("rank") <= 5))
+      }.reduce(_ unionByName _).orderBy("method")
+    })
+
   // Semantic decontamination: training vectors within 0.6 cosine of any
   // eval/benchmark vector (vec_id % 11 = 0, dp09's eval convention) —
   // the embedding-level complement of dp09's exact-shingle check:
@@ -7261,7 +7398,7 @@ object Catalog {
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-    ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19,
+    ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,

@@ -65,6 +65,8 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // building runs on the reduced table)
     "ann17_graph_recall",       // ann07's recallOf shape: 1-row hit
                                 // counts x 1-row query counts
+    "ann20_nprobe_curve",       // same recallOf shape, one per nProbe
+                                // arm (pool scored once, materialized)
     "ann18_graph_depth_curve")  // same recallOf shape, one per depth arm
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
