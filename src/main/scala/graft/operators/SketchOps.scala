@@ -34,6 +34,26 @@ object SketchOps {
     udaf(new graft.functions.KmvAggregator(k),
       org.apache.spark.sql.Encoders.scalaLong)
 
+  /** Registered KMV sample-sketch UDAF (k-bounded (hash, value) pairs —
+    * the quantile-sketch complement of [[kmvUdaf]]). Feed
+    * `struct(h as "h", v as "v")` where `h` is a uniform hash of the ROW
+    * identity and `v` the measured value.
+    */
+  def kmvPairUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new graft.functions.KmvPairAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvPair])
+
+  /** The value at ceil(num/den · n) in the sketch's value order (the
+    * percentile_disc convention), computed entirely inside the bounded
+    * `array<struct<h,v>>` sketch column. The rank is the integer
+    * `(n·num + den − 1) div den` — exact on both engines, no float rank.
+    */
+  def sampleQuantile(sk: Column, num: Int, den: Int): Column = {
+    val vs = array_sort(transform(sk, x => x.getField("v")))
+    val rank = floor((size(sk) * num + (den - 1)) / den).cast("int")
+    element_at(vs, rank)
+  }
+
   /** Per-day KMV(64) sketches of the md5-hashed user id — one bounded
     * sketch row per observed day, the persisted artifact of the
     * sliding-distinct pipeline. Input needs `ts` (timestamp) and

@@ -6968,6 +6968,91 @@ object Catalog {
         .orderBy(col("pr").desc, col("node"))
     })
 
+  // Mergeable QUANTILE sketch rollup (the quantile complement of q78's
+  // distinct-count sketches): per-(flag, month) KMV sample sketches —
+  // the k smallest ROW-IDENTITY hashes, each carrying its value — merge
+  // per flag by union-take-k (exactly the k minima of the union, so the
+  // merged sketch equals the sketch a single pass would have built),
+  // and p50/p90 read back from the bounded sample. QuantileOps'
+  // histogram thresholds need a known bounded domain; this sketch
+  // serves unbounded values and rolls up to ANY grouping after the
+  // fact — state is groups × k pairs, the only corpus-sized operation
+  // is one map-side-combined hash agg. The exact arm (full per-flag
+  // rank selection) is the GRADING harness, linear by design like
+  // ann07's truth arm; a deployment persists only the sketches. Ranks
+  // are integer ceil(q·n) on both engines; a hash collision keeps the
+  // smallest value so the sketch is merge-order-independent.
+  private val q88 = Q("q88_sketch_quantiles", Some("""
+    WITH hv AS (
+      SELECT l_returnflag AS pri, strftime(l_shipdate, '%Y-%m') AS m,
+        ('0x' || substr(md5(cast(l_orderkey as varchar) || '-' ||
+           cast(l_linenumber as varchar)), 1, 15))::BIGINT AS h,
+        cast(l_extendedprice as double) AS v
+      FROM lineitem),
+    hd AS (SELECT pri, m, h, min(v) AS v FROM hv GROUP BY pri, m, h),
+    mk AS (SELECT pri, m, h, v FROM (
+        SELECT pri, m, h, v,
+          row_number() OVER (PARTITION BY pri, m ORDER BY h) AS rn
+        FROM hd) t WHERE rn <= 128),
+    mu AS (SELECT pri, h, min(v) AS v FROM mk GROUP BY pri, h),
+    mg AS (SELECT pri, h, v FROM (
+        SELECT pri, h, v,
+          row_number() OVER (PARTITION BY pri ORDER BY h) AS rn
+        FROM mu) t WHERE rn <= 128),
+    sm AS (SELECT pri, count(*) AS ns FROM mg GROUP BY pri),
+    sv AS (SELECT pri, v,
+        row_number() OVER (PARTITION BY pri ORDER BY v, h) AS vr FROM mg),
+    est AS (SELECT sv.pri, max(sm.ns) AS n_sample,
+        max(CASE WHEN sv.vr = (sm.ns + 1) // 2 THEN sv.v END) AS est_p50,
+        max(CASE WHEN sv.vr = (sm.ns * 9 + 9) // 10 THEN sv.v END) AS est_p90
+      FROM sv JOIN sm USING (pri) GROUP BY sv.pri),
+    ev AS (SELECT l_returnflag AS pri, cast(l_extendedprice as double) AS v
+           FROM lineitem),
+    ec AS (SELECT pri, count(*) AS n FROM ev GROUP BY pri),
+    er AS (SELECT pri, v,
+        row_number() OVER (PARTITION BY pri ORDER BY v) AS vr FROM ev),
+    ex AS (SELECT er.pri, max(ec.n) AS n_rows,
+        max(CASE WHEN er.vr = (ec.n + 1) // 2 THEN er.v END) AS exact_p50,
+        max(CASE WHEN er.vr = (ec.n * 9 + 9) // 10 THEN er.v END) AS exact_p90
+      FROM er JOIN ec USING (pri) GROUP BY er.pri)
+    SELECT e.pri, cast(x.n_rows as bigint) AS n_rows,
+      cast(e.n_sample as bigint) AS n_sample,
+      e.est_p50, x.exact_p50, e.est_p90, x.exact_p90
+    FROM est e JOIN ex x USING (pri) ORDER BY e.pri"""),
+    (s, d) => {
+      val kmv = SketchOps.kmvPairUdaf(128)
+      val hv = T(s, d, "lineitem").select(
+        col("l_returnflag").as("pri"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        conv(substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        col("l_extendedprice").cast("double").as("v"))
+      val monthly = hv.groupBy("pri", "m")
+        .agg(kmv(col("h"), col("v")).as("sk"))
+      val merged = monthly.select(col("pri"), explode(col("sk")).as("p"))
+        .select(col("pri"), col("p.h").as("h"), col("p.v").as("v"))
+        .groupBy("pri").agg(kmv(col("h"), col("v")).as("sk"))
+        .select(col("pri"), size(col("sk")).cast("long").as("n_sample"),
+          SketchOps.sampleQuantile(col("sk"), 1, 2).as("est_p50"),
+          SketchOps.sampleQuantile(col("sk"), 9, 10).as("est_p90"))
+      def crank(n: Column, num: Int, den: Int): Column =
+        floor((n * num + (den - 1)) / den).cast("long")
+      val ev = T(s, d, "lineitem").select(col("l_returnflag").as("pri"),
+        col("l_extendedprice").cast("double").as("v"))
+      val er = ev
+        .withColumn("vr", row_number().over(Window.partitionBy("pri").orderBy("v")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+      val ex = er.groupBy("pri").agg(max("n").as("n_rows"),
+        max(when(col("vr") === crank(col("n"), 1, 2), col("v"))).as("exact_p50"),
+        max(when(col("vr") === crank(col("n"), 9, 10), col("v"))).as("exact_p90"))
+      merged.join(ex, Seq("pri"))
+        .select(col("pri"), col("n_rows").cast("long").as("n_rows"),
+          col("n_sample"), col("est_p50"), col("exact_p50"),
+          col("est_p90"), col("exact_p90"))
+        .orderBy("pri")
+    })
+
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
   // of dropping duplicates, down-weight them): every copy of a
@@ -7394,7 +7479,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87,
+    q87, q88,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

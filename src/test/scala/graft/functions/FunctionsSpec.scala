@@ -103,4 +103,60 @@ class FunctionsSpec extends AnyFunSuite {
       assert(sk.length <= 16 && sk == sk.sorted && sk.distinct == sk)
     }
   }
+
+  test("KmvPairAggregator: merge-order independence, collision keeps min v, bounded") {
+    val agg = new KmvPairAggregator(8)
+    val items = Seq(
+      KmvPair(50L, 5.0), KmvPair(10L, 1.0), KmvPair(10L, 0.5), // collision
+      KmvPair(90L, 9.0), KmvPair(20L, 2.0), KmvPair(70L, 7.0),
+      KmvPair(30L, 3.0), KmvPair(80L, 8.0), KmvPair(40L, 4.0),
+      KmvPair(60L, 6.0), KmvPair(95L, 9.5))
+    val direct = items.foldLeft(agg.zero)(agg.reduce)
+    // every 2-way split, merged both ways, gives the same sketch
+    (0 to items.length).foreach { cut =>
+      val (a, b) = items.splitAt(cut)
+      val sa = a.foldLeft(agg.zero)(agg.reduce)
+      val sb = b.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(sa, sb) == direct)
+      assert(agg.merge(sb, sa) == direct)
+    }
+    assert(direct.length == 8)
+    assert(direct.map(_.h) == direct.map(_.h).sorted)
+    assert(direct.find(_.h == 10L).get.v == 0.5) // collision kept min v
+    assert(!direct.exists(_.h == 90L) && !direct.exists(_.h == 95L)) // k minima only
+  }
+
+  test("KmvPair two-level merge equals direct; k >= n makes sampleQuantile exact") {
+    val kmv = graft.operators.SketchOps.kmvPairUdaf(64)
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 2}", s"m${i % 5}",
+        (i * 2654435761L) & 0xFFFFFFFFL, // unique uniform-ish row hash
+        ((i * 37) % 1000).toDouble)
+    }.toDF("g", "m", "h", "v")
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(Long, Double)]] =
+      df.select(col("g"), explode(col("sk")).as("p"))
+        .select(col("g"), col("p.h"), col("p.v"))
+        .as[(String, Long, Double)].collect().toSeq
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(x => (x._2, x._3)).sortBy(_._1) }
+    val direct = pairs(rows.groupBy("g").agg(kmv(col("h"), col("v")).as("sk")))
+    val twoLevel = pairs(rows.groupBy("g", "m").agg(kmv(col("h"), col("v")).as("sk"))
+      .select(col("g"), explode(col("sk")).as("p"))
+      .select(col("g"), col("p.h").as("h"), col("p.v").as("v"))
+      .groupBy("g").agg(kmv(col("h"), col("v")).as("sk")))
+    assert(twoLevel == direct)
+    // with k >= group size the sample IS the group: quantiles are exact
+    val kmvBig = graft.operators.SketchOps.kmvPairUdaf(512)
+    val est = rows.groupBy("g").agg(kmvBig(col("h"), col("v")).as("sk"))
+      .select(col("g"),
+        graft.operators.SketchOps.sampleQuantile(col("sk"), 1, 2).as("p50"),
+        graft.operators.SketchOps.sampleQuantile(col("sk"), 9, 10).as("p90"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = (0 until 500).map(i => (s"g${i % 2}", ((i * 37) % 1000).toDouble))
+      .groupBy(_._1).map { case (g, xs) =>
+        val vs = xs.map(_._2).sorted
+        def rk(num: Int, den: Int) = vs((vs.length * num + den - 1) / den - 1)
+        g -> (rk(1, 2), rk(9, 10))
+      }
+    assert(est == exact)
+  }
 }
