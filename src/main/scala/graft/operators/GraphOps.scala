@@ -116,4 +116,47 @@ object GraphOps {
     if (!(frontier eq visited)) Exec.releaseMaterialized(frontier)
     visited
   }
+
+  /** Bounded multi-source WEIGHTED shortest paths (Bellman–Ford,
+    * `maxRounds` relaxation rounds): the cheapest ≤`maxRounds`-hop cost
+    * from every node to its nearest seed over an undirected weighted
+    * graph — [[boundedDistances]]' hop metric generalized to edge costs
+    * (routing over co-occurrence strength: "how weakly is this part
+    * connected to the trusted hubs", where strong co-purchase support
+    * means a cheap edge).
+    *
+    * Unlike BFS, a node's best cost can improve after first reach, so
+    * each round relaxes the WHOLE distance table, not just a frontier:
+    * one edge equi-join + one min-aggregation per round — the textbook
+    * Bellman–Ford invariant (after r rounds, cost = cheapest over paths
+    * of ≤ r edges) that an oracle replays as r unrolled UNION/min CTEs.
+    * Loop state is fixed-width [node, cost], localCheckpointed per
+    * round with superseded handles released (the connectedComponents
+    * memory contract). Costs must be non-negative integers; the caller
+    * keeps cost · maxRounds inside a Long (integer micro-unit costs and
+    * ≤ 16 rounds leave 2^44 headroom).
+    */
+  def boundedCheapestPaths(edges: DataFrame, uCol: String, vCol: String,
+      costCol: String, seeds: DataFrame, seedCol: String,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0 && maxRounds <= 16, "maxRounds must be in [0, 16]")
+    val e = edges.select(col(uCol).cast("long").as("u"),
+      col(vCol).cast("long").as("v"), col(costCol).cast("long").as("c"))
+    val und = Exec.materializeForSelfJoin(
+      e.select(col("u").as("src"), col("v").as("dst"), col("c"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst"), col("c"))))
+    var dist = Exec.materializeForSelfJoin(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct()
+        .withColumn("cost", lit(0L)))
+    for (_ <- 1 to maxRounds) {
+      val relaxed = dist.join(und, dist("node") === und("src"))
+        .select(und("dst").as("node"), (dist("cost") + und("c")).as("cost"))
+      val next = Exec.materializeForSelfJoin(
+        dist.unionByName(relaxed).groupBy("node").agg(min("cost").as("cost")))
+      Exec.releaseMaterialized(dist)
+      dist = next
+    }
+    Exec.releaseMaterialized(und)
+    dist
+  }
 }

@@ -7053,6 +7053,139 @@ object Catalog {
         .orderBy("pri")
     })
 
+  // Mergeable HEAVY-HITTERS summaries (Misra-Gries under the Agarwal et
+  // al. "Mergeable Summaries" merge — the frequency complement of q78's
+  // distinct-count and q88's quantile sketches): per-(flag, month)
+  // exact part histograms truncate to k=16 MG counters by subtracting
+  // the (k+1)-th largest count (an exact histogram IS a zero-error MG
+  // summary, and the subtract-and-drop step is the paper's merge
+  // applied to it); the monthly summaries then merge per flag by
+  // summing surviving counters and subtracting the merged (k+1)-th
+  // largest again. Every estimate UNDERCOUNTS by at most the summed
+  // subtracted thresholds — reported as `bound` and graded row-by-row
+  // against the exact arm (est <= exact <= est + bound, spec-asserted).
+  // State is groups x k counters; both corpus-sized operations are
+  // map-side-combined hash aggs, and each (k+1)-th-largest window runs
+  // over one group's counter rows, never the corpus. The threshold is
+  // the (k+1)-th largest VALUE (duplicates counted), so ties need no
+  // ordering contract — any tie order yields the same threshold.
+  private val q89 = Q("q89_heavy_hitters", Some("""
+    WITH c1 AS (
+      SELECT l_returnflag AS pri, strftime(l_shipdate, '%Y-%m') AS m,
+             l_partkey AS pk, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2, 3),
+    t1 AS (
+      SELECT pri, m, coalesce(max(CASE WHEN rn = 17 THEN cnt END), 0) AS t
+      FROM (SELECT pri, m, cnt,
+              row_number() OVER (PARTITION BY pri, m
+                                 ORDER BY cnt DESC, pk) AS rn
+            FROM c1) z
+      GROUP BY pri, m),
+    s1 AS (
+      SELECT c1.pri, c1.pk, c1.cnt - t1.t AS w
+      FROM c1 JOIN t1 USING (pri, m) WHERE c1.cnt - t1.t > 0),
+    m1 AS (SELECT pri, pk, sum(w) AS w FROM s1 GROUP BY pri, pk),
+    t2 AS (
+      SELECT pri, coalesce(max(CASE WHEN rn = 17 THEN w END), 0) AS tt
+      FROM (SELECT pri, w, pk,
+              row_number() OVER (PARTITION BY pri
+                                 ORDER BY w DESC, pk) AS rn
+            FROM m1) z
+      GROUP BY pri),
+    mg AS (
+      SELECT m1.pri, m1.pk, m1.w - t2.tt AS est
+      FROM m1 JOIN t2 USING (pri) WHERE m1.w - t2.tt > 0),
+    ex AS (SELECT l_returnflag AS pri, l_partkey AS pk, count(*) AS exact
+           FROM lineitem GROUP BY 1, 2),
+    bd AS (SELECT t1.pri, sum(t1.t) AS tsum FROM t1 GROUP BY t1.pri)
+    SELECT mg.pri, mg.pk, cast(mg.est as bigint) AS est,
+      cast(ex.exact as bigint) AS exact,
+      cast(bd.tsum + t2.tt as bigint) AS bound
+    FROM mg JOIN ex USING (pri, pk) JOIN bd USING (pri) JOIN t2 USING (pri)
+    ORDER BY mg.pri, est DESC, mg.pk"""),
+    (s, d) => {
+      val k = 16
+      val li = T(s, d, "lineitem")
+      val c1 = li.groupBy(col("l_returnflag").as("pri"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+          col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("cnt"))
+      val w1 = Window.partitionBy("pri", "m")
+        .orderBy(col("cnt").desc, col("pk"))
+      val t1 = c1.withColumn("rn", row_number().over(w1))
+        .groupBy("pri", "m")
+        .agg(coalesce(max(when(col("rn") === k + 1, col("cnt"))), lit(0L))
+          .as("t"))
+      val s1 = c1.join(t1, Seq("pri", "m"))
+        .select(col("pri"), col("pk"), (col("cnt") - col("t")).as("w"))
+        .where(col("w") > 0)
+      val m1 = s1.groupBy("pri", "pk").agg(sum("w").as("w"))
+      val w2 = Window.partitionBy("pri").orderBy(col("w").desc, col("pk"))
+      val t2 = m1.withColumn("rn", row_number().over(w2))
+        .groupBy("pri")
+        .agg(coalesce(max(when(col("rn") === k + 1, col("w"))), lit(0L))
+          .as("tt"))
+      val mg = m1.join(t2, Seq("pri"))
+        .select(col("pri"), col("pk"), (col("w") - col("tt")).as("est"))
+        .where(col("est") > 0)
+      val ex = li.groupBy(col("l_returnflag").as("pri"),
+          col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("exact"))
+      val bd = t1.groupBy("pri").agg(sum("t").as("tsum"))
+      mg.join(ex, Seq("pri", "pk")).join(bd, Seq("pri")).join(t2, Seq("pri"))
+        .select(col("pri"), col("pk"), col("est").cast("long").as("est"),
+          col("exact").cast("long").as("exact"),
+          (col("tsum") + col("tt")).cast("long").as("bound"))
+        .orderBy(col("pri"), col("est").desc, col("pk"))
+    })
+
+  private def bfIterSql(prev: String): String = s"""
+    SELECT node, min(cost) AS cost FROM (
+      SELECT node, cost FROM $prev
+      UNION ALL
+      SELECT e.t AS node, p.cost + e.c AS cost
+      FROM $prev p JOIN und e ON e.s = p.node) z
+    GROUP BY node"""
+
+  // Bounded WEIGHTED shortest paths (GraphOps.boundedCheapestPaths —
+  // q86's hop metric generalized to edge costs): the cheapest <=3-hop
+  // cost from every part to the seed hubs (pk % 13 == 0) over the
+  // co-purchase graph, edge cost = 1000000 div support, so strongly
+  // co-purchased parts are "close" — the routing / trust-propagation
+  // query the graph family lacked. Bellman-Ford relaxes the whole
+  // distance table each round (a reached node's cost can still improve,
+  // so there is no frontier to prune); the oracle replays each round as
+  // an unrolled UNION/min CTE over the identical edge set. All-integer
+  // costs; the edge set is q77/q86's shared weighted artifact.
+  private val q90 = Q("q90_cheapest_path", Some(s"""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (
+      SELECT a.pk AS u, b.pk AS v, count(*) AS supp
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+    und AS (
+      SELECT u AS s, v AS t, 1000000 // supp AS c FROM e0
+      UNION ALL SELECT v, u, 1000000 // supp FROM e0),
+    d0 AS (
+      SELECT DISTINCT s AS node, cast(0 as bigint) AS cost
+      FROM und WHERE s % 13 = 0),
+    d1 AS (${bfIterSql("d0")}),
+    d2 AS (${bfIterSql("d1")}),
+    d3 AS (${bfIterSql("d2")})
+    SELECT node, cast(cost as bigint) AS cost FROM d3 ORDER BY node"""),
+    (s, d) => {
+      val ew = SharedArtifacts.copurchaseWeighted(s, d)
+        .select(col("u"), col("v"), expr("1000000 div supp").as("c"))
+      val seeds = ew.select(col("u").as("k"))
+        .unionByName(ew.select(col("v").as("k")))
+        .where(col("k") % 13 === 0).distinct()
+      GraphOps.boundedCheapestPaths(ew, "u", "v", "c", seeds, "k",
+          maxRounds = 3)
+        .select(col("node"), col("cost").cast("long").as("cost"))
+        .orderBy("node")
+    })
+
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
   // of dropping duplicates, down-weight them): every copy of a
@@ -7479,7 +7612,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88,
+    q87, q88, q89, q90,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

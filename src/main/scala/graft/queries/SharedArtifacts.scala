@@ -127,13 +127,14 @@ object SharedArtifacts {
           k = 5, nProbe = 2, roundSim = 6))
     }
 
-  /** The co-purchase graph (distinct part pairs sharing ≥ 2 orders)
-    * that q77's triangle counts and q86's BFS distances both analyze —
-    * a derived input neither query outputs, built once per session the
+  /** The co-purchase graph (distinct part pairs sharing ≥ 2 orders,
+    * with their order-count support) that q77's triangle counts, q86's
+    * BFS distances and q90's weighted shortest paths all analyze — a
+    * derived input none of them outputs, built once per session the
     * way the shared token tables are (one order-key self-join; edge
     * support is a plain group-by count).
     */
-  def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+  def copurchaseWeighted(s: SparkSession, d: String): DataFrame =
     cached(s, "copurchase", d, "lineitem") {
       val pp = Exec.materializeForSelfJoin(
         Tables.table(s, d, "lineitem")
@@ -144,11 +145,16 @@ object SharedArtifacts {
         .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
         .agg(count(lit(1)).as("supp"))
         .where(col("supp") >= 2)
-        .select("u", "v")
       val out = Exec.materializeForSelfJoin(edges)
       Exec.releaseMaterialized(pp)
       out
     }
+
+  /** The unweighted view of [[copurchaseWeighted]] — one build serves
+    * both shapes.
+    */
+  def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    copurchaseWeighted(s, d).select("u", "v")
 
   /** dd20's verified τ=1/2 exact-Jaccard edge set, served to dd21's
     * roster (the r12 judge item #2 fix completed: dd21 now costs CC over

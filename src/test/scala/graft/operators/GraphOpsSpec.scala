@@ -107,4 +107,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(distances(cyc, Seq(1L), 3) ===
       Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
   }
+
+  private def cheapest(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.boundedCheapestPaths(edges.toDF("u", "v", "c"), "u", "v", "c",
+        seeds.toDF("k"), "k", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("boundedCheapestPaths: a longer-hop cheaper path overtakes first reach") {
+    // seed 1; direct edge 1-3 costs 10, detour 1-2-3 costs 1+1=2.
+    // Round 1 reaches 3 at cost 10; round 2 must IMPROVE it to 2 —
+    // the whole-table relaxation BFS's visited-pruning would miss.
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L))
+    assert(cheapest(g, Seq(1L), 1) === Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    assert(cheapest(g, Seq(1L), 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("boundedCheapestPaths: r rounds = cheapest over paths of <= r edges") {
+    // path 1 -2-> 2 -2-> 3 -2-> 4 plus shortcut 1-4 cost 7: within 2
+    // rounds only the shortcut reaches 4 (7); 3 rounds relax to 6
+    val g = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L), (1L, 4L, 7L))
+    assert(cheapest(g, Seq(1L), 2) ===
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 7L))
+    assert(cheapest(g, Seq(1L), 3) ===
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L))
+  }
+
+  test("boundedCheapestPaths: multi-source takes the nearer seed, undirected") {
+    // path 1 -5-> 2 -5-> 3 -1-> 4, seeds {1, 4}: node 3 is cost 1 via
+    // seed 4 (edge walked against its input direction), not 10 via 1
+    val g = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 1L))
+    assert(cheapest(g, Seq(1L, 4L), 3) ===
+      Map(1L -> 0L, 4L -> 0L, 2L -> 5L, 3L -> 1L))
+  }
 }
