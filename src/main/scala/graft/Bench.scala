@@ -122,7 +122,12 @@ object Bench {
           // q87 (4 fixed PPR rounds over the 10x symmetrized graph —
           // isolated 3-probe 2.2-2.5x), q86 (BFS over the shared edge
           // artifact — 1.1-1.5x, edge-build-bound on the first touch)
-          "q87_personalized_pagerank", "q86_graph_distance")
+          "q87_personalized_pagerank", "q86_graph_distance",
+          // q90 (3 Bellman-Ford whole-table relaxations over the same
+          // edge artifact: each round is one edge equi-join + one min
+          // agg, so the slope is q86's join shape without the frontier
+          // shrink — expect the edge-artifact envelope)
+          "q90_cheapest_path")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY
