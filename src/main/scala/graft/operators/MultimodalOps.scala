@@ -167,6 +167,58 @@ object MultimodalOps {
         count(lit(1)).as("n_frames"))
   }
 
+  /** Energy-gated segmentation — the audio-side structural analysis
+    * (VAD-style utterance splitting) that speech-data curation runs
+    * before transcription: frame the payload into NON-overlapping
+    * windows ([[frameSample]] with stride = frame length), score each
+    * frame's energy as its byte-value sum, gate frames at a mean-energy
+    * threshold (`Σbytes > threshold · n` — integer cross-multiplied, no
+    * float division), and report each maximal run of consecutive voiced
+    * frames at least `minFrames` long. The complementary shape to
+    * [[sceneCuts]]: an ABSOLUTE per-frame gate with islands-and-gaps
+    * run grouping, vs scene-cuts' adjacent-difference cuts with a
+    * running cut count — the two standard segmenters a media pipeline
+    * pairs. A real VAD would swap the byte sum for decoded-sample RMS
+    * inside the same plumbing (the decodeStub stance).
+    *
+    * Scale shape: one narrow codegen'd pass for frames + energies, then
+    * per-doc windows over frame rows (bounded by payload length / frame
+    * length, never corpus-sized). Empty frames are dropped.
+    *
+    * @return [idCol, seg, start_frame, end_frame, n_frames, energy] —
+    *         seg numbers a doc's surviving segments from 1 in frame
+    *         order
+    */
+  def energySegments(df: DataFrame, payloadCol: String, idCol: String,
+      frameLen: Int, threshold: Int, minFrames: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSample(df, payloadCol, idCol, frameLen, frameLen)
+      .where(length(col("frame")) > 0)
+      .select(col(idCol), col("frame_idx"), col("frame"))
+    // staged like perceptualHash64: _picks materialized, never inlined
+    val energy = frames
+      .withColumn("_picks", expr(
+        "transform(sequence(1, length(frame)), " +
+          "i -> cast(conv(hex(substring(frame, i, 1)), 16, 10) as bigint))"))
+      .select(col(idCol), col("frame_idx"),
+        expr("aggregate(_picks, 0L, (a, x) -> a + x)").as("_sum"),
+        size(col("_picks")).as("_n"))
+      .where(col("_sum") > col("_n").cast("long") * threshold)
+    val w = Window.partitionBy(idCol).orderBy("frame_idx")
+    energy
+      .withColumn("_island", col("frame_idx") - row_number().over(w))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum("_sum").as("energy"))
+      .where(col("n_frames") >= minFrames)
+      .withColumn("seg", row_number()
+        .over(Window.partitionBy(idCol).orderBy("start_frame")))
+      .select(col(idCol), col("seg"), col("start_frame"), col("end_frame"),
+        col("n_frames"), col("energy"))
+  }
+
   /** STUB — deterministic fake media decode. A real implementation would
     * decode image dimensions / audio duration from the payload bytes
     * here; the container has no codec libs, so dimensions are derived

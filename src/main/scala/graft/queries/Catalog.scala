@@ -7555,6 +7555,64 @@ object Catalog {
         col("n_frames").cast("long").as("n_frames"))
       .orderBy("doc_id", "seg"))
 
+  // VAD-style energy segmentation (MultimodalOps.energySegments): the
+  // audio complement of mm09's scene cuts — 32-byte non-overlapping
+  // frames, a frame is "voiced" iff its mean byte value exceeds 94
+  // (measured at sf0.01: frame mean-byte p25/p50/p75 = 93.0/94.4/96.1,
+  // so 94 gates ~45% of frames — real alternating structure), segments
+  // = maximal voiced runs of >= 2 frames via islands-and-gaps
+  // (frame_idx minus per-doc voiced rank). The utterance-splitting
+  // step speech curation runs before transcription; an ABSOLUTE gate +
+  // island grouping vs mm09's adjacent-difference cuts + running cut
+  // count. Same doc_id < 200 payload bound as mm02/mm09; all-integer
+  // energies (byte sums, cross-multiplied threshold).
+  private val mm10 = Q("mm10_vad_segments", Some("""
+    WITH fr0 AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(length(text) - 31, 1), 32),
+          p -> substr(text, p, 32)) AS frames
+      FROM documents WHERE doc_id < 200),
+    fr AS (
+      SELECT doc_id,
+        unnest(generate_series(0, len(frames) - 1)) AS frame_idx,
+        unnest(frames) AS frame
+      FROM fr0),
+    fnz AS (SELECT * FROM fr WHERE length(frame) > 0),
+    e AS (
+      SELECT doc_id, frame_idx,
+        list_sum(list_transform(generate_series(1, length(frame)),
+          i -> ascii(substr(frame, i, 1)))) AS sm,
+        length(frame) AS n
+      FROM fnz),
+    v AS (SELECT doc_id, frame_idx, sm FROM e WHERE sm > n * 94),
+    i AS (
+      SELECT doc_id, frame_idx, sm,
+        frame_idx - row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY frame_idx) AS island
+      FROM v),
+    g AS (
+      SELECT doc_id, island, min(frame_idx) AS start_frame,
+        max(frame_idx) AS end_frame, count(*) AS n_frames,
+        sum(sm) AS energy
+      FROM i GROUP BY doc_id, island),
+    f AS (SELECT * FROM g WHERE n_frames >= 2)
+    SELECT doc_id,
+      cast(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+        as int) AS seg,
+      cast(start_frame as int) AS start_frame,
+      cast(end_frame as int) AS end_frame,
+      cast(n_frames as bigint) AS n_frames, cast(energy as bigint) AS energy
+    FROM f ORDER BY doc_id, seg"""),
+    (s, d) => MultimodalOps.energySegments(
+        MultimodalOps.withBinaryPayload(
+          T(s, d, "documents").where(col("doc_id") < 200), "text"),
+        "payload", "doc_id", frameLen = 32, threshold = 94, minFrames = 2)
+      .select(col("doc_id"), col("seg").cast("int").as("seg"),
+        col("start_frame"), col("end_frame"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("energy").cast("long").as("energy"))
+      .orderBy("doc_id", "seg"))
+
   // Recursive CTE on the Spark SQL surface (Spark 4 WITH RECURSIVE): a
   // data-driven month spine from min to max order month, left-joined to
   // per-month counts — the classic gap-filling calendar recursion, and
@@ -7619,7 +7677,7 @@ object Catalog {
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
-    mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
+    mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
     dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27)

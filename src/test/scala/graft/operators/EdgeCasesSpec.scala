@@ -128,6 +128,26 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(s2.map(_._5).sum == s2.last._4 + 1, "n_frames must sum to the frame count")
   }
 
+  test("energySegments: gate, min-run filter, island boundaries, seg numbering") {
+    // 8 non-overlapping 4-byte frames: 'z' (122) frames are voiced at
+    // threshold 100, 'a' (97) frames are not. Layout z z a z a z z z ->
+    // voiced runs {0,1}, {3}, {5,6,7}; minFrames=2 keeps {0,1} and
+    // {5,6,7}, numbered 1 and 2. A doc below the gate everywhere is
+    // absent entirely.
+    val doc = "zzzz" * 2 + "aaaa" + "zzzz" + "aaaa" + "zzzz" * 3
+    val df = MultimodalOps.withBinaryPayload(
+      Seq((1L, doc), (2L, "aaaa" * 4)).toDF("media_id", "text"), "text")
+    val segs = MultimodalOps.energySegments(df, "payload", "media_id",
+        frameLen = 4, threshold = 100, minFrames = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(segs.toSeq === Seq(
+      (1L, 1, 0, 1, 2L, 2 * 4 * 122L),
+      (1L, 2, 5, 7, 3L, 3 * 4 * 122L)))
+  }
+
   test("saltedJoin on empty skewed side is empty") {
     val skewed = Seq.empty[(Long, Long)].toDF("k", "id")
     val small = Seq((1L, "x")).toDF("k", "name")
