@@ -48,4 +48,44 @@ object SnapshotOps {
           .otherwise("unchanged"))
       .drop("_in_old", "_in_new")
   }
+
+  /** SCD Type-2 history build from a change event stream: collapse each
+    * key's consecutive repeats of the same attribute value (only CHANGES
+    * open a new version), then stitch validity intervals — `valid_from`
+    * = the change's timestamp, `valid_to` = the NEXT change's timestamp
+    * (exclusive; NULL marks the current version), `version` numbering
+    * each key's history from 1. The dimension-table complement of
+    * [[snapshotDiff]]: diff compares two snapshots, this reconstructs
+    * the full slowly-changing history from the raw event log — the
+    * standard warehouse backfill when a dimension was never historized.
+    *
+    * `tieCol` breaks equal-timestamp ties deterministically (an event id
+    * / load sequence); both engines see the same total order, so the
+    * intervals are exact. Timestamps are compared and emitted as integer
+    * microseconds (the repo's `epoch_us` oracle-parity convention).
+    *
+    * Scale shape: two windows partitioned by the key (lag to detect
+    * changes, lead + row_number to stitch intervals over the CHANGE rows
+    * only — typically a small fraction of events), no join, no
+    * corpus-wide window. Skewed keys bound the partition at that key's
+    * event count, the same contract as sessionization.
+    *
+    * @return [keyCol, version, attrCol, valid_from_us, valid_to_us]
+    */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col("_ts_us"), col(tieCol))
+    val changes = events
+      .select(col(keyCol), col(attrCol),
+        unix_micros(col(tsCol)).as("_ts_us"), col(tieCol))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .where(col("_prev").isNull || col(attrCol) =!= col("_prev"))
+    changes
+      .withColumn("valid_from_us", col("_ts_us"))
+      .withColumn("valid_to_us", lead(col("_ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col(keyCol), col("version"), col(attrCol),
+        col("valid_from_us"), col("valid_to_us"))
+  }
 }

@@ -5998,6 +5998,96 @@ object Catalog {
       }
     })
 
+  // Heaps'-law vocabulary GROWTH curve (the tokenizer-design diagnostic
+  // pairing tx18's Zipf frequency slope): rank docs by doc_id with a
+  // distributed prefix sum (never a global window over the corpus),
+  // split the corpus into 10 prefix deciles, and report cumulative
+  // token count vs cumulative vocabulary at each decile boundary —
+  // vocabulary at decile c counts tokens whose FIRST document lands
+  // at-or-before c (one min-aggregation per token, map-side
+  // combinable), so no decile re-scans the corpus. The Heaps exponent
+  // is tx18's integer-nano OLS over the 10 (ln N, ln V) points,
+  // attached to the curve rows by a 1-row broadcast (plan-audit
+  // pinned). Everything past the token explode runs on doc-level or
+  // 10-row tables. The oracle keeps the single-window SQL; the
+  // distributed rewrite is the point (the dp16 stance).
+  private val tx21 = Q("tx21_heaps_growth", Some("""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    ds AS (SELECT doc_id, len(toks) AS n_toks FROM docs),
+    meta AS (SELECT count(*) AS nd FROM ds),
+    rk AS (SELECT doc_id, n_toks,
+        row_number() OVER (ORDER BY doc_id) AS rnk,
+        sum(n_toks) OVER (ORDER BY doc_id) AS cum
+      FROM ds),
+    dd AS (SELECT doc_id, cum,
+        ((rnk - 1) * 10) // (SELECT nd FROM meta) + 1 AS dec FROM rk),
+    nc AS (SELECT dec, max(cum) AS n_tokens FROM dd GROUP BY dec),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+    tf AS (SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t),
+    nv AS (SELECT d.dec, count(*) AS new_vocab
+           FROM tf JOIN dd d ON d.doc_id = tf.first_doc GROUP BY d.dec),
+    curve AS (
+      SELECT nc.dec, cast(nc.n_tokens as bigint) AS n_tokens,
+        cast(sum(coalesce(nv.new_vocab, 0)) OVER (ORDER BY nc.dec)
+          as bigint) AS vocab
+      FROM nc LEFT JOIN nv ON nv.dec = nc.dec),
+    pts AS (SELECT dec, n_tokens, vocab,
+        cast(round(ln(cast(n_tokens as double)) * 1000000000.0) as bigint) AS x,
+        cast(round(ln(cast(vocab as double)) * 1000000000.0) as bigint) AS y,
+        cast(round(ln(cast(n_tokens as double)) * ln(cast(vocab as double)) * 1000000000.0) as bigint) AS xy,
+        cast(round(ln(cast(n_tokens as double)) * ln(cast(n_tokens as double)) * 1000000000.0) as bigint) AS xx
+      FROM curve),
+    sl AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(xy) AS sxy, sum(xx) AS sxx FROM pts)
+    SELECT cast(p.dec as int) AS decile, p.n_tokens, p.vocab,
+      round((cast(sl.n as double) * sl.sxy - cast(sl.sx as double) * sl.sy)
+          / (cast(sl.n as double) * sl.sxx - cast(sl.sx as double) * sl.sx), 6)
+        AS heaps_slope
+    FROM pts p, sl ORDER BY p.dec"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), DedupOps.tokens(col("text")).as("_t"))
+      val ds = docs
+        .select(col("doc_id"), size(col("_t")).cast("long").as("n_toks"))
+      val nd = math.max(ds.count(), 1L) // guards the div; 0 docs => 0 rows
+      val ranked = PrefixSumOps.exclusiveRunningSumAuto(
+          PrefixSumOps.exclusiveRunningSumAuto(
+            ds.withColumn("_one", lit(1L)), Seq(), "doc_id", "_one", "_xr"),
+          Seq(), "doc_id", "n_toks", "_xt")
+        .withColumn("cum", col("_xt") + col("n_toks"))
+        .withColumn("dec", expr(s"(_xr * 10) div $nd + 1"))
+      val nc = ranked.groupBy("dec").agg(max("cum").as("n_tokens"))
+      val tf = docs.select(col("doc_id"), explode(col("_t")).as("t"))
+        .groupBy("t").agg(min("doc_id").as("first_doc"))
+      val nv = tf.join(ranked.select(col("doc_id").as("first_doc"),
+          col("dec")), Seq("first_doc"))
+        .groupBy("dec").agg(count(lit(1)).as("new_vocab"))
+      val wc = Window.orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = nc.join(nv, Seq("dec"), "left")
+        .na.fill(0L, Seq("new_vocab"))
+        .select(col("dec"), col("n_tokens").cast("long").as("n_tokens"),
+          sum("new_vocab").over(wc).cast("long").as("vocab"))
+        .select(col("dec"), col("n_tokens"), col("vocab"),
+          expr("cast(round(ln(cast(n_tokens as double)) * 1000000000.0) as bigint)").as("x"),
+          expr("cast(round(ln(cast(vocab as double)) * 1000000000.0) as bigint)").as("y"),
+          expr("cast(round(ln(cast(n_tokens as double)) * ln(cast(vocab as double)) * 1000000000.0) as bigint)").as("xy"),
+          expr("cast(round(ln(cast(n_tokens as double)) * ln(cast(n_tokens as double)) * 1000000000.0) as bigint)").as("xx"))
+      val sl = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum("xy").as("sxy"), sum("xx").as("sxx"))
+      pts.crossJoin(broadcast(sl))
+        .select(col("dec").cast("int").as("decile"), col("n_tokens"),
+          col("vocab"),
+          round((col("n").cast("double") * col("sxy")
+              - col("sx").cast("double") * col("sy"))
+            / (col("n").cast("double") * col("sxx")
+              - col("sx").cast("double") * col("sx")), 6).as("heaps_slope"))
+        .orderBy("decile")
+    })
+
   // Fixed-budget PPS sampling (systematic selection over the running
   // char total): exactly ≤32 docs per language, long docs included with
   // probability ∝ length — the fixed-SIZE complement of dp07's Bernoulli
@@ -7186,6 +7276,48 @@ object Catalog {
         .orderBy("node")
     })
 
+  // SCD Type-2 history build (SnapshotOps.scd2 — the dimension-table
+  // complement of the J1/J2 snapshot ops): reconstruct each user's
+  // slowly-changing event_type history from the raw event log —
+  // consecutive repeats collapse, every CHANGE opens a version with
+  // [valid_from, valid_to) stitched from the next change's timestamp
+  // (NULL = current) — the standard warehouse backfill when a dimension
+  // was never historized. Two per-key windows over the change rows,
+  // no join, no corpus-wide window; event_id breaks equal-timestamp
+  // ties identically on both engines, and validity bounds are integer
+  // epoch microseconds (the epoch_us parity convention). user_id < 50
+  // bounds the OUTPUT for the oracle diff; the windows are per-user
+  // either way.
+  private val q91 = Q("q91_scd2_history", Some("""
+    WITH src AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE user_id < 50),
+    o AS (
+      SELECT user_id, event_type, ts_us, event_id,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev
+      FROM src),
+    ch AS (
+      SELECT user_id, event_type, ts_us, event_id FROM o
+      WHERE prev IS NULL OR event_type <> prev),
+    scd AS (
+      SELECT user_id, event_type, ts_us AS valid_from_us,
+        lead(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS valid_to_us,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS version
+      FROM ch)
+    SELECT user_id, cast(version as int) AS version, event_type,
+      cast(valid_from_us as bigint) AS valid_from_us,
+      cast(valid_to_us as bigint) AS valid_to_us
+    FROM scd ORDER BY user_id, version"""),
+    (s, d) => SnapshotOps.scd2(
+        T(s, d, "events").where(col("user_id") < 50),
+        "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("version").cast("int").as("version"),
+        col("event_type"), col("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "version"))
+
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
   // of dropping duplicates, down-weight them): every copy of a
@@ -7670,13 +7802,13 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90,
+    q87, q88, q89, q90, q91,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
+    tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

@@ -33,4 +33,38 @@ class SnapshotOpsSpec extends AnyFunSuite {
       .select("k", "status").collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got == Map(1L -> "changed", 2L -> "unchanged"))
   }
+
+  test("scd2: repeats collapse, intervals abut, the current version stays open") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // user 1: a a b a  -> versions a[10,30) b[30,40) a[40,NULL)
+    // user 2: x        -> one open version
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L),
+      (1L, "a", 40L, 4L), (2L, "x", 15L, 5L))
+      .toDF("user_id", "attr", "us", "event_id")
+      .withColumn("ts", timestamp_micros($"us"))
+    val got = SnapshotOps.scd2(ev, "user_id", "attr", "ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (1L, 1, "a", 10L, 30L), (1L, 2, "b", 30L, 40L), (1L, 3, "a", 40L, -1L),
+      (2L, 1, "x", 15L, -1L)))
+  }
+
+  test("scd2: equal timestamps order by the tie column") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // two changes at the same microsecond: event_id decides which one
+    // opens first and which supersedes it
+    val ev = Seq((1L, "p", 10L, 2L), (1L, "q", 10L, 1L))
+      .toDF("user_id", "attr", "us", "event_id")
+      .withColumn("ts", timestamp_micros($"us"))
+    val got = SnapshotOps.scd2(ev, "user_id", "attr", "ts", "event_id")
+      .collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((1, "q", 10L, 10L), (2, "p", 10L, -1L)))
+  }
 }

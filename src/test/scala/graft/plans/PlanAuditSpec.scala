@@ -67,7 +67,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // counts x 1-row query counts
     "ann20_nprobe_curve",       // same recallOf shape, one per nProbe
                                 // arm (pool scored once, materialized)
-    "ann18_graph_depth_curve")  // same recallOf shape, one per depth arm
+    "ann18_graph_depth_curve",  // same recallOf shape, one per depth arm
+    "tx21_heaps_growth")        // 1-row OLS-stats aggregate over the
+                                // 10-row decile curve (tx18's slope
+                                // arithmetic, attached curve-side)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -148,7 +151,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // cached index inside graphAnnSearchByDepth's materialized `scored`,
     // so the final plan is windowed checkpoint scans — hint-free
     "ann17_graph_recall",       // recallOf arms' bounded broadcasts
-    "ann18_graph_depth_curve")  // same, per depth arm
+    "ann18_graph_depth_curve",  // same, per depth arm
+    "tx21_heaps_growth")        // 1-row OLS-stats aggregate
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
