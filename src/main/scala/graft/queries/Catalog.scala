@@ -6088,6 +6088,88 @@ object Catalog {
         .orderBy("decile")
     })
 
+  // BM25 ranked retrieval (the IR serving complement of tx06's TF-IDF
+  // term weighting): a bounded query set — each query is the first ≤6
+  // distinct tokens of a doc_id<20 document — retrieves its top-5
+  // corpus documents under Okapi BM25 (k1=1.2, b=0.75). The classic
+  // distributed-retrieval shape: corpus-sized postings (tf per
+  // doc×term, df per term) are ONE explode + two map-side-combinable
+  // hash aggs; the query-term table (≤120 rows) broadcasts onto the
+  // postings equi-join, so the only rows scored are postings of the
+  // queries' terms — candidate-bounded by query-term document
+  // frequency, never corpus × queries. Per-term contributions are
+  // rounded to integer nanos BEFORE the per-(query,doc) sum (tx18's
+  // convention: integer summation is order-independent, so both
+  // engines agree exactly); avgdl derives from integer sums, not
+  // avg(), for the same reason. Top-5 window runs over candidates
+  // only, partitioned by query.
+  private val tx22 = Q("tx22_bm25_retrieval", Some("""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM docs),
+    stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+    toks AS (SELECT doc_id, unnest(t) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t[1:6]) AS term
+           FROM docs WHERE doc_id < 20),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+        cast(round(
+          ln((cast(s.n as double) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+          * (cast(tf.tf as double) * 2.2)
+          / (cast(tf.tf as double)
+             + 1.2 * (0.25 + 0.75 * cast(dl.dl as double)
+                             / (cast(s.sdl as double) / cast(s.n as double))))
+          * 1000000000.0) as bigint) AS c
+      FROM qt JOIN tf USING (term) JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      WHERE tf.doc_id <> qt.query_id),
+    scored AS (
+      SELECT query_id, doc_id, cast(sum(c) as bigint) AS score_nano
+      FROM contrib GROUP BY 1, 2)
+    SELECT query_id, rank, doc_id, score_nano FROM (
+      SELECT query_id, doc_id, score_nano,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY score_nano DESC, doc_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), DedupOps.tokens(col("text")).as("_t"))
+      val dl = docs.select(col("doc_id"), size(col("_t")).cast("long").as("dl"))
+      val toks = Exec.materializeLarge(
+        docs.select(col("doc_id"), explode(col("_t")).as("term")))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+      val qt = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(col("_t"), 1, 6)).as("term"))
+        .distinct()
+      val contrib = tf.join(dfreq, "term").join(dl, "doc_id")
+        .join(broadcast(qt), "term")
+        .where(col("doc_id") =!= col("query_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"),
+          expr("""cast(round(
+            ln((cast(n as double) - df + 0.5) / (df + 0.5) + 1.0)
+            * (cast(tf as double) * 2.2)
+            / (cast(tf as double)
+               + 1.2 * (0.25 + 0.75 * cast(dl as double)
+                               / (cast(sdl as double) / cast(n as double))))
+            * 1000000000.0) as bigint)""").as("c"))
+      val scored = contrib.groupBy("query_id", "doc_id")
+        .agg(sum("c").as("score_nano"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_nano").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "score_nano")
+        .orderBy("query_id", "rank")
+    })
+
   // Fixed-budget PPS sampling (systematic selection over the running
   // char total): exactly ≤32 docs per language, long docs included with
   // probability ∝ length — the fixed-SIZE complement of dp07's Bernoulli
@@ -7808,7 +7890,7 @@ object Catalog {
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
+    tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

@@ -68,9 +68,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann20_nprobe_curve",       // same recallOf shape, one per nProbe
                                 // arm (pool scored once, materialized)
     "ann18_graph_depth_curve",  // same recallOf shape, one per depth arm
-    "tx21_heaps_growth")        // 1-row OLS-stats aggregate over the
+    "tx21_heaps_growth",        // 1-row OLS-stats aggregate over the
                                 // 10-row decile curve (tx18's slope
                                 // arithmetic, attached curve-side)
+    "tx22_bm25_retrieval")      // 1-row (N, Σdl) corpus-stats aggregate
+                                // (the bounded query-term set rides a
+                                // hash equi-join, not the BNLJ)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -152,7 +155,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // so the final plan is windowed checkpoint scans — hint-free
     "ann17_graph_recall",       // recallOf arms' bounded broadcasts
     "ann18_graph_depth_curve",  // same, per depth arm
-    "tx21_heaps_growth")        // 1-row OLS-stats aggregate
+    "tx21_heaps_growth",        // 1-row OLS-stats aggregate
+    "tx22_bm25_retrieval")      // ≤120-row query-term set + 1-row
+                                // corpus stats — both bounded by the
+                                // fixed query count
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
