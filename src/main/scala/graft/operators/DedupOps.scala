@@ -796,4 +796,48 @@ object DedupOps {
         round(col("_i").cast("double") / (col("n1") + col("n2") - col("_i")), 6)
           .as("jaccard"))
   }
+
+  /** Blocked edit-distance fuzzy join — record linkage of a DIRTY table
+    * against a MASTER table (typo'd product names → catalog, OCR'd
+    * strings → canonical list): candidate pairs share a blocking key
+    * (`prefixLen`-char prefix + `length div lenBand` band), survive
+    * `levenshtein ≤ maxDist`, and each dirty record keeps its best
+    * match (min distance, then min master id — a total order).
+    *
+    * The blocking contract is explicit: a perturbation that changes the
+    * first `prefixLen` chars, or moves the length across a band
+    * boundary, is NOT recoverable — standard blocking-key recall
+    * semantics, traded for never comparing across blocks. Scale shape:
+    * ONE hash equi-join on the fixed-width block key; per-block work is
+    * |dirty_block| × |master_block| Levenshtein calls (codegen'd
+    * built-in, no UDF), so the operator's cost contract is the block
+    * granularity — at larger corpora a caller raises `prefixLen` /
+    * shrinks `lenBand`, exactly how production blocking scales. The
+    * best-match window partitions by dirty id over candidates only.
+    *
+    * @return [dirtyId, masterId, dist (int), n_cand (long candidates
+    *         within maxDist)] — one row per dirty record with ≥1
+    *         candidate
+    */
+  def fuzzyJoinBlocked(dirty: DataFrame, dirtyId: String, dirtyName: String,
+      master: DataFrame, masterId: String, masterName: String,
+      prefixLen: Int = 4, lenBand: Int = 4, maxDist: Int = 2): DataFrame = {
+    def blocked(df: DataFrame, name: String) = df
+      .withColumn("_bp", substring(col(name), 1, prefixLen))
+      .withColumn("_bl", expr(s"length($name) div $lenBand"))
+    val cand = blocked(dirty.select(dirtyId, dirtyName), dirtyName)
+      .join(blocked(master.select(masterId, masterName), masterName),
+        Seq("_bp", "_bl"))
+      .withColumn("_dist", levenshtein(col(dirtyName), col(masterName)))
+      .where(col("_dist") <= maxDist)
+    val w = Window.partitionBy(dirtyId)
+      .orderBy(col("_dist").asc, col(masterId).asc)
+    val wc = Window.partitionBy(dirtyId)
+    cand
+      .withColumn("_rnk", row_number().over(w))
+      .withColumn("n_cand", count(lit(1)).over(wc).cast("long"))
+      .where(col("_rnk") === 1)
+      .select(col(dirtyId), col(masterId), col("_dist").cast("int").as("dist"),
+        col("n_cand"))
+  }
 }

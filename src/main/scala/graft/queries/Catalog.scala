@@ -5609,6 +5609,65 @@ object Catalog {
         .orderBy("doc_id")
     })
 
+  // Blocked edit-distance fuzzy join (DedupOps.fuzzyJoinBlocked — the
+  // record-linkage / entity-resolution face of dedup, matching DIRTY
+  // strings to a clean MASTER): a deterministic dirty catalog is built
+  // from part names (unchanged / last char dropped / 'x' appended /
+  // 6th char replaced, by p_partkey mod 4 — the ref01 derive-the-
+  // fixture-from-columns pattern), then linked back via blocking
+  // (4-char prefix + length-div-4 band) and levenshtein ≤ 2, keeping
+  // each dirty record's best match (min dist, then min key — a total
+  // order). Blocking recall is the documented contract: a perturbation
+  // that crosses a band boundary is unrecoverable on BOTH engines
+  // identically. One equi-join on the block key; Levenshtein is the
+  // codegen'd built-in on both sides, never a UDF; the best-match
+  // window runs over candidates only. Dirty side filtered to
+  // p_partkey < 500 BEFORE the join (pushdown), master stays full.
+  private val dd22 = Q("dd22_fuzzy_join", Some("""
+    WITH dirty AS (
+      SELECT p_partkey AS dirty_id,
+        CASE p_partkey % 4
+          WHEN 0 THEN p_name
+          WHEN 1 THEN substr(p_name, 1, length(p_name) - 1)
+          WHEN 2 THEN p_name || 'x'
+          ELSE substr(p_name, 1, 5) || 'q' || substr(p_name, 7)
+        END AS dname
+      FROM part WHERE p_partkey < 500),
+    db AS (SELECT dirty_id, dname, substr(dname, 1, 4) AS bp,
+             length(dname) // 4 AS bl FROM dirty),
+    mb AS (SELECT p_partkey AS master_key, p_name AS mname,
+             substr(p_name, 1, 4) AS bp, length(p_name) // 4 AS bl
+           FROM part),
+    cand AS (
+      SELECT dirty_id, master_key, levenshtein(dname, mname) AS dist
+      FROM db JOIN mb USING (bp, bl)
+      WHERE levenshtein(dname, mname) <= 2),
+    best AS (
+      SELECT dirty_id, master_key, dist,
+        row_number() OVER (PARTITION BY dirty_id
+                           ORDER BY dist, master_key) AS rnk,
+        count(*) OVER (PARTITION BY dirty_id) AS n_cand
+      FROM cand)
+    SELECT dirty_id, master_key, cast(dist as int) AS dist,
+      cast(n_cand as bigint) AS n_cand
+    FROM best WHERE rnk = 1 ORDER BY dirty_id"""),
+    (s, d) => {
+      val dirty = T(s, d, "part").where(col("p_partkey") < 500)
+        .select(col("p_partkey").as("dirty_id"),
+          expr("""case cast(p_partkey % 4 as int)
+            when 0 then p_name
+            when 1 then substr(p_name, 1, length(p_name) - 1)
+            when 2 then concat(p_name, 'x')
+            else concat(substr(p_name, 1, 5), 'q', substr(p_name, 7))
+          end""").as("dname"))
+      val master = T(s, d, "part")
+        .select(col("p_partkey").as("master_key"), col("p_name").as("mname"))
+      DedupOps.fuzzyJoinBlocked(dirty, "dirty_id", "dname",
+          master, "master_key", "mname", prefixLen = 4, lenBand = 4,
+          maxDist = 2)
+        .orderBy("dirty_id")
+    })
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -7886,7 +7945,7 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21,
+    dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,

@@ -406,4 +406,28 @@ class DedupOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == expect, s"missing: ${expect -- got}; extra: ${got -- expect}")
   }
+
+  test("fuzzyJoinBlocked links typos within the block and picks the best match") {
+    val master = Seq((1L, "alphabet"), (2L, "alphabets"), (3L, "beta soup"))
+      .toDF("mid", "mname")
+    val dirty = Seq(
+      (10L, "alphabet"),   // exact: dist 0 to master 1 (also 1 to master 2)
+      (11L, "alphabex"),   // 1 sub: matches 1 (dist 1) and 2 (dist 2)
+      (12L, "xlphabet"),   // prefix broken -> different block, no match
+      (13L, "beta soux"))  // 1 sub within block of master 3
+      .toDF("did", "dname")
+    val got = DedupOps.fuzzyJoinBlocked(dirty, "did", "dname",
+        master, "mid", "mname")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((10L, 1L, 0, 2L), (11L, 1L, 1, 2L), (13L, 3L, 1, 1L)))
+  }
+
+  test("fuzzyJoinBlocked ties break on the smaller master id") {
+    val master = Seq((7L, "samesame"), (5L, "samesame")).toDF("mid", "mname")
+    val dirty = Seq((1L, "samesame")).toDF("did", "dname")
+    val got = DedupOps.fuzzyJoinBlocked(dirty, "did", "dname",
+        master, "mid", "mname").collect()
+    assert(got.length == 1 && got(0).getLong(1) == 5L && got(0).getLong(3) == 2L)
+  }
 }
