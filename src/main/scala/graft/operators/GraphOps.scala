@@ -159,4 +159,52 @@ object GraphOps {
     Exec.releaseMaterialized(und)
     dist
   }
+
+  /** Synchronous label propagation (community detection, Raghavan et
+    * al. 2007): every node starts labeled with itself; each round it
+    * adopts the label most frequent among its NEIGHBORS, ties broken by
+    * the smaller label — a fully deterministic variant of LPA (the
+    * published algorithm breaks ties randomly; a fixed total order
+    * makes the rounds oracle-replayable), run a FIXED number of
+    * synchronous rounds rather than to convergence (LPA on bipartite-ish
+    * structures can 2-cycle, so bounded rounds is also the correct
+    * production contract — the dd06 / [[boundedDistances]] discipline).
+    *
+    * Scale shape per round: ONE edge equi-join against the label table,
+    * a map-side-combinable (node, label) count, and a per-node
+    * row_number over that node's distinct neighbor labels — bounded by
+    * degree, never corpus-wide. Loop state is fixed-width [node, label],
+    * localCheckpointed per round with superseded handles released (the
+    * connectedComponents memory contract).
+    *
+    * Input: undirected `[uCol, vCol]` edges (deduped, u < v). Output:
+    * `[node, label]`, one row per node with ≥ 1 edge.
+    */
+  def labelPropagation(edges: DataFrame, uCol: String, vCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+    val und = Exec.materializeForSelfJoin(
+      e.select(col("u").as("s"), col("v").as("t"))
+        .unionByName(e.select(col("v").as("s"), col("u").as("t")))
+        .distinct())
+    var labels = Exec.materializeForSelfJoin(
+      und.select(col("s").as("node")).distinct()
+        .withColumn("label", col("node")))
+    val w = Window.partitionBy("node").orderBy(col("_cnt").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      val next = Exec.materializeForSelfJoin(
+        und.join(labels.withColumnRenamed("node", "t"), Seq("t"))
+          .groupBy(col("s").as("node"), col("label"))
+          .agg(count(lit(1)).as("_cnt"))
+          .withColumn("_rk", row_number().over(w))
+          .where(col("_rk") === 1)
+          .select("node", "label"))
+      Exec.releaseMaterialized(labels)
+      labels = next
+    }
+    Exec.releaseMaterialized(und)
+    labels
+  }
 }

@@ -5150,6 +5150,21 @@ object Catalog {
     * seed-conditional `sinit`), random-walk mass flows over the
     * symmetrized edge set `eu` with its degrees `degu`.
     */
+  /** One synchronous label-propagation round (q92's oracle): each node
+    * adopts the most frequent label among its neighbors in `$prev`,
+    * ties to the smaller label — mirrored op-for-op by
+    * `GraphOps.labelPropagation`.
+    */
+  private def lpIterSql(prev: String): String = s"""
+      SELECT node, label FROM (
+        SELECT node, label,
+          row_number() OVER (PARTITION BY node
+                             ORDER BY cnt DESC, label) AS rk
+        FROM (SELECT e.s AS node, l.label, count(*) AS cnt
+              FROM und e JOIN $prev l ON l.node = e.t
+              GROUP BY e.s, l.label) c) t
+      WHERE rk = 1"""
+
   private def pprIterSql(prev: String): String = s"""
       SELECT n.node,
         (CASE WHEN s.node IS NOT NULL
@@ -7459,6 +7474,42 @@ object Catalog {
         col("event_type"), col("valid_from_us"), col("valid_to_us"))
       .orderBy("user_id", "version"))
 
+  // Synchronous label propagation over the co-purchase graph
+  // (GraphOps.labelPropagation — deterministic LPA, community
+  // detection): 3 rounds of adopt-the-most-frequent-neighbor-label
+  // with the smaller label breaking ties, over the same shared edge
+  // artifact q77/q86/q90 analyze. Completes the graph family's last
+  // gap — q68 importance, dd06 connectivity, q77 density, q86/q90
+  // reachability, this one COMMUNITY structure. Per round: one edge
+  // equi-join, one (node, label) hash count, one degree-bounded
+  // window; the oracle replays the 3 synchronous rounds as unrolled
+  // nested-window CTEs (lpIterSql). Fixed rounds, not convergence —
+  // synchronous LPA can 2-cycle, so bounded rounds IS the contract.
+  private val q92 = Q("q92_label_prop", Some(s"""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+    und AS (SELECT u AS s, v AS t FROM e0 UNION SELECT v, u FROM e0),
+    p0 AS (SELECT DISTINCT s AS node, s AS label FROM und),
+    p1 AS (${lpIterSql("p0")}),
+    p2 AS (${lpIterSql("p1")}),
+    p3 AS (${lpIterSql("p2")})
+    SELECT node, label AS community,
+      cast(count(*) OVER (PARTITION BY label) as bigint) AS comm_size
+    FROM p3 ORDER BY node"""),
+    (s, d) => {
+      val labels = GraphOps.labelPropagation(
+        SharedArtifacts.copurchaseEdges(s, d), "u", "v", rounds = 3)
+      labels
+        .withColumn("comm_size",
+          count(lit(1)).over(Window.partitionBy("label")).cast("long"))
+        .select(col("node"), col("label").as("community"), col("comm_size"))
+        .orderBy("node")
+    })
+
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
   // of dropping duplicates, down-weight them): every copy of a
@@ -7943,7 +7994,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91,
+    q87, q88, q89, q90, q91, q92,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

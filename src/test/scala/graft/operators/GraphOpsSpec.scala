@@ -142,4 +142,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(cheapest(g, Seq(1L, 4L), 3) ===
       Map(1L -> 0L, 4L -> 0L, 2L -> 5L, 3L -> 1L))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.labelPropagation(edges.toDF("u", "v"), "u", "v", rounds)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("labelPropagation: two triangles joined by a bridge separate into two communities") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    // hand-simulated synchronous rounds with min-label ties (see the
+    // scaladoc's determinism contract): after 3 rounds the left
+    // triangle agrees on 1 and the right on 3 (the bridge label that
+    // propagated in — community MEMBERSHIP is the contract, the label
+    // value is whatever the dynamics carry)
+    assert(lpa(g, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("labelPropagation: one round on a star adopts the hub's label") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    // leaves see only the hub (label 1); the hub sees {2,3,4}, each
+    // once -> tie -> min = 2
+    assert(lpa(g, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
