@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style column profiling — the statistics-collection pass a
+  * cost-based optimizer (or a data-quality gate à la Deequ) runs over a
+  * warehouse table: per-column row/null counts, exact and KMV-estimated
+  * distinct counts, min/max, and the modal value.
+  */
+object ProfileOps {
+
+  /** Profile the given `(name, expression)` columns of `df` over their
+    * STRING projection (the generic-profiler contract: every column is
+    * observed through one total order, so min/max/mode compare
+    * identically across engines and column types; callers pre-cast
+    * doubles to an exact representation).
+    *
+    * Scale shape: the columns stack into one `(col_name, value)` relation
+    * via a single scan (one explode, |cols|× the row count — the
+    * documented cost), materialized once and consumed by three
+    * map-side-combinable hash aggregates: (1) counts + min/max per
+    * column; (2) distinct-count sketching — exact `countDistinct` plus a
+    * k-bounded KMV partial aggregate over the 60-bit md5 hash (q46's
+    * estimator, [[SketchOps.kmvEstimate]]); (3) the mode via
+    * count-per-value → 1-row-per-column max → equi-join back (two hash
+    * aggs + one join on the column name — never a window over a
+    * column's value domain, which for a key column is corpus-sized).
+    * Ties on the modal count break to the smaller value.
+    *
+    * @return one row per profiled column: [col_name, n_rows, n_null,
+    *         ndv, ndv_kmv, min_val, max_val, top_val, top_cnt]
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Column)], k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val stacked = Exec.materializeLarge(
+      df.select(explode(array(cols.map { case (n, c) =>
+          struct(lit(n).as("c"), c.cast("string").as("v")) }: _*)).as("x"))
+        .select(col("x.c").as("c"), col("x.v").as("v")))
+    val counts = stacked.groupBy("c").agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("v"))).as("n_null"),
+      countDistinct(col("v")).as("ndv"),
+      min("v").as("min_val"), max("v").as("max_val"))
+    val kmv = SketchOps.kmvUdaf(k)
+    val sketches = stacked.where(col("v").isNotNull)
+      .select(col("c"),
+        conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("c").agg(kmv(col("h")).as("ks"))
+      .select(col("c"), SketchOps.kmvEstimate(col("ks"), k).as("ndv_kmv"))
+    val vc = stacked.where(col("v").isNotNull)
+      .groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+    val mx = vc.groupBy("c").agg(max("cnt").as("top_cnt"))
+    val top = vc.join(mx, Seq("c"))
+      .where(col("cnt") === col("top_cnt"))
+      .groupBy("c", "top_cnt").agg(min("v").as("top_val"))
+    counts.join(sketches, Seq("c")).join(top, Seq("c"))
+      .select(col("c").as("col_name"), col("n_rows").cast("long").as("n_rows"),
+        col("n_null").cast("long").as("n_null"), col("ndv").cast("long").as("ndv"),
+        col("ndv_kmv"), col("min_val"), col("max_val"), col("top_val"),
+        col("top_cnt").cast("long").as("top_cnt"))
+  }
+}

@@ -6895,6 +6895,57 @@ object Catalog {
         .orderBy("split")
     })
 
+  // ANALYZE-style column profiling (ProfileOps.profile — the CBO
+  // statistics / data-quality pass): six lineitem columns observed
+  // through their string projection (the generic-profiler contract;
+  // l_quantity pre-cast to bigint — it is integral by construction —
+  // so no engine-specific double formatting enters the domain;
+  // l_linestatus nullified on 'O' to exercise the null accounting).
+  // One stacked scan (6× rows, documented), then three hash
+  // aggregates: counts+min/max+exact ndv, the q46 KMV(64) estimate
+  // via the k-bounded partial aggregate, and the mode via
+  // count-per-value → per-column max → join-back (never a window over
+  // a key column's corpus-sized value domain).
+  private val dp28 = Q("dp28_column_profile", Some("""
+    WITH src AS (
+      SELECT 'l_orderkey' AS c, cast(l_orderkey as varchar) AS v FROM lineitem
+      UNION ALL SELECT 'l_partkey', cast(l_partkey as varchar) FROM lineitem
+      UNION ALL SELECT 'l_linenumber', cast(l_linenumber as varchar) FROM lineitem
+      UNION ALL SELECT 'l_quantity_i', cast(cast(floor(l_quantity) as bigint) as varchar) FROM lineitem
+      UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL SELECT 'l_linestatus_n', nullif(l_linestatus, 'O') FROM lineitem),
+    counts AS (
+      SELECT c, count(*) AS n_rows, count(*) - count(v) AS n_null,
+        count(DISTINCT v) AS ndv, min(v) AS min_val, max(v) AS max_val
+      FROM src GROUP BY c),
+    h AS (SELECT DISTINCT c, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+          FROM src WHERE v IS NOT NULL),
+    r AS (SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS rn,
+            count(*) OVER (PARTITION BY c) AS nd FROM h),
+    kmv AS (SELECT c,
+        cast(CASE WHEN nd < 64 THEN cast(nd as double)
+                  ELSE floor(63.0 * 1152921504606846976.0 / cast(h as double)) END
+          as bigint) AS ndv_kmv
+      FROM r WHERE rn = least(nd, 64)),
+    vc AS (SELECT c, v, count(*) AS cnt FROM src WHERE v IS NOT NULL GROUP BY c, v),
+    mx AS (SELECT c, max(cnt) AS top_cnt FROM vc GROUP BY c),
+    top AS (SELECT vc.c, cast(mx.top_cnt as bigint) AS top_cnt, min(vc.v) AS top_val
+            FROM vc JOIN mx ON mx.c = vc.c AND vc.cnt = mx.top_cnt
+            GROUP BY vc.c, mx.top_cnt)
+    SELECT counts.c AS col_name, cast(n_rows as bigint) AS n_rows,
+      cast(n_null as bigint) AS n_null, cast(ndv as bigint) AS ndv,
+      ndv_kmv, min_val, max_val, top_val, top_cnt
+    FROM counts JOIN kmv ON kmv.c = counts.c JOIN top ON top.c = counts.c
+    ORDER BY col_name"""),
+    (s, d) => ProfileOps.profile(T(s, d, "lineitem"), Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_partkey" -> col("l_partkey"),
+        "l_linenumber" -> col("l_linenumber"),
+        "l_quantity_i" -> floor(col("l_quantity")).cast("bigint"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus_n" -> expr("nullif(l_linestatus, 'O')")), k = 64)
+      .orderBy("col_name"))
+
   /** One BPE oracle round: pair counts over `sJ`'s sequences, the argmax
     * merge `mK`, and (for non-final rounds) the merged sequences `sK` —
     * the CTE chain [[graft.operators.BpeOps]] mirrors. The leftmost-
@@ -8004,5 +8055,5 @@ object Catalog {
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
-    dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27)
+    dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28)
 }
