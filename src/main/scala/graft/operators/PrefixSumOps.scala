@@ -107,6 +107,55 @@ object PrefixSumOps {
     exclusiveRunningSum(df, partCols, orderCol, valueCol, outCol, width)
   }
 
+  /** Exclusive running MAX: for each row, the max of `valueCol` over all
+    * rows of the same `partCols` group with a STRICTLY smaller
+    * `orderCol` (NULL when no such row exists — the caller's identity
+    * element). Same 4-phase value-range-bucketed shape as
+    * [[exclusiveRunningSum]] — per-bucket maxima, a window over the
+    * REDUCED bucket table, an equi-join back, a local range-frame max —
+    * so no single reducer ever sees the group's full row set. The local
+    * frame is RANGE (not ROWS): equal `orderCol` values never see each
+    * other, making the "strictly smaller" contract exact under ties.
+    * The monoid is max, so phases compose exactly like the sum.
+    */
+  def exclusiveRunningMax(df: DataFrame, partCols: Seq[String],
+      orderCol: String, valueCol: String, outCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val part = partCols.map(col)
+    val bucketed = df.withColumn("_pm_bkt", expr(s"`$orderCol` div $bucketWidth"))
+    val subtotals = bucketed
+      .groupBy(part :+ col("_pm_bkt"): _*)
+      .agg(max(col(valueCol)).as("_pm_bmax"))
+    val wPrev = Window.partitionBy(part: _*).orderBy(col("_pm_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("_pm_off", max(col("_pm_bmax")).over(wPrev))
+      .select(part :+ col("_pm_bkt") :+ col("_pm_off"): _*)
+    val wLocal = Window.partitionBy(part :+ col("_pm_bkt"): _*)
+      .orderBy(col(orderCol).cast("long"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // greatest() ignores NULLs (returns NULL only when both are), which
+    // is exactly the exclusive-max identity composition
+    bucketed.join(offsets, partCols :+ "_pm_bkt")
+      .withColumn(outCol,
+        greatest(col("_pm_off"), max(col(valueCol)).over(wLocal)))
+      .drop("_pm_bkt", "_pm_off")
+  }
+
+  /** [[exclusiveRunningMax]] with the [[exclusiveRunningSumAuto]]
+    * sqrt-range bucket width.
+    */
+  def exclusiveRunningMaxAuto(df: DataFrame, partCols: Seq[String],
+      orderCol: String, valueCol: String, outCol: String): DataFrame = {
+    val bounds = df.agg(min(col(orderCol)).cast("long").as("lo"),
+      max(col(orderCol)).cast("long").as("hi")).head()
+    val width =
+      if (bounds.isNullAt(0)) 1L
+      else bucketWidthFor(bounds.getLong(1) - bounds.getLong(0) + 1)
+    exclusiveRunningMax(df, partCols, orderCol, valueCol, outCol, width)
+  }
+
   /** Budget-take (data-mixture selection): keep, per group, the rows
     * first in `orderCol` order until the group's `valueCol` budget is
     * exhausted — "this language contributes N tokens" as one relational

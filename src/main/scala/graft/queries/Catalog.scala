@@ -6946,6 +6946,53 @@ object Catalog {
         "l_linestatus_n" -> expr("nullif(l_linestatus, 'O')")), k = 64)
       .orderBy("col_name"))
 
+  // 2-D Pareto frontier / skyline (maximize vocabulary richness at
+  // every token budget — the quality-vs-cost curation query: a doc is
+  // ON the frontier iff no shorter-or-equal doc has strictly more
+  // distinct tokens): reduce to one best row per distinct cost value
+  // (two hash aggs + an equi-join — never a window over the corpus),
+  // then one EXCLUSIVE running max over the reduced table via the
+  // value-range-bucketed two-phase kernel
+  // (PrefixSumOps.exclusiveRunningMax — max is a monoid, so the
+  // prefix-sum machinery carries over unchanged); a row survives iff
+  // its value beats every strictly-smaller cost's max. The oracle
+  // keeps the single-window RANGE-frame SQL; the distributed rewrite
+  // is the point (the dp16 stance).
+  private val dp29 = Q("dp29_pareto_frontier", Some("""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    m AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_vocab
+          FROM docs),
+    best AS (SELECT n_tokens, max(n_vocab) AS n_vocab
+             FROM m GROUP BY n_tokens),
+    bid AS (SELECT b.n_tokens, b.n_vocab, min(m.doc_id) AS doc_id
+            FROM best b JOIN m ON m.n_tokens = b.n_tokens
+                              AND m.n_vocab = b.n_vocab
+            GROUP BY b.n_tokens, b.n_vocab),
+    f AS (SELECT n_tokens, n_vocab, doc_id,
+            max(n_vocab) OVER (ORDER BY n_tokens
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM bid)
+    SELECT cast(n_tokens as bigint) AS n_tokens,
+      cast(n_vocab as bigint) AS n_vocab, doc_id
+    FROM f WHERE pm IS NULL OR n_vocab > pm ORDER BY n_tokens"""),
+    (s, d) => {
+      val m = T(s, d, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), DedupOps.tokens(col("text")).as("_t"))
+        .select(col("doc_id"), size(col("_t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("_t"))).cast("long").as("n_vocab"))
+      val best = m.groupBy("n_tokens").agg(max("n_vocab").as("n_vocab"))
+      val bid = best.join(m, Seq("n_tokens", "n_vocab"))
+        .groupBy("n_tokens", "n_vocab").agg(min("doc_id").as("doc_id"))
+      PrefixSumOps.exclusiveRunningMaxAuto(bid, Seq(), "n_tokens",
+          "n_vocab", "_pm")
+        .where(col("_pm").isNull || col("n_vocab") > col("_pm"))
+        .select(col("n_tokens"), col("n_vocab"), col("doc_id"))
+        .orderBy("n_tokens")
+    })
+
   /** One BPE oracle round: pair counts over `sJ`'s sequences, the argmax
     * merge `mK`, and (for non-final rounds) the merged sequences `sK` —
     * the CTE chain [[graft.operators.BpeOps]] mirrors. The leftmost-
@@ -8055,5 +8102,5 @@ object Catalog {
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
-    dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28)
+    dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28, dp29)
 }

@@ -316,4 +316,41 @@ class PrefixSumOpsSpec extends AnyFunSuite {
     val w = Seq.empty[(String, Long, Long)].toDF("src", "w", "src_idx")
     assert(PrefixSumOps.mixtureInterleave(empty, "src", "id", w).count() == 0)
   }
+
+  test("exclusiveRunningMax matches a brute-force strictly-smaller max at every width") {
+    import spark.implicits._
+    val rows = Seq((1L, 5L), (3L, 2L), (3L, 9L), (4L, 1L), (10L, 7L), (12L, 7L))
+    val df = rows.toDF("o", "v")
+    for (width <- Seq(1L, 2L, 3L, 100L)) {
+      val got = PrefixSumOps.exclusiveRunningMax(df, Seq(), "o", "v", "pm", width)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(t => (t._1, t._2))
+      val want = rows.map { case (o, v) =>
+        val prior = rows.filter(_._1 < o).map(_._2)
+        (o, v, if (prior.isEmpty) None else Some(prior.max))
+      }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq == want, s"width=$width")
+    }
+  }
+
+  test("exclusiveRunningMax: ties on the order column do not see each other") {
+    import spark.implicits._
+    val df = Seq((5L, 100L), (5L, 1L)).toDF("o", "v")
+    val got = PrefixSumOps.exclusiveRunningMax(df, Seq(), "o", "v", "pm", 2L)
+      .collect().map(r => r.isNullAt(2))
+    assert(got.forall(identity), "equal order values must both get NULL")
+  }
+
+  test("exclusiveRunningMax respects partition groups") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 3L), ("b", 2L, 1L))
+      .toDF("g", "o", "v")
+    val got = PrefixSumOps.exclusiveRunningMaxAuto(df, Seq("g"), "o", "v", "pm")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(("a", 1L, -1L), ("a", 2L, 10L), ("b", 2L, -1L)))
+  }
 }
