@@ -7608,6 +7608,70 @@ object Catalog {
         .orderBy("node")
     })
 
+  // Time-series gap filling with linear interpolation (the missing-day
+  // repair every monitoring/forecasting pipeline runs before modeling):
+  // a sparse daily event-count series per event_type (decimated by
+  // user_id % 503 so real gaps exist at every SF) has its interior
+  // missing days filled by interpolating between the enclosing observed
+  // days. NO grid join: each consecutive observed pair (lead() over the
+  // per-type OBSERVED rows — state = days, never events) explodes its
+  // own gap range directly, so work is O(observed + emitted). The
+  // interpolation is the non-negative-weighted integer form
+  // (v0·(d1−g) + v1·(g−d0))·1e9 div (d1−d0) — numerator ≥ 0, where
+  // Spark's truncating `div` and DuckDB's flooring `//` agree (the
+  // negative-operand divergence never arises). Gap explode guarded to
+  // width ≥ 2 (Spark's `sequence` DESCENDS where DuckDB's
+  // generate_series is empty — the TESTDATA gotcha).
+  private val q93 = Q("q93_gap_fill", Some("""
+    WITH f AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE user_id % 503 = 0),
+    o AS (SELECT event_type, day, count(*) AS cnt FROM f GROUP BY 1, 2),
+    iv AS (SELECT event_type, day, cnt,
+            lead(day) OVER (PARTITION BY event_type ORDER BY day) AS d1,
+            lead(cnt) OVER (PARTITION BY event_type ORDER BY day) AS v1
+           FROM o),
+    gaps AS (
+      SELECT event_type, day AS d0, cnt AS v0, d1, v1,
+        unnest(generate_series(day + 1, d1 - 1)) AS gday
+      FROM iv WHERE d1 IS NOT NULL AND d1 - day >= 2),
+    interp AS (
+      SELECT event_type, gday AS day,
+        (v0 * (d1 - gday) + v1 * (gday - d0)) * 1000000000 // (d1 - d0)
+          AS val_nano,
+        'interp' AS src
+      FROM gaps),
+    obs AS (SELECT event_type, day, cnt * 1000000000 AS val_nano,
+              'obs' AS src FROM o)
+    SELECT event_type, cast(day as bigint) AS day,
+      cast(val_nano as bigint) AS val_nano, src
+    FROM (SELECT * FROM obs UNION ALL SELECT * FROM interp) u
+    ORDER BY event_type, day"""),
+    (s, d) => {
+      val f = T(s, d, "events").where(col("user_id") % 503 === 0)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val o = f.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val iv = o.withColumn("d1", lead("day", 1).over(w))
+        .withColumn("v1", lead("cnt", 1).over(w))
+      val interp = iv
+        .where(col("d1").isNotNull && col("d1") - col("day") >= 2)
+        .select(col("event_type"), col("day").as("d0"), col("cnt").as("v0"),
+          col("d1"), col("v1"),
+          explode(sequence(col("day") + 1, col("d1") - 1)).as("gday"))
+        .select(col("event_type"), col("gday").as("day"),
+          expr("(v0 * (d1 - gday) + v1 * (gday - d0)) * 1000000000 div (d1 - d0)")
+            .as("val_nano"),
+          lit("interp").as("src"))
+      val obs = o.select(col("event_type"), col("day"),
+        (col("cnt") * 1000000000L).as("val_nano"), lit("obs").as("src"))
+      obs.unionByName(interp)
+        .select(col("event_type"), col("day").cast("long").as("day"),
+          col("val_nano").cast("long").as("val_nano"), col("src"))
+        .orderBy("event_type", "day")
+    })
+
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
   // of dropping duplicates, down-weight them): every copy of a
@@ -8092,7 +8156,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91, q92,
+    q87, q88, q89, q90, q91, q92, q93,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
