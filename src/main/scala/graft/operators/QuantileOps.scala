@@ -62,4 +62,36 @@ object QuantileOps {
         (max(col("n")) - min(when(col("_qt_cum") * den >= col("n") * num,
           col("_qt_cum") - col("_qt_cnt")))).as("n_kept"))
   }
+
+  /** EXACT per-group `percentile_disc(num/den)` over an INTEGER-domain
+    * value (counts, deviations, micro-unit scores): reduce to the
+    * (group, value) frequency table first — one map-side-combinable
+    * hash aggregate — then find the smallest value whose cumulative
+    * frequency reaches ceil(num/den · n) with the integer
+    * cross-multiplied rank test (`cum·den ≥ n·num`, no float). This is
+    * [[histogramThreshold]] with the bins = the value domain itself, so
+    * the answer is exact, not exact-to-a-bin; the window runs over the
+    * REDUCED frequency table, whose size per group is the group's
+    * DISTINCT-value count — the caller's scale contract (activity
+    * counts and absolute deviations have domains bounded by the max
+    * observation, not by the corpus).
+    *
+    * @return one row per group: (groupCols..., outCol)
+    */
+  def discreteQuantile(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, num: Int, den: Int, outCol: String): DataFrame = {
+    require(num > 0 && den >= num)
+    val part = groupCols.map(col)
+    val counts = df.groupBy(part :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("_dq_cnt"))
+    val wCum = Window.partitionBy(part: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(part: _*)
+    counts
+      .withColumn("_dq_cum", sum("_dq_cnt").over(wCum))
+      .withColumn("_dq_n", sum("_dq_cnt").over(wAll))
+      .groupBy(part: _*)
+      .agg(min(when(col("_dq_cum") * den >= col("_dq_n") * num,
+        col(valueCol))).as(outCol))
+  }
 }

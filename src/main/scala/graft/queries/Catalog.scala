@@ -7672,6 +7672,50 @@ object Catalog {
         .orderBy("event_type", "day")
     })
 
+  // Robust (median/MAD) outlier detection — the abuse/monitoring
+  // classic: flag users whose per-type activity deviates from the
+  // type's median by more than 3 median-absolute-deviations. All
+  // integer: both medians are EXACT percentile_disc(0.5) computed by
+  // QuantileOps.discreteQuantile — (group, value) frequency reduction
+  // + the cross-multiplied rank test over the REDUCED table — never
+  // Spark's value-buffering exact percentile aggregate and never a
+  // window over the user rows (the domain of activity counts and
+  // deviations is bounded by the max observation, not the user count).
+  // The oracle keeps DuckDB's native quantile_disc. 3·MAD is the
+  // integer comparison ad > 3·mad, so no float enters the predicate.
+  private val q94 = Q("q94_mad_outliers", Some("""
+    WITH u AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, quantile_disc(n, 0.5) AS med
+          FROM u GROUP BY 1),
+    dev AS (
+      SELECT u.event_type, u.user_id, u.n, m.med, abs(u.n - m.med) AS ad
+      FROM u JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad
+           FROM dev GROUP BY 1)
+    SELECT d.event_type, d.user_id, cast(d.n as bigint) AS n,
+      cast(d.med as bigint) AS med, cast(md.mad as bigint) AS mad
+    FROM dev d JOIN md USING (event_type)
+    WHERE d.ad > 3 * md.mad
+    ORDER BY event_type, user_id"""),
+    (s, d) => {
+      val u = T(s, d, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      val m = QuantileOps.discreteQuantile(u, Seq("event_type"), "n",
+        num = 1, den = 2, outCol = "med")
+      val dev = u.join(m, Seq("event_type"))
+        .withColumn("ad", abs(col("n") - col("med")))
+      val md = QuantileOps.discreteQuantile(dev, Seq("event_type"), "ad",
+        num = 1, den = 2, outCol = "mad")
+      dev.join(md, Seq("event_type"))
+        .where(col("ad") > lit(3) * col("mad"))
+        .select(col("event_type"), col("user_id"),
+          col("n").cast("long").as("n"), col("med").cast("long").as("med"),
+          col("mad").cast("long").as("mad"))
+        .orderBy("event_type", "user_id")
+    })
+
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
   // of dropping duplicates, down-weight them): every copy of a
@@ -8156,7 +8200,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91, q92, q93,
+    q87, q88, q89, q90, q91, q92, q93, q94,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

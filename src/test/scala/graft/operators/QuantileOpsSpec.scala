@@ -56,4 +56,23 @@ class QuantileOpsSpec extends AnyFunSuite {
     // clamped last bin despite v == hi
     assert(r.getLong(1) == 3 && r.getLong(2) == bins - 1 && r.getLong(3) >= 1)
   }
+
+  test("discreteQuantile matches brute-force percentile_disc on integer data") {
+    import spark.implicits._
+    val data = Map(
+      "a" -> Seq(1L, 2L, 2L, 7L, 9L),     // odd n
+      "b" -> Seq(4L, 4L, 10L, 20L),       // even n: disc(0.5) = 2nd of 4
+      "c" -> Seq(5L))                     // singleton
+    val df = data.toSeq.flatMap { case (g, vs) => vs.map(g -> _) }.toDF("g", "v")
+    for ((num, den) <- Seq((1, 2), (1, 4), (3, 4), (1, 1))) {
+      val got = QuantileOps.discreteQuantile(df, Seq("g"), "v", num, den, "q")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = data.map { case (g, vs) =>
+        val sorted = vs.sorted
+        val rank = (vs.size * num + den - 1) / den // ceil(num/den * n)
+        g -> sorted(rank - 1)
+      }
+      assert(got == want, s"q=$num/$den")
+    }
+  }
 }
