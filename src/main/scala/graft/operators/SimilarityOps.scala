@@ -1353,4 +1353,45 @@ object SimilarityOps {
           col("neighbor_id"), col("sim"))
     }.reduce(_ unionByName _)
   }
+
+  /** Exact maximum-inner-product top-k (MIPS — the recommender /
+    * cross-encoder-scoring objective, where a vector's NORM carries
+    * signal and cosine's normalization would erase it: a long user
+    * preference vector SHOULD outrank a short one pointing the same
+    * way). Same bounded-query-broadcast shape as brute-force cosine:
+    * the corpus streams once against the broadcast query block, scored
+    * by the fused native integer dot ([[graft.functions.LongDotProduct]]
+    * — one codegen'd loop, no per-row product array) over the
+    * floor(x·2^20) quantization. Power-of-two scaling of doubles is
+    * IEEE-exact and floor is total, so both engines produce bit-equal
+    * scores and the (score desc, id) rank is a cross-engine total
+    * order — no float rounding anywhere in the comparison path.
+    * The per-query top-k window runs over the scored pairs, bounded by
+    * |queries| · |corpus| with |queries| fixed.
+    */
+  def mipsTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quant = Exec.materializeLarge(df.select(col(idCol).as("_mip_id"),
+      expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1048576.0) as bigint))")
+        .as("_mip_q")))
+    val q = broadcast(
+      df.where(queryPred).select(col(idCol).as("_mip_id"))
+        .join(quant, "_mip_id")
+        .select(col("_mip_id").as("query_id"), col("_mip_q").as("_qq")))
+    def longDot(a: Column, b: Column): Column =
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) => graft.functions.LongDotProduct.dotNative(s, a, b)
+        case None => expr(
+          "aggregate(zip_with(_qq, _mip_q, (a, b) -> a * b), 0L, " +
+            "(acc, x) -> acc + x)")
+      }
+    val scored = quant.join(q, col("query_id") =!= col("_mip_id"))
+      .select(col("query_id"), col("_mip_id").as("neighbor_id"),
+        longDot(col("_qq"), col("_mip_q")).as("dot_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_q"), col("rank"))
+  }
 }

@@ -4820,6 +4820,35 @@ object Catalog {
       }.reduce(_ unionByName _).orderBy("method")
     })
 
+  // Exact maximum-inner-product top-k (SimilarityOps.mipsTopK — the
+  // recommender-scoring objective, where NORM is signal and cosine's
+  // normalization would erase it; the ann01 family's missing metric).
+  // floor(x·2^20) quantization makes every score an exact integer —
+  // power-of-two double scaling is IEEE-exact — so the (dot desc, id)
+  // ranking is a cross-engine total order with no rounding step; the
+  // corpus streams once against the 10-query broadcast through the
+  // fused native integer-dot expression (ann12's hot path).
+  private val ann21 = Q("ann21_mips_topk", Some("""
+    WITH v AS (SELECT vec_id,
+        list_transform(cast(embedding as double[]),
+          x -> cast(floor(x * 1048576.0) as bigint)) AS q
+      FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        cast(list_sum(list_transform(generate_series(1, 64),
+          i -> a.q[i] * c.q[i])) as bigint) AS dot_q
+      FROM v a JOIN v c ON a.vec_id <> c.vec_id
+      WHERE a.vec_id < 10)
+    SELECT query_id, neighbor_id, dot_q, rank FROM (
+      SELECT query_id, neighbor_id, dot_q,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY dot_q DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => SimilarityOps.mipsTopK(T(s, d, "embeddings"),
+        "vec_id", "embedding", col("vec_id") < 10, k = 10)
+      .orderBy("query_id", "rank"))
+
   // Semantic decontamination: training vectors within 0.6 cosine of any
   // eval/benchmark vector (vec_id % 11 = 0, dp09's eval convention) —
   // the embedding-level complement of dp09's exact-shingle check:
@@ -8205,6 +8234,7 @@ object Catalog {
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
+    ann21,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,

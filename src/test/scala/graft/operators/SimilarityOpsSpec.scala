@@ -172,4 +172,31 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(ivf.subsetOf(walked),
       "warm start: the walked pool must contain the full ivf result")
   }
+
+  test("mipsTopK ranks by inner product, not cosine: norm is signal") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)),     // the query
+      (1L, Seq(3f, 3f)),     // dot 3, cosine 0.707
+      (2L, Seq(0.99f, 0f)),  // dot 0.99, cosine 1.0
+      (3L, Seq(-1f, 0f)))    // dot -1
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.mipsTopK(vecs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 3)
+      .orderBy("rank").select("neighbor_id", "dot_q")
+      .as[(Long, Long)].collect().toSeq
+    // cosine would order (2, 1, 3); MIPS must order (1, 2, 3)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), s"got $got")
+    // exact quantized scores: floor(3*2^20)*floor(1*2^20) etc.
+    assert(got.head._2 == 3145728L * 1048576L)
+  }
+
+  test("mipsTopK tie-breaks equal dots on the smaller neighbor id") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (5L, Seq(2f, 1f)), (4L, Seq(2f, -1f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.mipsTopK(vecs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(4L, 5L))
+  }
 }

@@ -71,9 +71,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx21_heaps_growth",        // 1-row OLS-stats aggregate over the
                                 // 10-row decile curve (tx18's slope
                                 // arithmetic, attached curve-side)
-    "tx22_bm25_retrieval")      // 1-row (N, Σdl) corpus-stats aggregate
+    "tx22_bm25_retrieval",      // 1-row (N, Σdl) corpus-stats aggregate
                                 // (the bounded query-term set rides a
                                 // hash equi-join, not the BNLJ)
+    "ann21_mips_topk")          // 10-query quantized-vector broadcast
+                                // (ann01's bounded query-side pattern)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -156,9 +158,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann17_graph_recall",       // recallOf arms' bounded broadcasts
     "ann18_graph_depth_curve",  // same, per depth arm
     "tx21_heaps_growth",        // 1-row OLS-stats aggregate
-    "tx22_bm25_retrieval")      // ≤120-row query-term set + 1-row
+    "tx22_bm25_retrieval",      // ≤120-row query-term set + 1-row
                                 // corpus stats — both bounded by the
                                 // fixed query count
+    "ann21_mips_topk")          // 10-query quantized-vector broadcast
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
