@@ -127,7 +127,17 @@ object Bench {
           // edge artifact: each round is one edge equi-join + one min
           // agg, so the slope is q86's join shape without the frontier
           // shrink — expect the edge-artifact envelope)
-          "q90_cheapest_path")
+          "q90_cheapest_path",
+          // round-13 late additions: tx22 (BM25 — postings build is
+          // linear in tokens, scoring is bounded by query-term df so
+          // the slope tracks the token explode), dd22 (blocked fuzzy
+          // join — per-block |dirty|x|master| Levenshtein cost: master
+          // blocks grow ~10x while the dirty side stays fixed at
+          // p_partkey<500, so ~10x candidates is the DESIGN slope),
+          // q92 (3 synchronous LPA rounds: one edge join + degree-
+          // bounded window per round over the 10x shared edge artifact
+          // — expect q86/q90's edge envelope)
+          "tx22_bm25_retrieval", "dd22_fuzzy_join", "q92_label_prop")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY
