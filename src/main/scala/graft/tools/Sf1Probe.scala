@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   *  - embeddings: vec_id shifted, coordinates CYCLICALLY ROTATED per
   *    copy — norms and within-copy geometry are exact, cross-copy
   *    vectors decorrelate, so ANN bucket occupancy scales like a bigger
-  *    corpus instead of 10 stacked identical ones.
+  *    corpus instead of 10 stacked identical ones;
+  *  - part: p_partkey shifted in the SAME domain as l_partkey (one max
+  *    over both columns, so referential integrity survives); names stay
+  *    un-rotated on purpose — a 10x catalog drawn from one name
+  *    vocabulary is denser in every blocking key, which is the honest
+  *    per-block cost dd22's fuzzy-join probe measures.
   */
 object Sf1Probe {
   private val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
@@ -45,10 +50,10 @@ object Sf1Probe {
     // cache stamp covers the sources' size+mtime: a regenerated corpus at
     // the same path rebuilds the 10x copy instead of serving stale rows
     val stamp = Seq("events.parquet", "documents.parquet", "orders.parquet",
-      "lineitem.parquet", "embeddings.parquet").map { f =>
+      "lineitem.parquet", "embeddings.parquet", "part.parquet").map { f =>
       val p = Paths.get(src, f)
       s"${JF.size(p)}:${JF.getLastModifiedTime(p).toMillis}"
-    }.mkString(",") + s":$copies:v3"
+    }.mkString(",") + s":$copies:v4"
     val marker = fs.resolve("_DONE")
     if (JF.exists(marker) && JF.readString(marker) == stamp) return
     val letters = "abcdefghij"
@@ -76,7 +81,13 @@ object Sf1Probe {
     val maxOrder = orders.agg(max("o_orderkey")).head().getLong(0) + 1
     val maxCust = orders.agg(max("o_custkey")).head().getLong(0) + 1
     val maxSupp = lineitem.agg(max("l_suppkey")).head().getLong(0) + 1
-    val maxPart = lineitem.agg(max("l_partkey")).head().getLong(0) + 1
+    val part = spark.read.parquet(s"$src/part.parquet")
+    // one shift domain for BOTH part-key columns so referential
+    // integrity survives the copy (part holds keys lineitem never
+    // references; shifting by lineitem's max alone would collide them)
+    val maxPart = math.max(
+      lineitem.agg(max("l_partkey")).head().getLong(0),
+      part.agg(max("p_partkey")).head().getLong(0)) + 1
     (0 until copies).map { i =>
       orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder))
         .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust))
@@ -94,6 +105,15 @@ object Sf1Probe {
         .withColumn("l_partkey", col("l_partkey") + lit(i * maxPart))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    // part: keys shift with lineitem's; names stay UN-rotated on purpose
+    // — a 10x catalog drawn from the same name vocabulary is DENSER in
+    // every blocking key, which is exactly the per-block cost dd22's
+    // probe must measure (the dirty side stays copy-0-only via its
+    // p_partkey < 500 filter, so candidates grow linearly in copies)
+    (0 until copies).map { i =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(i * maxPart))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
