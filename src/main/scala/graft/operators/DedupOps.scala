@@ -797,6 +797,60 @@ object DedupOps {
           .as("jaccard"))
   }
 
+  /** INCREMENTAL connected components — the dup-cluster-roster member
+    * of the incremental family (dd08 candidates, dd14 spans, dd18
+    * semantic, ann19 index, dp25 shards): merge a NEW batch into an
+    * existing cluster roster WITHOUT re-walking the history graph.
+    *
+    * Old clusters are CONTRACTED to their labels: every batch edge's
+    * historical endpoint maps to its cluster label (one equi-join
+    * against the roster), and [[connectedComponents]] then runs over
+    * batch vertices + the touched labels only — O(batch edges +
+    * touched clusters), never O(history). The result EQUALS the
+    * from-scratch roster exactly: a hash-min label is the component's
+    * min id, every old doc is ≥ its cluster label, so min over
+    * {batch ids, old labels} in a merged component IS the global min —
+    * the oracle replays the full-corpus computation and the hashes
+    * must match (dp25's suffix-restriction proof style, applied to
+    * graph state). Untouched clusters pass through by pointer: their
+    * labels never enter the incremental CC's input.
+    *
+    * @param oldRoster  (idCol, cluster) — the persisted history roster
+    *                   (cluster = hash-min label over history)
+    * @param batchVertices (idCol) — the new docs (isolated ones keep
+    *                   their own id, as from-scratch CC would)
+    * @param batchEdges (src, dst) — every edge with ≥ 1 batch endpoint;
+    *                   historical endpoints are raw doc ids (contracted
+    *                   here)
+    * @return (idCol, cluster) for batch docs AND all history docs
+    *         (touched clusters relabeled, untouched unchanged)
+    */
+  def incrementalClusters(oldRoster: DataFrame, batchVertices: DataFrame,
+      batchEdges: DataFrame, idCol: String): DataFrame = {
+    val r1 = oldRoster.select(col(idCol).as("src"), col("cluster").as("_l1"))
+    val r2 = oldRoster.select(col(idCol).as("dst"), col("cluster").as("_l2"))
+    val contracted = batchEdges
+      .join(r1, Seq("src"), "left").join(r2, Seq("dst"), "left")
+      .select(coalesce(col("_l1"), col("src")).as("src"),
+        coalesce(col("_l2"), col("dst")).as("dst"))
+    val ce = Exec.materializeForSelfJoin(contracted)
+    val vtx = batchVertices.select(col(idCol))
+      .unionByName(ce.select(col("src").as(idCol)))
+      .unionByName(ce.select(col("dst").as(idCol)))
+      .distinct()
+    val inc = Exec.materializeForSelfJoin(
+      connectedComponents(vtx, ce, idCol))
+    Exec.releaseMaterialized(ce)
+    val lblMap = inc.select(col(idCol).as("_lbl"), col("cluster").as("_new"))
+    val oldOut = oldRoster.join(lblMap,
+        oldRoster("cluster") === lblMap("_lbl"), "left")
+      .select(oldRoster(idCol), coalesce(col("_new"), oldRoster("cluster"))
+        .as("cluster"))
+    val batchOut = inc.join(batchVertices.select(col(idCol)), Seq(idCol))
+      .select(col(idCol), col("cluster"))
+    batchOut.unionByName(oldOut)
+  }
+
   /** Blocked edit-distance fuzzy join — record linkage of a DIRTY table
     * against a MASTER table (typo'd product names → catalog, OCR'd
     * strings → canonical list): candidate pairs share a blocking key

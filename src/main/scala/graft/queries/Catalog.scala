@@ -5712,6 +5712,46 @@ object Catalog {
         .orderBy("dirty_id")
     })
 
+  // INCREMENTAL cluster-roster merge (DedupOps.incrementalClusters —
+  // the dup-cluster member of the incremental family dd08/dd14/dd18/
+  // ann19/dp25): the corpus splits into HISTORY (doc_id % 5 != 0,
+  // whose roster a production system has persisted) and a BATCH
+  // (doc_id % 5 == 0); history clusters are contracted to their labels
+  // and CC runs over batch vertices + touched labels ONLY — O(batch),
+  // never a re-walk of the history graph. Correctness is structural:
+  // old labels are history-min ids and every old doc ≥ its label, so
+  // hash-min over the contracted graph reproduces the global component
+  // min — the oracle runs the FULL from-scratch computation (dd21's
+  // recursive-CTE chain verbatim) and the hashes must match, proving
+  // increment == scratch on every doc (the dp25 proof style on graph
+  // state). Edges come from the shared verified τ-Jaccard artifact.
+  private val dd23 = Q("dd23_incremental_clusters", Some(s"""
+    WITH RECURSIVE $exactClusterCtes
+    SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id
+    ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"))
+      val edges = SharedArtifacts.jaccardEdges12(s, d)
+        .select(col("id1"), col("id2"))
+      val batchP = col("doc_id") % 5 === 0
+      val hist = docs.where(!batchP)
+      val batch = docs.where(batchP)
+      val e = Exec.materializeForSelfJoin(
+        edges.select(col("id1").as("src"), col("id2").as("dst")))
+      val oldE = e.where(col("src") % 5 =!= 0 && col("dst") % 5 =!= 0)
+      // the persisted history state (built once here; in production a
+      // table maintained by prior runs — its cost is the history build,
+      // not the increment)
+      val oldRoster = Exec.materializeForSelfJoin(
+        DedupOps.connectedComponents(hist, oldE, "doc_id"))
+      val batchE = e.where(col("src") % 5 === 0 || col("dst") % 5 === 0)
+      val out = DedupOps.incrementalClusters(oldRoster, batch, batchE,
+          "doc_id")
+        .orderBy("doc_id")
+      Exec.releaseMaterialized(e)
+      out
+    })
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -8231,7 +8271,7 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22,
+    dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     ann21,

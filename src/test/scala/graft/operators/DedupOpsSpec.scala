@@ -423,6 +423,28 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L, 0, 2L), (11L, 1L, 1, 2L), (13L, 3L, 1, 1L)))
   }
 
+  test("incrementalClusters: batch merges two old clusters; untouched clusters pass through") {
+    // history: clusters {1,2} (label 1), {4,7} (label 4), isolated 8
+    val oldRoster = Seq((1L, 1L), (2L, 1L), (4L, 4L), (7L, 4L), (8L, 8L))
+      .toDF("doc_id", "cluster")
+    // batch doc 5 bridges both clusters; batch doc 10 is isolated
+    val batch = Seq(5L, 10L).toDF("doc_id")
+    val batchEdges = Seq((5L, 2L), (5L, 4L)).toDF("src", "dst")
+    val got = DedupOps.incrementalClusters(oldRoster, batch, batchEdges, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 1L, 5L -> 1L,
+      8L -> 8L, 10L -> 10L))
+  }
+
+  test("incrementalClusters: a batch doc can become the new min label") {
+    // old cluster {4,7} label 4; batch doc 3 joins it -> global min 3
+    val oldRoster = Seq((4L, 4L), (7L, 4L)).toDF("doc_id", "cluster")
+    val got = DedupOps.incrementalClusters(oldRoster, Seq(3L).toDF("doc_id"),
+        Seq((3L, 7L)).toDF("src", "dst"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 4L -> 3L, 7L -> 3L))
+  }
+
   test("fuzzyJoinBlocked ties break on the smaller master id") {
     val master = Seq((7L, "samesame"), (5L, "samesame")).toDF("mid", "mname")
     val dirty = Seq((1L, "samesame")).toDF("did", "dname")
