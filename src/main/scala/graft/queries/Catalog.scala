@@ -7785,6 +7785,73 @@ object Catalog {
         .orderBy("event_type", "user_id")
     })
 
+  // Chi-square independence test (the A/B-testing / cohort-comparison
+  // statistic): is event volume independent of day-of-week? The full
+  // 5×7 contingency grid comes from a bounded cross join of the two
+  // marginal tables (rt × broadcast ct — q83's reduced-table BNLJ
+  // shape), LEFT-joined to the observed cells so ZERO-observed cells
+  // still contribute their rt·ct/N expectation (dropping them biases
+  // the statistic). Everything upstream is three map-side-combinable
+  // hash counts over one scan; per-cell contributions are mirrored
+  // IEEE arithmetic over exact integer counts (every operand < 2^53),
+  // nano-rounded BEFORE the global sum so both engines add the same
+  // integers in any order. dow = epoch-day mod 7 — a pure integer both
+  // engines agree on, no calendar-convention dependence.
+  private val q95 = Q("q95_chisq_independence", Some("""
+    WITH f AS (
+      SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow
+      FROM events),
+    o AS (SELECT event_type, dow, count(*) AS o FROM f GROUP BY 1, 2),
+    rt AS (SELECT event_type, count(*) AS rt FROM f GROUP BY 1),
+    ct AS (SELECT dow, count(*) AS ct FROM f GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM f),
+    grid AS (SELECT rt.event_type, ct.dow, rt.rt, ct.ct FROM rt CROSS JOIN ct),
+    pre AS (
+      SELECT g.event_type, g.dow, coalesce(o.o, 0) AS o, g.rt, g.ct, n.n,
+        cast(coalesce(o.o, 0) as double) * cast(n.n as double)
+          - cast(g.rt as double) * cast(g.ct as double) AS dev,
+        cast(g.rt as double) * cast(g.ct as double) * cast(n.n as double) AS den
+      FROM grid g LEFT JOIN o ON o.event_type = g.event_type AND o.dow = g.dow
+      CROSS JOIN n),
+    cells AS (
+      SELECT event_type, dow, o,
+        cast(round(cast(rt as double) * cast(ct as double)
+          / cast(n as double) * 1000000000.0) as bigint) AS e_nano,
+        cast(round(dev * dev / den * 1000000000.0) as bigint) AS contrib_nano
+      FROM pre),
+    tot AS (SELECT cast(sum(contrib_nano) as bigint) AS chi2_nano FROM cells)
+    SELECT c.event_type, cast(c.dow as bigint) AS dow, cast(c.o as bigint) AS o,
+      c.e_nano, c.contrib_nano, t.chi2_nano
+    FROM cells c CROSS JOIN tot t ORDER BY event_type, dow"""),
+    (s, d) => {
+      val f = T(s, d, "events").select(col("event_type"),
+        (expr("unix_micros(ts) div 86400000000") % 7).as("dow"))
+      val o = f.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val rt = f.groupBy("event_type").agg(count(lit(1)).as("rt"))
+      val ctb = f.groupBy("dow").agg(count(lit(1)).as("ct"))
+      val n = f.agg(count(lit(1)).as("n"))
+      val pre = rt.crossJoin(broadcast(ctb))
+        .join(o, Seq("event_type", "dow"), "left").na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("dow"), col("o"), col("rt"),
+          col("ct"), col("n"),
+          (col("o").cast("double") * col("n").cast("double")
+            - col("rt").cast("double") * col("ct").cast("double")).as("dev"),
+          (col("rt").cast("double") * col("ct").cast("double")
+            * col("n").cast("double")).as("den"))
+      val cells = pre.select(col("event_type"), col("dow"), col("o"),
+        expr("""cast(round(cast(rt as double) * cast(ct as double)
+          / cast(n as double) * 1000000000.0) as bigint)""").as("e_nano"),
+        expr("cast(round(dev * dev / den * 1000000000.0) as bigint)")
+          .as("contrib_nano"))
+      val tot = cells.agg(sum("contrib_nano").cast("long").as("chi2_nano"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("dow").cast("long").as("dow"),
+          col("o").cast("long").as("o"), col("e_nano"), col("contrib_nano"),
+          col("chi2_nano"))
+        .orderBy("event_type", "dow")
+    })
+
   // Duplicate-aware SOFT dedup (the data-constrained-scaling move,
   // Muennighoff et al. 2023: repeated data decays in value, so instead
   // of dropping duplicates, down-weight them): every copy of a
@@ -8269,7 +8336,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91, q92, q93, q94,
+    q87, q88, q89, q90, q91, q92, q93, q94, q95,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

@@ -74,8 +74,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx22_bm25_retrieval",      // 1-row (N, Σdl) corpus-stats aggregate
                                 // (the bounded query-term set rides a
                                 // hash equi-join, not the BNLJ)
-    "ann21_mips_topk")          // 10-query quantized-vector broadcast
+    "ann21_mips_topk",          // 10-query quantized-vector broadcast
                                 // (ann01's bounded query-side pattern)
+    "q95_chisq_independence")   // 7-row dow-marginal + two 1-row
+                                // aggregates (q83's reduced-table
+                                // contingency-grid shape)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -161,7 +164,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx22_bm25_retrieval",      // ≤120-row query-term set + 1-row
                                 // corpus stats — both bounded by the
                                 // fixed query count
-    "ann21_mips_topk")          // 10-query quantized-vector broadcast
+    "ann21_mips_topk",          // 10-query quantized-vector broadcast
+    "q95_chisq_independence")   // 7-row marginal + 1-row N + 1-row
+                                // chi2 total — all bounded
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
