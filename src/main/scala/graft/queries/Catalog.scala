@@ -1112,6 +1112,92 @@ object Catalog {
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted"))
 
+  // Classifier evaluation metrics (the eval-harness rollup over tx03's
+  // lang-id confusion — the ann07-style "grade the model" move applied
+  // to a text classifier): per ACTUAL class tp / support / predicted
+  // count and precision / recall / F1, plus an '__all' micro-accuracy
+  // row. Everything runs on the |langs|² confusion table (a hash agg
+  // away from the corpus scan); metrics are mirrored IEEE ratios of
+  // exact integers, nano-rounded; a class never predicted gets
+  // precision 0 by the guarded CASE on both engines identically. F1
+  // computes from the RAW ratios, rounded once at the end.
+  private val tx23 = Q("tx23_langid_eval", Some("""
+    WITH scored AS (
+      SELECT lang,
+        len(regexp_extract_all(text, '(?i)\ble\b|(?i)\bla\b|(?i)\bles\b|(?i)\bet\b|(?i)\best\b|(?i)\bune\b')) AS s_fr,
+        len(regexp_extract_all(text, '(?i)\bel\b|(?i)\blos\b|(?i)\blas\b|(?i)\bes\b|(?i)\buna\b')) AS s_es,
+        len(regexp_extract_all(text, '(?i)\bder\b|(?i)\bdie\b|(?i)\bdas\b|(?i)\bund\b|(?i)\bist\b')) AS s_de,
+        len(regexp_extract_all(text, '(?i)\bthe\b|(?i)\band\b|(?i)\bis\b|(?i)\bof\b|(?i)\bthat\b')) AS s_en,
+        regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+      FROM documents),
+    pred AS (
+      SELECT lang,
+        CASE WHEN has_cjk THEN 'zh'
+             WHEN s_fr > s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+             WHEN s_es > s_en AND s_es > s_fr AND s_es >= s_de THEN 'es'
+             WHEN s_de > s_en AND s_de > s_fr AND s_de > s_es THEN 'de'
+             ELSE 'en' END AS predicted
+      FROM scored),
+    conf AS (SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2),
+    act AS (SELECT lang, cast(sum(n) as bigint) AS na FROM conf GROUP BY 1),
+    prd AS (SELECT predicted, cast(sum(n) as bigint) AS np FROM conf GROUP BY 1),
+    tp AS (SELECT lang, cast(n as bigint) AS tp FROM conf WHERE predicted = lang),
+    per AS (
+      SELECT a.lang, coalesce(tp.tp, 0) AS tp, a.na, coalesce(p.np, 0) AS np
+      FROM act a LEFT JOIN tp USING (lang)
+      LEFT JOIN prd p ON p.predicted = a.lang),
+    met AS (
+      SELECT lang, tp, na, np,
+        CASE WHEN np > 0 THEN cast(tp as double) / cast(np as double)
+             ELSE 0.0 END AS p,
+        cast(tp as double) / cast(na as double) AS r
+      FROM per),
+    rows_ AS (
+      SELECT lang, tp, na, np,
+        cast(round(p * 1000000000.0) as bigint) AS precision_nano,
+        cast(round(r * 1000000000.0) as bigint) AS recall_nano,
+        cast(round(CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r)
+                        ELSE 0.0 END * 1000000000.0) as bigint) AS f1_nano
+      FROM met
+      UNION ALL
+      SELECT '__all', cast(sum(tp) as bigint), cast(sum(na) as bigint),
+        cast(sum(np) as bigint),
+        cast(round(cast(sum(tp) as double) / cast(sum(na) as double) * 1000000000.0) as bigint),
+        cast(round(cast(sum(tp) as double) / cast(sum(na) as double) * 1000000000.0) as bigint),
+        cast(round(cast(sum(tp) as double) / cast(sum(na) as double) * 1000000000.0) as bigint)
+      FROM per)
+    SELECT lang, tp, na, np, precision_nano, recall_nano, f1_nano
+    FROM rows_ ORDER BY lang"""),
+    (s, d) => {
+      val pred = T(s, d, "documents")
+        .select(col("lang"), TextOps.langScores(col("text")).as("_ls"))
+        .withColumn("predicted", TextOps.langIdFromScores(col("_ls")))
+      val conf = pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      val act = conf.groupBy("lang").agg(sum("n").cast("long").as("na"))
+      val prd = conf.groupBy("predicted").agg(sum("n").cast("long").as("np"))
+      val tp = conf.where(col("predicted") === col("lang"))
+        .select(col("lang"), col("n").cast("long").as("tp"))
+      val per = act.join(tp, Seq("lang"), "left")
+        .join(prd.withColumnRenamed("predicted", "lang"), Seq("lang"), "left")
+        .na.fill(0L, Seq("tp", "np"))
+      val met = per.select(col("lang"), col("tp"), col("na"), col("np"),
+        when(col("np") > 0, col("tp").cast("double") / col("np").cast("double"))
+          .otherwise(lit(0.0)).as("p"),
+        (col("tp").cast("double") / col("na").cast("double")).as("r"))
+      val perRows = met.select(col("lang"), col("tp"), col("na"), col("np"),
+        expr("cast(round(p * 1000000000.0) as bigint)").as("precision_nano"),
+        expr("cast(round(r * 1000000000.0) as bigint)").as("recall_nano"),
+        expr("""cast(round(CASE WHEN p + r > 0.0D THEN 2.0D * p * r / (p + r)
+                ELSE 0.0D END * 1000000000.0) as bigint)""").as("f1_nano"))
+      val acc = per.agg(sum("tp").cast("long").as("tp"),
+          sum("na").cast("long").as("na"), sum("np").cast("long").as("np"))
+        .select(lit("__all").as("lang"), col("tp"), col("na"), col("np"),
+          expr("cast(round(cast(tp as double) / cast(na as double) * 1000000000.0) as bigint)").as("precision_nano"))
+        .withColumn("recall_nano", col("precision_nano"))
+        .withColumn("f1_nano", col("precision_nano"))
+      perRows.unionByName(acc).orderBy("lang")
+    })
+
   private val tx04 = Q("tx04_fingerprint", Some("""
     SELECT doc_id,
       CASE WHEN length(text) < 16 THEN md5(text)
@@ -8343,7 +8429,7 @@ object Catalog {
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     ann21,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22,
+    tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
