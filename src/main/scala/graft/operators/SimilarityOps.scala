@@ -1394,4 +1394,64 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("dot_q"), col("rank"))
   }
+
+  /** Greedy k-center coreset (Gonzalez's farthest-point traversal — the
+    * DIVERSITY-selection move of data curation: pick k points that
+    * 2-approximate the optimal covering radius, so a pretraining subset
+    * spans the embedding space instead of oversampling its dense
+    * cores). Deterministic: the seed is the min id, each round adds the
+    * point FARTHEST from the selected set (max min-distance, ties to
+    * the smaller id), distances are exact integer squared-L2 over the
+    * floor(x·2^20) quantization — no float anywhere, so both engines
+    * traverse identically.
+    *
+    * Scale shape: the selection is INHERENTLY sequential in k (each
+    * pick conditions the next), so the operator is k bounded passes,
+    * each ONE broadcast-1-row distance update + min fold over the
+    * corpus — never a pairwise join; the min-distance state is
+    * fixed-width [id, md], localCheckpointed per round with superseded
+    * handles released (the connectedComponents memory contract). The
+    * argmax is a global TakeOrderedAndProject (every task keeps 1 row).
+    *
+    * @return [round (0-based pick order), vec id, dist2 (squared
+    *         quantized L2 to the prior set; 0 for the seed)]
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    import org.apache.spark.sql.expressions.Window
+    val quant = Exec.materializeForSelfJoin(df.select(col(idCol).as("_kc_id"),
+      expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1048576.0) as bigint))")
+        .as("_kc_q")))
+    def dist2(a: String, b: String): Column =
+      expr(s"aggregate(zip_with($a, $b, " +
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val seed = quant.orderBy(col("_kc_id").asc).limit(1)
+      .select(col("_kc_id").as("_c_id"), col("_kc_q").as("_c_q"))
+    var selected = Exec.materializeForSelfJoin(
+      seed.select(lit(0).as("round"), col("_c_id").as(idCol),
+        lit(0L).as("dist2")))
+    var minDist = Exec.materializeForSelfJoin(
+      quant.crossJoin(broadcast(seed))
+        .select(col("_kc_id"), col("_kc_q"),
+          dist2("_kc_q", "_c_q").as("_md")))
+    for (r <- 1 until k) {
+      val next = minDist.orderBy(col("_md").desc, col("_kc_id").asc).limit(1)
+        .select(col("_kc_id").as("_c_id"), col("_kc_q").as("_c_q"),
+          col("_md").as("_c_md"))
+      val sel2 = Exec.materializeForSelfJoin(selected.unionByName(
+        next.select(lit(r).as("round"), col("_c_id").as(idCol),
+          col("_c_md").as("dist2"))))
+      val md2 = Exec.materializeForSelfJoin(
+        minDist.crossJoin(broadcast(next.select(col("_c_q"))))
+          .select(col("_kc_id"), col("_kc_q"),
+            least(col("_md"), dist2("_kc_q", "_c_q")).as("_md")))
+      Exec.releaseMaterialized(selected)
+      Exec.releaseMaterialized(minDist)
+      selected = sel2
+      minDist = md2
+    }
+    Exec.releaseMaterialized(minDist)
+    selected
+  }
 }

@@ -7148,6 +7148,52 @@ object Catalog {
         .orderBy("n_tokens")
     })
 
+  /** One greedy k-center oracle round (dp30): pick j = the max-min-dist
+    * point from `d j` (ties to the smaller id), then fold its distance
+    * into every point's min — the CTE chain
+    * [[graft.operators.SimilarityOps.kCenterCoreset]] mirrors.
+    */
+  private def kcRoundCtes(j: Int): String = s"""
+    c$j AS (SELECT vec_id AS id, md FROM d$j ORDER BY md DESC, vec_id LIMIT 1),
+    w$j AS (SELECT v.q FROM v JOIN c$j ON v.vec_id = c$j.id),
+    d${j + 1} AS (
+      SELECT d.vec_id,
+        least(d.md, cast(list_sum(list_transform(generate_series(1, 64),
+          i -> (vv.q[i] - w.q[i]) * (vv.q[i] - w.q[i]))) as bigint)) AS md
+      FROM d$j d JOIN v vv ON vv.vec_id = d.vec_id CROSS JOIN w$j w)"""
+
+  // Greedy k-center coreset (SimilarityOps.kCenterCoreset — Gonzalez's
+  // farthest-point 2-approximation, the DIVERSITY-selection face of
+  // curation next to dp16's size-proportional and dp19's
+  // importance-weighted sampling): 8 picks over the embedding corpus,
+  // each round ONE broadcast-1-row distance fold (k bounded passes,
+  // never a pairwise join). Fully deterministic: min-id seed, exact
+  // integer squared-L2 over the floor(x·2^20) quantization, max-dist
+  // ties to the smaller id — the oracle replays all 7 sequential picks
+  // as unrolled CTE rounds and must land on the identical traversal.
+  private val dp30 = Q("dp30_kcenter_coreset", Some(s"""
+    WITH v AS (SELECT vec_id,
+        list_transform(cast(embedding as double[]),
+          x -> cast(floor(x * 1048576.0) as bigint)) AS q
+      FROM embeddings),
+    c0 AS (SELECT min(vec_id) AS id FROM v),
+    w0 AS (SELECT v.q FROM v JOIN c0 ON v.vec_id = c0.id),
+    d1 AS (
+      SELECT vv.vec_id,
+        cast(list_sum(list_transform(generate_series(1, 64),
+          i -> (vv.q[i] - w.q[i]) * (vv.q[i] - w.q[i]))) as bigint) AS md
+      FROM v vv CROSS JOIN w0 w),
+    ${(1 to 7).map(kcRoundCtes).mkString(",")}
+    SELECT cast(0 as int) AS round, cast(id as bigint) AS vec_id,
+      cast(0 as bigint) AS dist2 FROM c0
+    ${(1 to 7).map(j => s"UNION ALL SELECT cast($j as int), cast(id as bigint), cast(md as bigint) FROM c$j").mkString("\n    ")}
+    ORDER BY round"""),
+    (s, d) => SimilarityOps.kCenterCoreset(T(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8)
+      .select(col("round").cast("int").as("round"),
+        col("vec_id").cast("long").as("vec_id"), col("dist2"))
+      .orderBy("round"))
+
   /** One BPE oracle round: pair counts over `sJ`'s sequences, the argmax
     * merge `mK`, and (for non-final rounds) the merged sequences `sK` —
     * the CTE chain [[graft.operators.BpeOps]] mirrors. The leftmost-
@@ -8433,5 +8479,6 @@ object Catalog {
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
-    dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28, dp29)
+    dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28, dp29,
+    dp30)
 }

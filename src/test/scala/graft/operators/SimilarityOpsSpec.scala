@@ -190,6 +190,21 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(got.head._2 == 3145728L * 1048576L)
   }
 
+  test("kCenterCoreset: farthest-point traversal with min-id ties, exact integer distances") {
+    // 1-D layout: 1@0, 2@10, 3@5, 4@1(y), 5@9 — greedy from min-id seed
+    // picks 2 (d2=100), then 3 (25), then the 4/5 tie at 1 -> 4, then 5
+    val vecs = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)), (3L, Seq(5f, 0f)),
+      (4L, Seq(0f, 1f)), (5L, Seq(9f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.kCenterCoreset(vecs, "vec_id", "embedding", k = 5)
+      .orderBy("round").select("vec_id", "dist2")
+      .as[(Long, Long)].collect().toSeq
+    val u = 1099511627776L // (2^20)^2: unit squared distance
+    assert(got == Seq((1L, 0L), (2L, 100L * u), (3L, 25L * u),
+      (4L, 1L * u), (5L, 1L * u)))
+  }
+
   test("mipsTopK tie-breaks equal dots on the smaller neighbor id") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (5L, Seq(2f, 1f)), (4L, Seq(2f, -1f)))
