@@ -46,3 +46,23 @@ final class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]]
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** Null-SKIPPING [[KmvAggregator]]: a NULL input contributes nothing —
+  * SQL `count(DISTINCT col)` semantics for a nullable hashed column.
+  * The primitive-Long variant would silently decode NULL to 0 and
+  * insert a spurious hash; a composite aggregation that must see every
+  * row (count + null-count + sketch in ONE agg, the q96 streaming
+  * profile) cannot pre-filter, so the skip lives in the aggregator.
+  */
+final class KmvNullableAggregator(k: Int)
+    extends Aggregator[java.lang.Long, Seq[Long], Seq[Long]] {
+  private val inner = new KmvAggregator(k)
+  override def zero: Seq[Long] = inner.zero
+  override def reduce(buf: Seq[Long], a: java.lang.Long): Seq[Long] =
+    if (a == null) buf else inner.reduce(buf, a.longValue)
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    inner.merge(b1, b2)
+  override def finish(reduction: Seq[Long]): Seq[Long] = reduction
+  override def bufferEncoder: Encoder[Seq[Long]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Seq[Long]] = inner.outputEncoder
+}

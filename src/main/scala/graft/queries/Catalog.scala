@@ -7917,6 +7917,44 @@ object Catalog {
         .orderBy("event_type", "user_id")
     })
 
+  // Streaming column-profile monitor (dp28 run CONTINUOUSLY —
+  // StreamingOps.streamColumnProfile, the data-quality dashboard over
+  // an arriving table): running counts / nulls / min / max / KMV(64)
+  // distinct sketch per column. Every statistic is a streamable monoid
+  // — distinct via the null-skipping KMV merge (exact countDistinct is
+  // NOT streamable without corpus-sized state; the sketch is the
+  // point) — so AvailableNow over the bounded source equals the batch
+  // profile EXACTLY, which is what the oracle checks. State is
+  // |columns| sketch rows, independent of stream volume; the estimator
+  // tail applies after read-back, expression-identical to dp28/q46.
+  private val q96 = Q("q96_stream_profile", Some("""
+    WITH src AS (
+      SELECT 'l_orderkey' AS c, cast(l_orderkey as varchar) AS v FROM lineitem
+      UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL SELECT 'l_linestatus_n', nullif(l_linestatus, 'O') FROM lineitem),
+    counts AS (
+      SELECT c, count(*) AS n_rows, count(*) - count(v) AS n_null,
+        min(v) AS min_val, max(v) AS max_val
+      FROM src GROUP BY c),
+    h AS (SELECT DISTINCT c, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+          FROM src WHERE v IS NOT NULL),
+    r AS (SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS rn,
+            count(*) OVER (PARTITION BY c) AS nd FROM h),
+    kmv AS (SELECT c,
+        cast(CASE WHEN nd < 64 THEN cast(nd as double)
+                  ELSE floor(63.0 * 1152921504606846976.0 / cast(h as double)) END
+          as bigint) AS ndv_kmv
+      FROM r WHERE rn = least(nd, 64))
+    SELECT counts.c AS col_name, cast(n_rows as bigint) AS n_rows,
+      cast(n_null as bigint) AS n_null, min_val, max_val, ndv_kmv
+    FROM counts JOIN kmv ON kmv.c = counts.c
+    ORDER BY col_name"""),
+    (s, d) => graft.streaming.StreamingOps.streamColumnProfile(s,
+        s"$d/lineitem.parquet",
+        queryName = "graft_stream_profile_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
+      .orderBy("col_name"))
+
   // Chi-square independence test (the A/B-testing / cohort-comparison
   // statistic): is event volume independent of day-of-week? The full
   // 5×7 contingency grid comes from a bounded cross join of the two
@@ -8468,7 +8506,7 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91, q92, q93, q94, q95,
+    q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,

@@ -470,6 +470,52 @@ object StreamingOps {
     * streaming MERGE (q66), and a dashboard reads the tail off the
     * day-count-sized state without ever re-scanning raw events.
     */
+  /** Streaming column-profile monitor (dp28 run CONTINUOUSLY — the
+    * data-quality dashboard over an arriving table): per micro-batch
+    * the stacked (column, value) stream folds into running per-column
+    * counts, null counts, min/max, and a KMV(64) distinct sketch.
+    * Every statistic is a streamable monoid — count/min/max natively,
+    * distinct via the k-bounded KMV merge (exact `countDistinct` is NOT
+    * streamable without corpus-sized state; the sketch IS, which is the
+    * whole point of profiling a stream) — so AvailableNow over the
+    * bounded source equals the batch profile exactly, which is what the
+    * oracle checks. State: |columns| rows × one ≤64-value sketch — the
+    * smallest state table in the topology, independent of stream
+    * volume. The estimator tail applies AFTER read-back, identical to
+    * the batch expression (the q76/tx15 shared-tail discipline).
+    */
+  def streamColumnProfile(spark: SparkSession, lineitemPath: String,
+      queryName: String = "graft_stream_profile",
+      statePartitions: Option[Int] = None): DataFrame = {
+    import graft.operators.SketchOps
+    val srcDir = asSourceDir(lineitemPath)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val stacked = stream.select(explode(array(
+        struct(lit("l_orderkey").as("c"),
+          col("l_orderkey").cast("string").as("v")),
+        struct(lit("l_returnflag").as("c"),
+          col("l_returnflag").cast("string").as("v")),
+        struct(lit("l_linestatus_n").as("c"),
+          expr("nullif(l_linestatus, 'O')").cast("string").as("v"))))
+        .as("x"))
+      .select(col("x.c").as("c"), col("x.v").as("v"))
+      .withColumn("h", when(col("v").isNotNull,
+        conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long")))
+    val kmv = udaf(new graft.functions.KmvNullableAggregator(64),
+      org.apache.spark.sql.Encoders.LONG)
+    val agg = stacked.groupBy("c").agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("v"))).as("n_null"),
+      min("v").as("min_val"), max("v").as("max_val"),
+      kmv(col("h")).as("ks"))
+    runViaFileSink(agg, "complete", queryName,
+        statePartitions = statePartitions)
+      .select(col("c").as("col_name"), col("n_rows").cast("long").as("n_rows"),
+        col("n_null").cast("long").as("n_null"), col("min_val"),
+        col("max_val"), SketchOps.kmvEstimate(col("ks"), 64).as("ndv_kmv"))
+  }
+
   def streamSlidingDistinct(spark: SparkSession, eventsPath: String,
       splits: Int = 4, queryName: String = "graft_stream_sliding",
       statePartitions: Option[Int] = None,
