@@ -137,7 +137,13 @@ object Bench {
           // q92 (3 synchronous LPA rounds: one edge join + degree-
           // bounded window per round over the 10x shared edge artifact
           // — expect q86/q90's edge envelope)
-          "tx22_bm25_retrieval", "dd22_fuzzy_join", "q92_label_prop")
+          "tx22_bm25_retrieval", "dd22_fuzzy_join", "q92_label_prop",
+          // dd23 (incremental CC: history roster + contracted batch CC
+          // over the shared edge artifact — the ratio certifies the
+          // O(batch + touched) contract), dp30 (8 sequential
+          // broadcast-1-row k-center passes — linear in n by design,
+          // the dd17 fixed-k convention)
+          "dd23_incremental_clusters", "dp30_kcenter_coreset")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY

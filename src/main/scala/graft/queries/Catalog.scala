@@ -1198,6 +1198,44 @@ object Catalog {
       perRows.unionByName(acc).orderBy("lang")
     })
 
+  // Readability scoring (Flesch reading ease with the standard
+  // vowel-group syllable proxy — the document-difficulty signal
+  // curriculum ordering (dp17) and quality gating (tx02) consume):
+  // sentences = terminal punctuation runs (min 1), words = whitespace
+  // tokens, syllables ≈ maximal [aeiouy]+ groups. All three are exact
+  // regexp-count integers on both engines; the score is mirrored IEEE
+  // arithmetic over those integers, nano-rounded — one narrow codegen
+  // pass per row, no shuffle before the output sort.
+  private val tx24 = Q("tx24_readability", Some("""
+    WITH m AS (
+      SELECT doc_id,
+        greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syll
+      FROM documents WHERE length(trim(text)) > 0 AND doc_id < 300)
+    SELECT doc_id, cast(n_sent as bigint) AS n_sent,
+      cast(n_words as bigint) AS n_words, cast(n_syll as bigint) AS n_syll,
+      cast(round((206.835
+        - 1.015 * (cast(n_words as double) / cast(n_sent as double))
+        - 84.6 * (cast(n_syll as double) / cast(n_words as double)))
+        * 1000000000.0) as bigint) AS flesch_nano
+    FROM m ORDER BY doc_id"""),
+    (s, d) => T(s, d, "documents")
+      .where(length(trim(col("text"))) > 0 && col("doc_id") < 300)
+      .select(col("doc_id"),
+        greatest(lit(1), size(expr("regexp_extract_all(text, '[.!?]+', 0)")))
+          .cast("long").as("n_sent"),
+        size(DedupOps.tokens(col("text"))).cast("long").as("n_words"),
+        greatest(lit(1),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")))
+          .cast("long").as("n_syll"))
+      .select(col("doc_id"), col("n_sent"), col("n_words"), col("n_syll"),
+        expr("""cast(round((206.835
+          - 1.015 * (cast(n_words as double) / cast(n_sent as double))
+          - 84.6 * (cast(n_syll as double) / cast(n_words as double)))
+          * 1000000000.0) as bigint)""").as("flesch_nano"))
+      .orderBy("doc_id"))
+
   private val tx04 = Q("tx04_fingerprint", Some("""
     SELECT doc_id,
       CASE WHEN length(text) < 16 THEN md5(text)
@@ -8513,7 +8551,7 @@ object Catalog {
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     ann21,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
-    tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23,
+    tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
