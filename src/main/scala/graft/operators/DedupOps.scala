@@ -876,22 +876,30 @@ object DedupOps {
   def fuzzyJoinBlocked(dirty: DataFrame, dirtyId: String, dirtyName: String,
       master: DataFrame, masterId: String, masterName: String,
       prefixLen: Int = 4, lenBand: Int = 4, maxDist: Int = 2): DataFrame = {
-    def blocked(df: DataFrame, name: String) = df
-      .withColumn("_bp", substring(col(name), 1, prefixLen))
-      .withColumn("_bl", expr(s"length($name) div $lenBand"))
-    val cand = blocked(dirty.select(dirtyId, dirtyName), dirtyName)
-      .join(blocked(master.select(masterId, masterName), masterName),
+    // the output carries both id columns under their caller-given names,
+    // so those must differ; the NAME columns are renamed internally so
+    // both tables may use identical column names (the natural
+    // record-linkage shape: two tables each with `id` + `name`)
+    require(dirtyId != masterId,
+      s"dirtyId and masterId must differ in the output (both '$dirtyId')")
+    def blocked(df: DataFrame, id: String, name: String,
+        idOut: String, nameOut: String) = df
+      .select(col(id).as(idOut), col(name).as(nameOut))
+      .withColumn("_bp", substring(col(nameOut), 1, prefixLen))
+      .withColumn("_bl", expr(s"length($nameOut) div $lenBand"))
+    val cand = blocked(dirty, dirtyId, dirtyName, "_fz_did", "_fz_dn")
+      .join(blocked(master, masterId, masterName, "_fz_mid", "_fz_mn"),
         Seq("_bp", "_bl"))
-      .withColumn("_dist", levenshtein(col(dirtyName), col(masterName)))
+      .withColumn("_dist", levenshtein(col("_fz_dn"), col("_fz_mn")))
       .where(col("_dist") <= maxDist)
-    val w = Window.partitionBy(dirtyId)
-      .orderBy(col("_dist").asc, col(masterId).asc)
-    val wc = Window.partitionBy(dirtyId)
+    val w = Window.partitionBy("_fz_did")
+      .orderBy(col("_dist").asc, col("_fz_mid").asc)
+    val wc = Window.partitionBy("_fz_did")
     cand
       .withColumn("_rnk", row_number().over(w))
       .withColumn("n_cand", count(lit(1)).over(wc).cast("long"))
       .where(col("_rnk") === 1)
-      .select(col(dirtyId), col(masterId), col("_dist").cast("int").as("dist"),
-        col("n_cand"))
+      .select(col("_fz_did").as(dirtyId), col("_fz_mid").as(masterId),
+        col("_dist").cast("int").as("dist"), col("n_cand"))
   }
 }

@@ -54,10 +54,14 @@ object ProfileOps {
     val top = vc.join(mx, Seq("c"))
       .where(col("cnt") === col("top_cnt"))
       .groupBy("c", "top_cnt").agg(min("v").as("top_val"))
-    counts.join(sketches, Seq("c")).join(top, Seq("c"))
+    // LEFT joins: an all-NULL column has no sketch / mode row, but a
+    // profiler must STILL report it (it is exactly the column a
+    // data-quality gate needs to see) — ndv/top degrade to 0/NULL
+    counts.join(sketches, Seq("c"), "left").join(top, Seq("c"), "left")
       .select(col("c").as("col_name"), col("n_rows").cast("long").as("n_rows"),
         col("n_null").cast("long").as("n_null"), col("ndv").cast("long").as("ndv"),
-        col("ndv_kmv"), col("min_val"), col("max_val"), col("top_val"),
-        col("top_cnt").cast("long").as("top_cnt"))
+        coalesce(col("ndv_kmv"), lit(0L)).as("ndv_kmv"), col("min_val"),
+        col("max_val"), col("top_val"),
+        coalesce(col("top_cnt"), lit(0L)).cast("long").as("top_cnt"))
   }
 }

@@ -1423,6 +1423,12 @@ object SimilarityOps {
     val quant = Exec.materializeForSelfJoin(df.select(col(idCol).as("_kc_id"),
       expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1048576.0) as bigint))")
         .as("_kc_q")))
+    // with fewer than k points the argmax would re-pick an exhausted
+    // (md = 0) point — the seed — and emit duplicate coreset rows; the
+    // count rides the materialized table, one cheap job next to the k
+    // passes it guards
+    require(quant.count() >= k,
+      s"k-center needs at least k = $k input points")
     def dist2(a: String, b: String): Column =
       expr(s"aggregate(zip_with($a, $b, " +
         "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
@@ -1436,9 +1442,13 @@ object SimilarityOps {
         .select(col("_kc_id"), col("_kc_q"),
           dist2("_kc_q", "_c_q").as("_md")))
     for (r <- 1 until k) {
-      val next = minDist.orderBy(col("_md").desc, col("_kc_id").asc).limit(1)
-        .select(col("_kc_id").as("_c_id"), col("_kc_q").as("_c_q"),
-          col("_md").as("_c_md"))
+      // the 1-row argmax is materialized ONCE per round: left lazy it
+      // would be re-derived by both consumers below, scanning the
+      // corpus-sized minDist twice per round
+      val next = Exec.materializeForSelfJoin(
+        minDist.orderBy(col("_md").desc, col("_kc_id").asc).limit(1)
+          .select(col("_kc_id").as("_c_id"), col("_kc_q").as("_c_q"),
+            col("_md").as("_c_md")))
       val sel2 = Exec.materializeForSelfJoin(selected.unionByName(
         next.select(lit(r).as("round"), col("_c_id").as(idCol),
           col("_c_md").as("dist2"))))
@@ -1446,6 +1456,7 @@ object SimilarityOps {
         minDist.crossJoin(broadcast(next.select(col("_c_q"))))
           .select(col("_kc_id"), col("_kc_q"),
             least(col("_md"), dist2("_kc_q", "_c_q")).as("_md")))
+      Exec.releaseMaterialized(next)
       Exec.releaseMaterialized(selected)
       Exec.releaseMaterialized(minDist)
       selected = sel2

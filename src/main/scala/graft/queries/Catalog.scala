@@ -6222,8 +6222,8 @@ object Catalog {
             FROM terms GROUP BY lang)
     SELECT lang, cast(n as bigint) AS n_vocab,
       CASE WHEN n < 2 THEN NULL
-           ELSE round((cast(n as double) * sxy - cast(sx as double) * sy)
-               / (cast(n as double) * sxx - cast(sx as double) * sx), 6)
+           ELSE round((cast(n as double) * sxy * 1000000000.0 - cast(sx as double) * sy)
+               / (cast(n as double) * sxx * 1000000000.0 - cast(sx as double) * sx), 6)
       END AS slope
     FROM agg ORDER BY lang"""),
     (s, d) => {
@@ -6258,8 +6258,13 @@ object Catalog {
             // engines, so emit NULL explicitly on both sides (ADVICE r12)
             when(col("n") < 2, lit(null).cast("double"))
               .otherwise(
-                round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
-                  / (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6))
+                // sxy/sxx are singly nano-scaled while sx·sy / sx·sx are
+                // doubly scaled — the ×1e9 restores a common 1e18 scale;
+                // without it the cross terms dominate and the "slope"
+                // degenerates to sum(y)/sum(x) (r13 self-review fix,
+                // mirrored in the oracle)
+                round((col("n").cast("double") * col("sxy") * 1.0e9 - col("sx").cast("double") * col("sy"))
+                  / (col("n").cast("double") * col("sxx") * 1.0e9 - col("sx").cast("double") * col("sx")), 6))
               .as("slope"))
           .orderBy("lang")
       }
@@ -6309,8 +6314,8 @@ object Catalog {
     sl AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
              sum(xy) AS sxy, sum(xx) AS sxx FROM pts)
     SELECT cast(p.dec as int) AS decile, p.n_tokens, p.vocab,
-      round((cast(sl.n as double) * sl.sxy - cast(sl.sx as double) * sl.sy)
-          / (cast(sl.n as double) * sl.sxx - cast(sl.sx as double) * sl.sx), 6)
+      round((cast(sl.n as double) * sl.sxy * 1000000000.0 - cast(sl.sx as double) * sl.sy)
+          / (cast(sl.n as double) * sl.sxx * 1000000000.0 - cast(sl.sx as double) * sl.sx), 6)
         AS heaps_slope
     FROM pts p, sl ORDER BY p.dec"""),
     (s, d) => {
@@ -6319,11 +6324,19 @@ object Catalog {
         .select(col("doc_id"), DedupOps.tokens(col("text")).as("_t"))
       val ds = docs
         .select(col("doc_id"), size(col("_t")).cast("long").as("n_toks"))
-      val nd = math.max(ds.count(), 1L) // guards the div; 0 docs => 0 rows
-      val ranked = PrefixSumOps.exclusiveRunningSumAuto(
-          PrefixSumOps.exclusiveRunningSumAuto(
-            ds.withColumn("_one", lit(1L)), Seq(), "doc_id", "_one", "_xr"),
-          Seq(), "doc_id", "n_toks", "_xt")
+      // ONE driver job serves the decile divisor AND both prefix sums'
+      // bucket width (the Auto variants would each re-run a min/max
+      // bounds pass over the same doc_id order — three scans for one)
+      val stats = ds.agg(count(lit(1)).as("n"), min("doc_id").as("lo"),
+        max("doc_id").as("hi")).head()
+      val nd = math.max(stats.getLong(0), 1L) // guards the div; 0 docs => 0 rows
+      val width = if (stats.isNullAt(1)) 1L
+        else PrefixSumOps.bucketWidthFor(stats.getLong(2) - stats.getLong(1) + 1)
+      val ranked = PrefixSumOps.exclusiveRunningSum(
+          PrefixSumOps.exclusiveRunningSum(
+            ds.withColumn("_one", lit(1L)), Seq(), "doc_id", "_one", "_xr",
+            width),
+          Seq(), "doc_id", "n_toks", "_xt", width)
         .withColumn("cum", col("_xt") + col("n_toks"))
         .withColumn("dec", expr(s"(_xr * 10) div $nd + 1"))
       val nc = ranked.groupBy("dec").agg(max("cum").as("n_tokens"))
@@ -6348,9 +6361,12 @@ object Catalog {
       pts.crossJoin(broadcast(sl))
         .select(col("dec").cast("int").as("decile"), col("n_tokens"),
           col("vocab"),
-          round((col("n").cast("double") * col("sxy")
+          // ×1e9 restores the common 1e18 scale between the singly
+          // nano-scaled sxy/sxx and the doubly scaled sx·sy / sx·sx
+          // (the tx18 r13 self-review fix, mirrored in the oracle)
+          round((col("n").cast("double") * col("sxy") * 1.0e9
               - col("sx").cast("double") * col("sy"))
-            / (col("n").cast("double") * col("sxx")
+            / (col("n").cast("double") * col("sxx") * 1.0e9
               - col("sx").cast("double") * col("sx")), 6).as("heaps_slope"))
         .orderBy("decile")
     })
@@ -7127,8 +7143,10 @@ object Catalog {
             GROUP BY vc.c, mx.top_cnt)
     SELECT counts.c AS col_name, cast(n_rows as bigint) AS n_rows,
       cast(n_null as bigint) AS n_null, cast(ndv as bigint) AS ndv,
-      ndv_kmv, min_val, max_val, top_val, top_cnt
-    FROM counts JOIN kmv ON kmv.c = counts.c JOIN top ON top.c = counts.c
+      cast(coalesce(ndv_kmv, 0) as bigint) AS ndv_kmv, min_val, max_val,
+      top_val, cast(coalesce(top_cnt, 0) as bigint) AS top_cnt
+    FROM counts LEFT JOIN kmv ON kmv.c = counts.c
+    LEFT JOIN top ON top.c = counts.c
     ORDER BY col_name"""),
     (s, d) => ProfileOps.profile(T(s, d, "lineitem"), Seq(
         "l_orderkey" -> col("l_orderkey"),
@@ -7984,8 +8002,9 @@ object Catalog {
           as bigint) AS ndv_kmv
       FROM r WHERE rn = least(nd, 64))
     SELECT counts.c AS col_name, cast(n_rows as bigint) AS n_rows,
-      cast(n_null as bigint) AS n_null, min_val, max_val, ndv_kmv
-    FROM counts JOIN kmv ON kmv.c = counts.c
+      cast(n_null as bigint) AS n_null, min_val, max_val,
+      cast(coalesce(ndv_kmv, 0) as bigint) AS ndv_kmv
+    FROM counts LEFT JOIN kmv ON kmv.c = counts.c
     ORDER BY col_name"""),
     (s, d) => graft.streaming.StreamingOps.streamColumnProfile(s,
         s"$d/lineitem.parquet",
