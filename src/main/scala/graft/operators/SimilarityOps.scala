@@ -1423,12 +1423,16 @@ object SimilarityOps {
     val quant = Exec.materializeForSelfJoin(df.select(col(idCol).as("_kc_id"),
       expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1048576.0) as bigint))")
         .as("_kc_q")))
-    // with fewer than k points the argmax would re-pick an exhausted
-    // (md = 0) point — the seed — and emit duplicate coreset rows; the
-    // count rides the materialized table, one cheap job next to the k
-    // passes it guards
-    require(quant.count() >= k,
-      s"k-center needs at least k = $k input points")
+    // with fewer than k DISTINCT points the argmax would re-pick an
+    // exhausted (md = 0) point — all remaining min-distances are 0 once
+    // every distinct vector is selected — and emit duplicate coreset
+    // rows. Row count is the wrong guard (≥ k rows can still be < k
+    // distinct vectors); the distinct count rides the materialized
+    // table, one cheap job next to the k passes it guards. With ≥ k
+    // distinct vectors, every round has an unselected vector at md > 0,
+    // so the descending argmax never lands on an exhausted point.
+    require(quant.select("_kc_q").distinct().count() >= k,
+      s"k-center needs at least k = $k distinct input points")
     def dist2(a: String, b: String): Column =
       expr(s"aggregate(zip_with($a, $b, " +
         "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
@@ -1439,6 +1443,7 @@ object SimilarityOps {
         lit(0L).as("dist2")))
     var minDist = Exec.materializeForSelfJoin(
       quant.crossJoin(broadcast(seed))
+        .where(col("_kc_id") =!= col("_c_id"))
         .select(col("_kc_id"), col("_kc_q"),
           dist2("_kc_q", "_c_q").as("_md")))
     for (r <- 1 until k) {
@@ -1452,8 +1457,12 @@ object SimilarityOps {
       val sel2 = Exec.materializeForSelfJoin(selected.unionByName(
         next.select(lit(r).as("round"), col("_c_id").as(idCol),
           col("_c_md").as("dist2"))))
+      // the picked id also leaves the candidate pool (its md is 0 and
+      // could never win again given the distinct guard, but dropping it
+      // keeps the invariant "minDist = unselected points" literal)
       val md2 = Exec.materializeForSelfJoin(
-        minDist.crossJoin(broadcast(next.select(col("_c_q"))))
+        minDist.crossJoin(broadcast(next.select(col("_c_id"), col("_c_q"))))
+          .where(col("_kc_id") =!= col("_c_id"))
           .select(col("_kc_id"), col("_kc_q"),
             least(col("_md"), dist2("_kc_q", "_c_q")).as("_md")))
       Exec.releaseMaterialized(next)

@@ -51,7 +51,10 @@ object SketchOps {
   def sampleQuantile(sk: Column, num: Int, den: Int): Column = {
     val vs = array_sort(transform(sk, x => x.getField("v")))
     val rank = floor((size(sk) * num + (den - 1)) / den).cast("int")
-    element_at(vs, rank)
+    // An empty sketch computes rank 0, and SQL arrays are 1-indexed —
+    // element_at(vs, 0) THROWS rather than returning NULL. NULL is the
+    // correct quantile of an empty (fully-filtered) group.
+    when(size(sk) === 0, lit(null)).otherwise(element_at(vs, greatest(rank, lit(1))))
   }
 
   /** Per-day KMV(64) sketches of the md5-hashed user id — one bounded

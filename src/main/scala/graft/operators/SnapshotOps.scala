@@ -79,8 +79,14 @@ object SnapshotOps {
     val changes = events
       .select(col(keyCol), col(attrCol),
         unix_micros(col(tsCol)).as("_ts_us"), col(tieCol))
+      .withColumn("_first", row_number().over(w) === 1)
       .withColumn("_prev", lag(col(attrCol), 1).over(w))
-      .where(col("_prev").isNull || col(attrCol) =!= col("_prev"))
+      // Null-safe change test: `=!=` yields NULL when either side is
+      // NULL, which would drop X→NULL transitions and open spurious
+      // versions after a NULL. `<=>` treats NULL as a value, and the
+      // explicit first-row flag distinguishes a genuinely-first NULL
+      // attribute from a NULL `lag` default.
+      .where(col("_first") || !(col(attrCol) <=> col("_prev")))
     changes
       .withColumn("valid_from_us", col("_ts_us"))
       .withColumn("valid_to_us", lead(col("_ts_us"), 1).over(w))

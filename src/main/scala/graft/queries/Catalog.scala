@@ -7114,7 +7114,10 @@ object Catalog {
   // aggregates: counts+min/max+exact ndv, the q46 KMV(64) estimate
   // via the k-bounded partial aggregate, and the mode via
   // count-per-value → per-column max → join-back (never a window over
-  // a key column's corpus-sized value domain).
+  // a key column's corpus-sized value domain). Exact-arm scale
+  // contract: per ProfileOps.profile's scaladoc, the exact ndv is the
+  // GRADING arm only — a 100 TB run keeps just the k-bounded KMV arm,
+  // as the streaming monitor q96 already does.
   private val dp28 = Q("dp28_column_profile", Some("""
     WITH src AS (
       SELECT 'l_orderkey' AS c, cast(l_orderkey as varchar) AS v FROM lineitem

@@ -51,12 +51,32 @@ object SharedArtifacts {
   /** Compute-once-per-(session, corpus) memoization. `build` must return
     * an already-materialized (localCheckpoint) DataFrame so every reader
     * — including the first — sees the same executed artifact.
+    *
+    * Deliberately get → build → putIfAbsent, NOT `computeIfAbsent`:
+    * artifact builders nest ([[knnGraph16]] calls [[centroids16]]), and
+    * ConcurrentHashMap forbids a mapping function from updating the map
+    * — a cold nested build can throw IllegalStateException("Recursive
+    * update") on a bin collision. The cost is that two racing threads
+    * may both run `build`; the loser's checkpoint blocks are released
+    * and the winner's handle is returned, so callers still see exactly
+    * one shared artifact.
     */
   def cached(s: SparkSession, tag: String, sfDir: String, table: String)(
       build: => DataFrame): DataFrame = {
     val key =
       s"${System.identityHashCode(s)}|$tag|$sfDir|${stampOf(sfDir, table)}"
-    cache.computeIfAbsent(key, _ => build)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(key, built)
+      if (prev == null) built
+      else {
+        try graft.operators.Exec.releaseMaterialized(built)
+        catch { case _: Throwable => () }
+        prev
+      }
+    }
   }
 
   /** Drop every cached artifact AND release its pinned checkpoint
