@@ -173,8 +173,11 @@ object Bench {
           spark.catalog.clearCache()
           // session artifacts too: without this the sf0.1 pass serves
           // the warmup's trained indexes / edge sets while sf1 builds
-          // them cold, inflating artifact-consuming probes (q77/q86)
+          // them cold, inflating artifact-consuming probes (q77/q86) —
+          // and the DISK store too, or "cold" measures a /tmp file scan
+          // instead of the build
           graft.queries.SharedArtifacts.clear()
+          graft.queries.DiskArtifacts.clear()
           probes.map { n =>
             // dp01 also runs connectedComponents: clear the slot before
             // dd06 so a dd06 failure can't republish an earlier query's

@@ -349,7 +349,7 @@ object DedupOps {
     * one row per token (narrow); the 16-char key is what every
     * downstream join shuffles on.
     */
-  private[operators] def positionalShingles(df: DataFrame, textCol: String,
+  def positionalShingles(df: DataFrame, textCol: String,
       idCol: String, k: Int): DataFrame =
     df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
@@ -403,9 +403,13 @@ object DedupOps {
     */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, maxDocsPerShingle: Int = 8, maxOcc: Int = 32,
-      minRun: Int = 2): DataFrame = {
+      minRun: Int = 2, shingles: Option[DataFrame] = None): DataFrame = {
     require(k >= 2 && maxDocsPerShingle >= 2 && minRun >= 1)
-    val sh = Exec.materializeLarge(positionalShingles(df, textCol, idCol, k))
+    // `shingles`: an already-materialized [[positionalShingles]] table
+    // (the SharedArtifacts.posShingles8 kernel) — callers that share the
+    // token explosion across queries pass it; the caller owns its blocks
+    val sh = shingles.getOrElse(
+      Exec.materializeLarge(positionalShingles(df, textCol, idCol, k)))
     val keep = sh.groupBy("_h")
       .agg(countDistinct("_id").as("_nd"), count(lit(1)).as("_occ"))
       .where(col("_nd") >= 2 && col("_nd") <= maxDocsPerShingle
@@ -445,16 +449,18 @@ object DedupOps {
     */
   def incrementalSubstringSpans(newDf: DataFrame, historyDf: DataFrame,
       textCol: String, idCol: String, k: Int = 8, maxDocsPerShingle: Int = 8,
-      maxOcc: Int = 32, minRun: Int = 2): DataFrame = {
+      maxOcc: Int = 32, minRun: Int = 2,
+      newShingles: Option[DataFrame] = None,
+      histShingles: Option[DataFrame] = None): DataFrame = {
     require(k >= 2 && maxDocsPerShingle >= 1 && minRun >= 1)
-    val hist = Exec.materializeLarge(
-      positionalShingles(historyDf, textCol, idCol, k))
+    val hist = histShingles.getOrElse(Exec.materializeLarge(
+      positionalShingles(historyDf, textCol, idCol, k)))
     val histKeep = hist.groupBy("_h")
       .agg(countDistinct("_id").as("_nd"), count(lit(1)).as("_occ"))
       .where(col("_nd") <= maxDocsPerShingle && col("_occ") <= maxOcc)
       .select("_h")
-    val batch = Exec.materializeLarge(
-      positionalShingles(newDf, textCol, idCol, k))
+    val batch = newShingles.getOrElse(Exec.materializeLarge(
+      positionalShingles(newDf, textCol, idCol, k)))
     val batchKeep = batch.groupBy("_h").agg(count(lit(1)).as("_occ"))
       .where(col("_occ") <= maxOcc).select("_h")
     // both keep-joins unhinted: AQE broadcasts the filter side if it fits
@@ -493,9 +499,10 @@ object DedupOps {
     * @return [idCol, n_tok, dup_tok, dup_frac] one row per non-empty doc
     */
   def duplicateCoverage(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, shingles: Option[DataFrame] = None): DataFrame = {
     require(k >= 2)
-    val sh = Exec.materializeLarge(positionalShingles(df, textCol, idCol, k))
+    val sh = shingles.getOrElse(
+      Exec.materializeLarge(positionalShingles(df, textCol, idCol, k)))
     val dupKeys = sh.groupBy("_h").agg(countDistinct("_id").as("_nd"))
       .where(col("_nd") >= 2).select("_h")
     val spans = sh.join(dupKeys, "_h")
@@ -545,9 +552,10 @@ object DedupOps {
     *         when every token was covered
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, shingles: Option[DataFrame] = None): DataFrame = {
     require(k >= 2)
-    val sh = Exec.materializeLarge(positionalShingles(df, textCol, idCol, k))
+    val sh = shingles.getOrElse(
+      Exec.materializeLarge(positionalShingles(df, textCol, idCol, k)))
     val dupKeys = sh.groupBy("_h").agg(countDistinct("_id").as("_nd"))
       .where(col("_nd") >= 2).select("_h")
     val spans = sh.join(dupKeys, "_h")
@@ -612,9 +620,10 @@ object DedupOps {
     * @return [idCol, n_shingles, n_novel, novelty_frac]
     */
   def noveltyScores(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, shingles: Option[DataFrame] = None): DataFrame = {
     require(k >= 2)
-    val sh = Exec.materializeLarge(positionalShingles(df, textCol, idCol, k))
+    val sh = shingles.getOrElse(
+      Exec.materializeLarge(positionalShingles(df, textCol, idCol, k)))
     val first = sh.groupBy("_h").agg(min("_id").as("_first"))
     sh.join(first, "_h")
       .groupBy("_id")
@@ -749,12 +758,14 @@ object DedupOps {
     * @return [id1, id2, n_common, jaccard] for pairs with J ≥ num/den
     */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, shingleTable: Option[DataFrame] = None): DataFrame = {
     require(num > 0 && den >= num, "need 0 < num/den <= 1")
-    val sh = Exec.materializeLarge(df
+    // `shingleTable`: an already-materialized [id, sh] distinct-3-shingle
+    // table (the SharedArtifacts.docShingles3 kernel); the caller owns it
+    val sh = shingleTable.getOrElse(Exec.materializeLarge(df
       .select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("_tk"))
       .select(col("id"),
-        explode(array_distinct(shinglesFromTokens(col("_tk"), 3))).as("sh")))
+        explode(array_distinct(shinglesFromTokens(col("_tk"), 3))).as("sh"))))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("_f"))
     val keyed = sh.join(freq, Seq("sh"))
       .withColumn("_h", conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long"))

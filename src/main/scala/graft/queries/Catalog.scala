@@ -1333,8 +1333,8 @@ object Catalog {
       FROM scored) t
     WHERE rank <= 3 ORDER BY doc_id, rank"""),
     (s, d) => {
-      val toks = Exec.materializeLarge(T(s, d, "documents")
-        .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term")))
+      val toks = SharedArtifacts.docTokens(s, d)
+        .select(col("doc_id"), col("tok").as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val n = T(s, d, "documents").agg(count(lit(1)).as("n"))
@@ -3022,7 +3022,10 @@ object Catalog {
   // the existing corpus (id < 400) through the banded index — candidate
   // pairs are new x existing only, never corpus x corpus. The daily-
   // ingestion shape: batch cost O(new), the history joined via its
-  // (persistable, bucketable) band index.
+  // (persistable, bucketable) band index — at deployment the history
+  // index is the DiskArtifacts form: bucketed parquet on the band key,
+  // registered once (registerServing) so the new-batch probe join
+  // needs no history-side shuffle.
   private val dd08 = Q("dd08_incremental_neardup", Some(s"""
     WITH $minhashCtes
     SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
@@ -4753,7 +4756,11 @@ object Catalog {
   // (n_new doubling a cell's history population signals quantizer
   // drift — the ANN-index analogue of dd18's sub-bucket monitoring).
   // The oracle replays history-only training (kmeansCtes over `hist`)
-  // and the frozen-centroid assignment of history + batch.
+  // and the frozen-centroid assignment of history + batch. At
+  // deployment the frozen quantizer is the DiskArtifacts persisted form
+  // (the cent16/cent64 pattern: bucketed parquet built once, served to
+  // every ingest session) — this query trains on `hist` inline only
+  // because its oracle must replay the training.
   private val ann19 = Q("ann19_index_update", Some(s"""
     WITH ${kmeansCtes(
       """hist AS (SELECT vec_id, e FROM v WHERE vec_id % 5 <> 0),
@@ -5038,8 +5045,10 @@ object Catalog {
   // persisted trained centroids. Centroids train on a bounded salted-md5
   // sample of HISTORY only (k from the history count — the persisted
   // index never sees the batch); the history side assigns once into its
-  // (cell, sub-bucket) table (at scale: persisted + bucketed, like
-  // dd08's band index); each batch assigns via the bounded centroid
+  // (cell, sub-bucket) table (at scale: persisted + bucketed — the
+  // DiskArtifacts serving form, like dd08's band index; the frozen
+  // centroids themselves ARE served persisted: SharedArtifacts.cent16
+  // reads the bucketed parquet copy); each batch assigns via the bounded centroid
   // broadcast and joins history WITHIN (cell, sub-bucket) only — daily
   // cost O(batch), never O(corpus). Sub-bucket widths derive from
   // history cell populations alone (the dd14 history-stats discipline),
@@ -5141,9 +5150,10 @@ object Catalog {
     (s, d) => {
       // exploded token table is O(corpus) bytes: DISK_ONLY + lineage
       // (same class as tx06's toks — the r7 rule)
-      val toks = Exec.materializeLarge(T(s, d, "documents")
-        .where(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("tok")))
+      // shared kernel: non-empty trimmed text never splits to a ""
+      // token, so filtering tok != "" drops exactly the empty-doc rows
+      // the original pre-explode doc filter dropped
+      val toks = SharedArtifacts.docTokens(s, d).where(col("tok") =!= "")
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("nf"))
       toks.join(freq, Seq("tok"))
         .groupBy("doc_id")
@@ -5470,7 +5480,8 @@ object Catalog {
       cast(max(run) as bigint) AS max_run
     FROM agg GROUP BY id1, id2 HAVING max(run) >= 1 ORDER BY id1, id2"""),
     (s, d) => DedupOps.substringSpans(T(s, d, "documents"), "text", "doc_id",
-        k = 8, maxDocsPerShingle = 8, maxOcc = 32, minRun = 1)
+        k = 8, maxDocsPerShingle = 8, maxOcc = 32, minRun = 1,
+        shingles = Some(SharedArtifacts.posShingles8(s, d)))
       .orderBy("id1", "id2"))
 
   // Incremental substring-span dedup: dd12's repeated-passage detection
@@ -5520,10 +5531,15 @@ object Catalog {
     ORDER BY new_id, existing_id"""),
     (s, d) => {
       val docs = T(s, d, "documents")
+      // positional shingling is row-local, so id-filtering the shared
+      // kernel equals shingling the id-filtered corpus
+      val sh = SharedArtifacts.posShingles8(s, d)
       DedupOps.incrementalSubstringSpans(
           docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
           "text", "doc_id", k = 8, maxDocsPerShingle = 8, maxOcc = 32,
-          minRun = 1)
+          minRun = 1,
+          newShingles = Some(sh.where(col("_id") >= 400)),
+          histShingles = Some(sh.where(col("_id") < 400)))
         .orderBy("new_id", "existing_id")
     })
 
@@ -5574,7 +5590,7 @@ object Catalog {
     FROM n LEFT JOIN cov c ON c.doc_id = n.doc_id
     ORDER BY n.doc_id"""),
     (s, d) => DedupOps.duplicateCoverage(T(s, d, "documents"), "text",
-        "doc_id", k = 8)
+        "doc_id", k = 8, shingles = Some(SharedArtifacts.posShingles8(s, d)))
       .orderBy("doc_id"))
 
   // ExactSubstr-style duplicated-span removal (the production payoff of
@@ -5630,7 +5646,7 @@ object Catalog {
         AS clean_text
     FROM kp ORDER BY doc_id"""),
     (s, d) => DedupOps.removeDuplicateSpans(T(s, d, "documents"), "text",
-        "doc_id", k = 8)
+        "doc_id", k = 8, shingles = Some(SharedArtifacts.posShingles8(s, d)))
       .orderBy("doc_id"))
 
   // Measured LSH selectivity (the ann07 discipline applied to dd02):
@@ -5707,7 +5723,8 @@ object Catalog {
     FROM inter WHERE i * 2 >= 1 * (n1 + n2 - i)
     ORDER BY id1, id2"""),
     (s, d) => DedupOps.jaccardJoinExact(T(s, d, "documents"), "doc_id",
-        "text", num = 1, den = 2)
+        "text", num = 1, den = 2,
+        shingleTable = Some(SharedArtifacts.docShingles3(s, d)))
       .orderBy("id1", "id2"))
 
   /** Shared oracle chain for the exact-cluster family (dd21 roster,
@@ -5848,7 +5865,10 @@ object Catalog {
   // min — the oracle runs the FULL from-scratch computation (dd21's
   // recursive-CTE chain verbatim) and the hashes must match, proving
   // increment == scratch on every doc (the dp25 proof style on graph
-  // state). Edges come from the shared verified τ-Jaccard artifact.
+  // state). Edges come from the shared verified τ-Jaccard artifact —
+  // which since r14 IS the persisted form: SharedArtifacts.jaccardEdges12
+  // serves DiskArtifacts' bucketed parquet copy (bucketed on id1), so a
+  // fresh serving session merges the batch without re-verifying history.
   private val dd23 = Q("dd23_incremental_clusters", Some(s"""
     WITH RECURSIVE $exactClusterCtes
     SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id
@@ -5991,7 +6011,7 @@ object Catalog {
     FROM sh JOIN f USING (h)
     GROUP BY sh.doc_id ORDER BY sh.doc_id"""),
     (s, d) => DedupOps.noveltyScores(T(s, d, "documents"), "text", "doc_id",
-        k = 8)
+        k = 8, shingles = Some(SharedArtifacts.posShingles8(s, d)))
       .orderBy("doc_id"))
 
   // Corpus-trained bigram LM quality scoring (CCNet-style perplexity
@@ -6422,9 +6442,11 @@ object Catalog {
     (s, d) => {
       val docs = T(s, d, "documents")
         .select(col("doc_id"), DedupOps.tokens(col("text")).as("_t"))
-      val dl = docs.select(col("doc_id"), size(col("_t")).cast("long").as("dl"))
-      val toks = Exec.materializeLarge(
-        docs.select(col("doc_id"), explode(col("_t")).as("term")))
+      // dl from the shared exploded kernel: row count per doc == token
+      // array size (an empty doc contributes its one "" token)
+      val toks = SharedArtifacts.docTokens(s, d)
+        .select(col("doc_id"), col("tok").as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("long").as("dl"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))

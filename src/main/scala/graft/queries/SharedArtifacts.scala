@@ -28,6 +28,13 @@ import graft.sources.Tables
   *     dd15's assignment, ann11/ann13's coarse quantizer, ann15–ann18's
   *     serving queries, dd21's roster) ride the cache.
   *
+  * Since r14 this is the L1 of a two-level store: [[DiskArtifacts]]
+  * persists every artifact as bucketed parquet under a corpus-stamped
+  * dir, so a FRESH session (a new serving job, a second JVM) reads the
+  * trained copy instead of rebuilding — the deployment's
+  * build-once/serve-forever half. A session miss consults disk first;
+  * only a disk miss trains.
+  *
   * Keys carry the session identity, the sf dir, and the source parquet's
   * (size, mtime) stamp — a regenerated corpus or a fresh session rebuilds
   * instead of serving stale artifacts (the `_GRAFT_ZDONE` discipline).
@@ -48,9 +55,16 @@ object SharedArtifacts {
     else "absent"
   }
 
-  /** Compute-once-per-(session, corpus) memoization. `build` must return
-    * an already-materialized (localCheckpoint) DataFrame so every reader
-    * — including the first — sees the same executed artifact.
+  /** Compute-once-per-(session, corpus) memoization, backed by the
+    * on-disk store: an L1 miss first consults [[DiskArtifacts]] (another
+    * session — or yesterday's run — may have persisted the artifact) and
+    * only a disk miss runs `build`, whose result is persisted as
+    * bucketed parquet and served back from the persisted form — so every
+    * consumer in every session reads the exact same bytes. `build` must
+    * return an already-materialized DataFrame. The in-session handle is
+    * `localCheckpoint`ed like every artifact before r14, so plan shapes
+    * (and PlanAuditSpec's broadcast allowlists) are identical whether
+    * the artifact was built or served.
     *
     * Deliberately get → build → putIfAbsent, NOT `computeIfAbsent`:
     * artifact builders nest ([[knnGraph16]] calls [[centroids16]]), and
@@ -61,14 +75,15 @@ object SharedArtifacts {
     * and the winner's handle is returned, so callers still see exactly
     * one shared artifact.
     */
-  def cached(s: SparkSession, tag: String, sfDir: String, table: String)(
-      build: => DataFrame): DataFrame = {
+  def cached(s: SparkSession, tag: String, sfDir: String, table: String,
+      bucketCol: String, nBuckets: Int)(build: => DataFrame): DataFrame = {
     val key =
       s"${System.identityHashCode(s)}|$tag|$sfDir|${stampOf(sfDir, table)}"
     val hit = cache.get(key)
     if (hit != null) hit
     else {
-      val built = build
+      val built = Exec.materializeForSelfJoin(
+        DiskArtifacts.serveOrBuild(s, tag, sfDir, table, bucketCol, nBuckets)(build))
       val prev = cache.putIfAbsent(key, built)
       if (prev == null) built
       else {
@@ -94,7 +109,88 @@ object SharedArtifacts {
       catch { case _: Throwable => () }
     }
     cache.clear()
+    largeCache.values.forEach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    largeCache.clear()
   }
+
+  // --------------------------------------------------------------------
+  // Shared DERIVED-INPUT tables (VERDICT r13 #4): the tokenized-document
+  // / shingle kernels that dd12/dd14/dd16/dd19/dd20/dp-tx consumers each
+  // re-exploded per query. These are NOT trained artifacts — they are
+  // O(corpus) expansions of `documents.text` — so they live in a
+  // separate cache whose values are DISK_ONLY `materializeLarge` handles
+  // (lineage kept, nothing pinned in executor heap; the r7 rule), NOT
+  // localCheckpoints, and they are NOT persisted via [[DiskArtifacts]]
+  // (a deployment materializes the token table once per corpus as
+  // ordinary parquet; re-reading text and splitting is cheaper than
+  // shipping the expansion between these sf-scale sessions). The
+  // builder-fresh rule does not apply: no query's OUTPUT is a token
+  // table, so even dd20 (whose output is the verified edge set) may
+  // consume the shared shingles — the edge verification is still paid
+  // fresh.
+  // --------------------------------------------------------------------
+
+  private val largeCache = new ConcurrentHashMap[String, DataFrame]()
+
+  private def largeCached(s: SparkSession, tag: String, sfDir: String,
+      table: String)(build: => DataFrame): DataFrame = {
+    val key =
+      s"${System.identityHashCode(s)}|$tag|$sfDir|${stampOf(sfDir, table)}"
+    val hit = largeCache.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = largeCache.putIfAbsent(key, built)
+      if (prev == null) built
+      else {
+        try built.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        prev
+      }
+    }
+  }
+
+  /** The exploded whitespace-token table [doc_id, tok] over ALL documents
+    * (an empty/whitespace doc contributes one "" token — the
+    * `split(trim(text))` identity both engines share, so consumers that
+    * exclude empty docs filter `tok != ""`). One explode serves tx06's
+    * tf-idf, tx08's commonness and tx22's BM25 term stats.
+    */
+  def docTokens(s: SparkSession, d: String): DataFrame =
+    largeCached(s, "doctoks", d, "documents") {
+      Exec.materializeLarge(Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(DedupOps.tokens(col("text"))).as("tok")))
+    }
+
+  /** The positional 8-token shingle table [_id, _p, _h] over all
+    * documents — [[DedupOps.positionalShingles]]' kernel, shared by the
+    * substring-span family (dd12 spans, dd14's history+batch split —
+    * positional shingling is row-local so filtering this table by id
+    * equals shingling the filtered corpus — dd16 coverage, dd19 removal,
+    * tx13 novelty).
+    */
+  def posShingles8(s: SparkSession, d: String): DataFrame =
+    largeCached(s, "possh8", d, "documents") {
+      Exec.materializeLarge(DedupOps.positionalShingles(
+        Tables.table(s, d, "documents"), "text", "doc_id", 8))
+    }
+
+  /** The distinct word-3-shingle table [id, sh] over all documents —
+    * jaccardJoinExact's set representation, shared by dd20 (the fresh
+    * edge verification) and the [[jaccardEdges12]] artifact build.
+    */
+  def docShingles3(s: SparkSession, d: String): DataFrame =
+    largeCached(s, "sh3", d, "documents") {
+      Exec.materializeLarge(Tables.table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          DedupOps.tokens(col("text")).as("_tk"))
+        .select(col("id"), explode(array_distinct(
+          DedupOps.shinglesFromTokens(col("_tk"), 3))).as("sh")))
+    }
 
   /** The 16-dim trained IVF centroid table every emb16-family query
     * assigns against (dd13/dd15 semantic dedup, ann14 graph build,
@@ -103,7 +199,7 @@ object SharedArtifacts {
     * (cell, cvec) arrays. One training pass per session per corpus.
     */
   def centroids16(s: SparkSession, d: String): DataFrame =
-    cached(s, "cent16", d, "embeddings") {
+    cached(s, "cent16", d, "embeddings", "cell", 4) {
       val emb16 = Tables.table(s, d, "embeddings")
         .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
       val k = SimilarityOps.scaledCellCount(
@@ -122,7 +218,7 @@ object SharedArtifacts {
     * call sites, so the trained table is one artifact.
     */
   def centroids64(s: SparkSession, d: String): DataFrame =
-    cached(s, "cent64", d, "embeddings") {
+    cached(s, "cent64", d, "embeddings", "cell", 4) {
       val emb = Tables.table(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("v64"))
       Exec.materializeForSelfJoin(
@@ -139,7 +235,7 @@ object SharedArtifacts {
     * ann14's number; this handle is the serving copy.
     */
   def knnGraph16(s: SparkSession, d: String): DataFrame =
-    cached(s, "knng16", d, "embeddings") {
+    cached(s, "knng16", d, "embeddings", "query_id", 8) {
       val emb16 = Tables.table(s, d, "embeddings")
         .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
       Exec.materializeForSelfJoin(
@@ -155,7 +251,7 @@ object SharedArtifacts {
     * support is a plain group-by count).
     */
   def copurchaseWeighted(s: SparkSession, d: String): DataFrame =
-    cached(s, "copurchase", d, "lineitem") {
+    cached(s, "copurchase", d, "lineitem", "u", 8) {
       val pp = Exec.materializeForSelfJoin(
         Tables.table(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -181,9 +277,10 @@ object SharedArtifacts {
     * the persisted edges; dd20 itself always runs the join fresh).
     */
   def jaccardEdges12(s: SparkSession, d: String): DataFrame =
-    cached(s, "jacc12", d, "documents") {
+    cached(s, "jacc12", d, "documents", "id1", 8) {
       Exec.materializeForSelfJoin(
         DedupOps.jaccardJoinExact(Tables.table(s, d, "documents"),
-          "doc_id", "text", num = 1, den = 2))
+          "doc_id", "text", num = 1, den = 2,
+          shingleTable = Some(docShingles3(s, d))))
     }
 }

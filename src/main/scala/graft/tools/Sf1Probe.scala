@@ -167,6 +167,7 @@ object Sf1Probe {
         // sf1-section protocol)
         spark.catalog.clearCache()
         graft.queries.SharedArtifacts.clear()
+        graft.queries.DiskArtifacts.clear()
         val t0 = System.nanoTime()
         cat(n).fn(spark, sf).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
