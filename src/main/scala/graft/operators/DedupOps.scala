@@ -599,6 +599,121 @@ object DedupOps {
           p => element_at(col("_tk"), p))).as("clean_text"))
   }
 
+  /** Positional character k-gram table (_id, _p, _h): one row per
+    * 1-based character position 1..len−k+1, keyed by the 16-char
+    * md5 prefix of the RAW k-character slice — [[positionalShingles]]'
+    * byte-level sibling (byte == character on the ASCII corpora here;
+    * both engines index substrings by character, so the oracle replays
+    * exactly). No tokenization, no whitespace normalization: this is the
+    * representation of Lee et al. 2022's ExactSubstr, which token
+    * shingles only approximate — a duplicate whose token segmentation
+    * differs between copies (a span glued to its context without
+    * whitespace, punctuation fused to a boundary word) has different
+    * k-TOKEN shingles but identical interior k-char grams.
+    *
+    * Scale shape: fan-out is one row per character — the honest cost of
+    * character-exact dedup (the published operator pays it as suffix
+    * arrays over the concatenated corpus). Rows are (id, int, 16 chars),
+    * and every downstream join/agg keys on the fixed-width hash.
+    */
+  def positionalCharGrams(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .where(length(col("_t")) >= k)
+      .select(col("_id"), col("_t"),
+        explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("_p"))
+      .select(col("_id"), col("_p"),
+        expr(s"substring(md5(substring(_t, _p, $k)), 1, 16)").as("_h"))
+
+  /** Character-exact duplicated-span REMOVAL — Lee et al. 2022's
+    * ExactSubstr policy at full fidelity (dd24; the byte-level step up
+    * from [[removeDuplicateSpans]]' token-shingle approximation): every
+    * character covered by a k-char gram occurring in ≥ 2 distinct docs
+    * is cut from ALL copies, and the kept characters re-splice in
+    * order. k plays the published length threshold (a cut span is ≥ k
+    * chars by construction; Lee et al. use 50 tokens — here k≈20–50
+    * RAW characters, catching short verbatim fragments and
+    * tokenization-variant duplicates token shingles miss).
+    *
+    * Machinery is dd16/dd19's verbatim, one level down: dup keys via one
+    * hash agg on the fixed-width gram key (nd ≥ 2 — removal has no
+    * pairwise join, so no stop-gram cap is needed for fan-out; the
+    * rarity filter stays a [[substringSpans]] concern where candidate
+    * PAIRS explode quadratically), covered spans [p, p+k−1] union into
+    * disjoint islands per doc (two windows over the doc key), and the
+    * splice keeps character p iff #(island starts ≤ p) = #(island ends
+    * < p) — the sorted-boundary counting trick, expressed as integer
+    * lambdas both engines run identically. The whole predicate lives in
+    * one `expr` (the dd19 lesson: Scala-side nested HOF lambdas shadow
+    * their variable).
+    *
+    * @return [idCol, n_chars, kept_chars, clean_text] one row per
+    *         non-empty doc; clean_text = "" when fully covered
+    */
+  def removeCharSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20, grams: Option[DataFrame] = None): DataFrame = {
+    require(k >= 2)
+    val sh = grams.getOrElse(
+      Exec.materializeLarge(positionalCharGrams(df, textCol, idCol, k)))
+    val dupKeys = sh.groupBy("_h").agg(countDistinct("_id").as("_nd"))
+      .where(col("_nd") >= 2).select("_h")
+    val spans = sh.join(dupKeys, "_h")
+      .select(col("_id"), col("_p").cast("long").as("_s"),
+        (col("_p") + k - 1).cast("long").as("_e"))
+    val wPrev = Window.partitionBy("_id").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("_id").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = spans
+      .withColumn("_new", when(max(col("_e")).over(wPrev).isNull
+        || col("_s") > max(col("_e")).over(wPrev), 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wRun))
+      .groupBy("_id", "_isl")
+      .agg(min(col("_s")).as("_is"), max(col("_e")).as("_ie"))
+      .groupBy("_id")
+      .agg(array_sort(collect_list(col("_is"))).as("_ss"),
+        array_sort(collect_list(col("_ie"))).as("_es"))
+    df.where(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("_t"))
+      .join(islands.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .withColumn("_ssn", coalesce(col("_ss"), typedLit(Seq.empty[Long])))
+      .withColumn("_esn", coalesce(col("_es"), typedLit(Seq.empty[Long])))
+      .withColumn("_keep", expr(
+        "filter(sequence(1, length(_t)), p -> " +
+          "size(filter(_ssn, s -> s <= p)) = size(filter(_esn, e -> e < p)))"))
+      .select(col(idCol), length(col("_t")).cast("long").as("n_chars"),
+        size(col("_keep")).cast("long").as("kept_chars"),
+        expr("array_join(transform(_keep, p -> substring(_t, p, 1)), '')")
+          .as("clean_text"))
+  }
+
+  /** Character-exact duplicated-span DETECTION between doc pairs —
+    * [[substringSpans]] one level down (the dd12 islands machinery over
+    * [[positionalCharGrams]]): pairs sharing rare positional k-char
+    * grams reduce to (n_shared, max_run) per pair via the diagonal-runs
+    * trick; a run of r consecutive grams is an exact shared span of
+    * k+r−1 characters. The stop-gram rarity filter (2..maxDocsPerShingle
+    * distinct docs, ≤ maxOcc occurrences) is ESSENTIAL here — the
+    * pairwise equi-join fans out quadratically per gram key without it.
+    */
+  def charSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20, maxDocsPerShingle: Int = 8, maxOcc: Int = 32,
+      minRun: Int = 1, grams: Option[DataFrame] = None): DataFrame = {
+    require(k >= 2 && maxDocsPerShingle >= 2 && minRun >= 1)
+    val sh = grams.getOrElse(
+      Exec.materializeLarge(positionalCharGrams(df, textCol, idCol, k)))
+    val keep = sh.groupBy("_h")
+      .agg(countDistinct("_id").as("_nd"), count(lit(1)).as("_occ"))
+      .where(col("_nd") >= 2 && col("_nd") <= maxDocsPerShingle
+        && col("_occ") <= maxOcc)
+      .select("_h")
+    val m = sh.join(keep, "_h")
+    val pairs = m.select(col("_h"), col("_id").as("id1"), col("_p").as("p1"))
+      .join(m.select(col("_h"), col("_id").as("id2"), col("_p").as("p2")), Seq("_h"))
+      .where(col("id1") < col("id2"))
+    spanRuns(pairs, "id1", "id2", minRun)
+  }
+
   /** N-gram novelty score — the ORDER-AWARE face of cross-doc
     * duplication: per doc, the fraction of its k-token shingle
     * occurrences whose earliest corpus occurrence (min doc id) is the

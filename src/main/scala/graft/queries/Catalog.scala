@@ -5896,6 +5896,61 @@ object Catalog {
       out
     })
 
+  // Character-exact ExactSubstr removal (DedupOps.removeCharSpans —
+  // Lee et al. 2022 at byte fidelity, the step up from dd19's
+  // token-shingle approximation): every character covered by a 20-char
+  // gram occurring in ≥2 distinct docs is cut from ALL copies and the
+  // doc re-splices — catching tokenization-variant duplicates (spans
+  // glued to context without whitespace) that k-TOKEN shingles
+  // structurally miss (DedupOpsSpec proves one). Positional char grams
+  // → dup keys (one hash agg on the fixed-width gram key; no pairwise
+  // join, so no stop-gram cap — that's dd12's concern) → covered
+  // islands (dd16's two windows over the doc key) → the sorted-boundary
+  // splice, character for character, in one expr both engines run
+  // identically. Fan-out is one row per character — the honest cost of
+  // character-exact dedup, paid by the published operator as suffix
+  // arrays; rows are (id, int, 16-char hash), nothing wider shuffles.
+  private val dd24 = Q("dd24_exact_substr", Some("""
+    WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    sh AS (
+      SELECT doc_id,
+        unnest(generate_series(1, length(text) - 19)) AS p,
+        unnest(list_transform(generate_series(1, length(text) - 19),
+          i -> substr(md5(substr(text, i, 20)), 1, 16))) AS h
+      FROM t WHERE length(text) >= 20),
+    dup AS (
+      SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+      WHERE nd >= 2),
+    sp AS (SELECT sh.doc_id, sh.p AS s, sh.p + 19 AS e FROM sh JOIN dup USING (h)),
+    mx AS (
+      SELECT doc_id, s, e,
+        max(e) OVER (PARTITION BY doc_id ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM sp),
+    il AS (
+      SELECT doc_id, s, e,
+        sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM mx),
+    isl AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM il GROUP BY doc_id, gid),
+    ia AS (SELECT doc_id, list_sort(list(s)) AS ss, list_sort(list(e)) AS es
+           FROM isl GROUP BY doc_id),
+    kp AS (
+      SELECT t.doc_id, t.text,
+        list_filter(generate_series(1, length(t.text)), p ->
+          len(list_filter(coalesce(ia.ss, []), s -> s <= p))
+          = len(list_filter(coalesce(ia.es, []), e -> e < p))) AS keep
+      FROM t LEFT JOIN ia USING (doc_id))
+    SELECT doc_id, cast(length(text) as bigint) AS n_chars,
+      cast(len(keep) as bigint) AS kept_chars,
+      coalesce(array_to_string(list_transform(keep, p -> substr(text, p, 1)), ''), '')
+        AS clean_text
+    FROM kp ORDER BY doc_id"""),
+    (s, d) => DedupOps.removeCharSpans(T(s, d, "documents"), "text",
+        "doc_id", k = 20)
+      .orderBy("doc_id"))
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -8590,7 +8645,7 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
-    dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23,
+    dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     ann21,

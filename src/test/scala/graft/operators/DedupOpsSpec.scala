@@ -377,6 +377,66 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got(0)._2 == 0L, s"disjoint docs can never share a band: $got")
   }
 
+  // ---- character-exact ExactSubstr (dd24) ----
+
+  test("removeCharSpans: no shared grams -> exact raw identity (no normalization)") {
+    val docs = Seq(
+      (1L, "completely unrelated first document   with odd  spacing"),
+      (2L, "a second body of text sharing nothing twenty-char long"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.removeCharSpans(docs, "text", "doc_id", k = 20)
+      .orderBy("doc_id").collect()
+    docs.orderBy("doc_id").collect().zip(out).foreach { case (in, o) =>
+      assert(o.getAs[String]("clean_text") == in.getAs[String]("text"),
+        "untouched docs must splice back byte-for-byte, spacing included")
+      assert(o.getAs[Long]("kept_chars") == o.getAs[Long]("n_chars"))
+    }
+  }
+
+  test("char grams catch a tokenization-variant duplicate token shingles miss") {
+    // the same 9-token passage appears verbatim in both docs, but doc 2
+    // glues its first and last words to surrounding context (whitespace
+    // removed at the boundaries): only 7 interior tokens align, so no
+    // 8-TOKEN shingle is shared and dd12's machinery is structurally
+    // blind to it — while the 43 raw characters match exactly
+    val shared = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"
+    val textA = s"alpha beta $shared gamma delta"
+    val textB = s"omega psi$shared" + "chi rho"
+    val docs = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+
+    val tokenSpans = DedupOps.substringSpans(docs, "text", "doc_id",
+      k = 8, maxDocsPerShingle = 8, maxOcc = 32, minRun = 1)
+    assert(tokenSpans.count() == 0,
+      "8-token shingles must miss the boundary-glued duplicate")
+
+    val charPairs = DedupOps.charSpans(docs, "text", "doc_id", k = 20)
+      .collect()
+    assert(charPairs.length == 1 && charPairs.head.getAs[Long]("max_run") ==
+      (shared.length - 20 + 1).toLong,
+      s"char grams must report the pair with the full ${shared.length}-char run")
+
+    val cleaned = DedupOps.removeCharSpans(docs, "text", "doc_id", k = 20)
+      .orderBy("doc_id").collect()
+    assert(cleaned(0).getAs[String]("clean_text") == textA.replace(shared, ""))
+    assert(cleaned(1).getAs[String]("clean_text") == textB.replace(shared, ""))
+    cleaned.foreach { r =>
+      assert(r.getAs[Long]("n_chars") - r.getAs[Long]("kept_chars") ==
+        shared.length.toLong,
+        "exactly the shared characters are cut from BOTH copies")
+    }
+  }
+
+  test("removeCharSpans: fully duplicated doc splices to empty") {
+    val t = "this entire body is duplicated verbatim across both documents"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = DedupOps.removeCharSpans(docs, "text", "doc_id", k = 20)
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("clean_text") == "")
+      assert(r.getAs[Long]("kept_chars") == 0L)
+    }
+  }
+
   test("jaccardJoinExact: complete and exact vs brute force (zero false negatives)") {
     import spark.implicits._
     // staggered shared word runs -> a spread of pairwise Jaccards above
