@@ -53,24 +53,64 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val warmupSec = (System.nanoTime() - tw) / 1e9
+    // GC + heap telemetry (VERDICT r13 #1): the r13 driver artifact read
+    // 2.1x the committed same-config envelope with GCLocker warnings in
+    // its tail, and the host-contention diagnosis rested on
+    // cross-artifact inference. Every bench line now carries the
+    // evidence in-artifact: per-query GC-time deltas (sum over
+    // GarbageCollectorMXBeans), per-query peak-heap (MemoryPoolMXBean
+    // peaks, reset before each query), and the post-loop storage audit
+    // below — so a 2x driver run either shows gc_share >> the idle
+    // envelope's (JVM memory pressure) or doesn't (host contention).
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    def gcMillis(): Long = gcBeans.map(_.getCollectionTime).filter(_ >= 0).sum
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
     val errors = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      heapPools.foreach(_.resetPeakUsage())
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => errors += name; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val gcMs = gcMillis() - g0
+      val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+      (name, sec, gcMs, peakMb)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val gcJson = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val peakJson = results.map { case (k, _, _, p) => s"\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
+    val gcTotalSec = results.map(_._3).sum / 1e3
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    // Artifact-lifetime audit (VERDICT r13 #1): live persisted RDDs after
+    // the full catalog loop in ONE JVM. The expected population is the
+    // BOUNDED named set — SharedArtifacts' checkpointed artifact handles
+    // plus the DISK_ONLY shared token kernels and per-query
+    // materializeLarge tables of the LAST queries that built them —
+    // not something growing per query; post_clear proves every block a
+    // SharedArtifacts.clear() owns actually releases.
+    def storageJson(): String = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mem = infos.map(_.memSize).sum / (1024L * 1024L)
+      val disk = infos.map(_.diskSize).sum / (1024L * 1024L)
+      s"""{"rdds":${infos.length},"mem_mb":$mem,"disk_mb":$disk}"""
+    }
+    val postLoopStorage = storageJson()
     // Like-for-like series (VERDICT r12 #7): the full-catalog total
     // drifts upward on MIX alone as queries are added each round, so the
     // artifact also reports the total over the FIXED round-11 143-query
     // subset — constant work, comparable across rounds without
     // interpretation. Names frozen from CORRECTNESS_r11.json.
     val subsetVals = results.collect {
-      case (k, v) if v >= 0 && R11Subset.names(k) => v
+      case (k, v, _, _) if v >= 0 && R11Subset.names(k) => v
     }
     val subsetJson =
       s""""subset_r11":{"n":${subsetVals.size},"total_sec":${math.round(subsetVals.sum * 1000) / 1000.0}}"""
@@ -217,8 +257,14 @@ object Bench {
         (s""","sf1":{"build_sec":$buildSec,"sf0.1":${obj(at01)},"sf1":${obj(at1)},$telemetry}""",
          s""","sf1":{$telemetry}""")
       } else ("", "")
+    def r3b(v: Double) = math.round(v * 1000) / 1000.0
+    // post-clear storage: everything SharedArtifacts + the cache manager
+    // own must actually release (the lifetime audit's second half)
+    graft.queries.SharedArtifacts.clear()
+    spark.catalog.clearCache()
+    val postClearStorage = storageJson()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","warmup_sec":$warmupSec,$subsetJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","warmup_sec":$warmupSec,"gc_sec":${r3b(gcTotalSec)},"gc_share":${r3b(gcTotalSec / math.max(1e-9, total))},"post_loop_storage":$postLoopStorage,"post_clear_storage":$postClearStorage,$subsetJson,"queries":$qs,"gc_ms":$gcJson,"peak_heap_mb":$peakJson,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; stdout is the contract
@@ -230,9 +276,9 @@ object Bench {
     // BENCH_full.json (committed each round) for the judge's diffs.
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"warm","warmup_sec":${r3(warmupSec)},$subsetJson,"queries":$top,"queries_total":${results.size},"full":"BENCH_full.json","errors":$errJson,"sf":"$sfDir"$sf1Compact}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"warm","warmup_sec":${r3(warmupSec)},"gc_sec":${r3(gcTotalSec)},"gc_share":${r3(gcTotalSec / math.max(1e-9, total))},"post_loop_storage":$postLoopStorage,"post_clear_storage":$postClearStorage,$subsetJson,"queries":$top,"queries_total":${results.size},"full":"BENCH_full.json","errors":$errJson,"sf":"$sfDir"$sf1Compact}"""
     println(compact)
     spark.stop()
   }
