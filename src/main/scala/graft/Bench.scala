@@ -183,7 +183,12 @@ object Bench {
           // O(batch + touched) contract), dp30 (8 sequential
           // broadcast-1-row k-center passes — linear in n by design,
           // the dd17 fixed-k convention)
-          "dd23_incremental_clusters", "dp30_kcenter_coreset")
+          "dd23_incremental_clusters", "dp30_kcenter_coreset",
+          // round-14 addition: dd24 (character-exact ExactSubstr — the
+          // gram table is one row per corpus CHARACTER by design, so the
+          // slope tracks total characters ~linearly; islands/splice run
+          // per doc)
+          "dd24_exact_substr")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY
