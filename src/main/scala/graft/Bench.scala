@@ -188,7 +188,12 @@ object Bench {
           // gram table is one row per corpus CHARACTER by design, so the
           // slope tracks total characters ~linearly; islands/splice run
           // per doc)
-          "dd24_exact_substr")
+          "dd24_exact_substr",
+          // dd25 (winnowed fingerprints — dd24's gram build + one
+          // per-doc window min, so the slope tracks dd24's linear-in-
+          // characters envelope; the pair join runs on the 2/(w+1)
+          // sampled index)
+          "dd25_winnow_fingerprints")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY

@@ -714,6 +714,72 @@ object DedupOps {
     spanRuns(pairs, "id1", "id2", minRun)
   }
 
+  /** Winnowed document fingerprints — Schleimer et al. 2003 (MOSS)'s
+    * guaranteed-detection SAMPLING of [[positionalCharGrams]]: in every
+    * window of `w` consecutive gram positions keep the minimum
+    * (hash, position) key. The published guarantees carry over exactly:
+    * any shared substring of ≥ w + k − 1 characters shares at least one
+    * selected fingerprint (every length-w window inside it selects the
+    * same minimum in both copies), and expected index density is
+    * 2/(w+1) of the gram table — THIS is the scale path for
+    * character-exact dedup at 100 TB, where dd24's one-row-per-character
+    * table is the honest but expensive exact arm.
+    *
+    * Selection key is the string `h || ':' || lpad(p, 8, '0')` — one
+    * lexicographic `min` both engines evaluate identically (equal hashes
+    * tie to the leftmost position; p < 10^8 keeps lpad faithful). The
+    * window runs per doc ordered by position (the q47 bounded-partition
+    * shape); the position filter `_p ≥ w` (only FULL windows select)
+    * applies AFTER the window — it is not a partition key, so Catalyst
+    * cannot push it below the frame.
+    *
+    * @return [_id, _h, _p] — distinct selected fingerprints
+    */
+  def winnowedFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20, w: Int = 12): DataFrame = {
+    require(k >= 2 && w >= 2 && w <= 99999999,
+      "need k >= 2 and 2 <= w < 10^8")
+    val win = Window.partitionBy("_id").orderBy("_p")
+      .rowsBetween(-(w - 1), 0)
+    positionalCharGrams(df, textCol, idCol, k)
+      .withColumn("_key",
+        concat(col("_h"), lit(":"), lpad(col("_p").cast("string"), 8, "0")))
+      .withColumn("_sel", min(col("_key")).over(win))
+      .where(col("_p") >= w)
+      .select(col("_id"), col("_sel")).distinct()
+      .select(col("_id"), substring(col("_sel"), 1, 16).as("_h"),
+        expr("cast(substring(_sel, 18, 8) as int)").as("_p"))
+  }
+
+  /** Candidate duplicate pairs from the winnowed fingerprint index:
+    * docs sharing ≥ 1 selected fingerprint, with the shared-fingerprint
+    * count as evidence weight — the detection arm a deployment runs over
+    * the SAMPLED index (2/(w+1) density) before handing survivors to
+    * [[charSpans]]/[[removeCharSpans]] for exact verification. The
+    * stop-gram rarity filter (dd12's) bounds the pair join's fan-out on
+    * boilerplate fingerprints.
+    *
+    * @return [id1, id2, n_shared_fp]
+    */
+  def winnowedPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20, w: Int = 12, maxDocsPerShingle: Int = 8,
+      maxOcc: Int = 32): DataFrame = {
+    val fp = Exec.materializeLarge(
+      winnowedFingerprints(df, textCol, idCol, k, w)
+        .select(col("_id"), col("_h")).distinct())
+    val keep = fp.groupBy("_h")
+      .agg(countDistinct("_id").as("_nd"), count(lit(1)).as("_occ"))
+      .where(col("_nd") >= 2 && col("_nd") <= maxDocsPerShingle
+        && col("_occ") <= maxOcc)
+      .select("_h")
+    val m = fp.join(keep, "_h")
+    m.select(col("_h"), col("_id").as("id1"))
+      .join(m.select(col("_h"), col("_id").as("id2")), Seq("_h"))
+      .where(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(countDistinct("_h").cast("long").as("n_shared_fp"))
+  }
+
   /** N-gram novelty score — the ORDER-AWARE face of cross-doc
     * duplication: per doc, the fraction of its k-token shingle
     * occurrences whose earliest corpus occurrence (min doc id) is the

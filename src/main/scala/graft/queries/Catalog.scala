@@ -5951,6 +5951,49 @@ object Catalog {
         "doc_id", k = 20)
       .orderBy("doc_id"))
 
+  // Winnowed fingerprint candidate pairs (DedupOps.winnowedPairs —
+  // Schleimer et al. 2003, the MOSS algorithm): dd24's character-exact
+  // gram table SAMPLED to the per-window minima, preserving the
+  // published guarantee (any shared span ≥ w+k−1 = 31 chars shares a
+  // fingerprint) at 2/(w+1) ≈ 15% index density — the 100 TB serving
+  // path for character-exact dedup; dd24 is the exact arm, this is the
+  // index a deployment persists. Selection = one lexicographic window
+  // min per doc over the composite h:pos key (both engines evaluate it
+  // identically; the p ≥ w full-window filter applies AFTER the frame);
+  // pairs via the rarity-filtered equi-join (dd12's stop-gram bound).
+  private val dd25 = Q("dd25_winnow_fingerprints", Some("""
+    WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+    g AS (
+      SELECT doc_id,
+        unnest(generate_series(1, length(text) - 19)) AS p,
+        unnest(list_transform(generate_series(1, length(text) - 19),
+          i -> substr(md5(substr(text, i, 20)), 1, 16))) AS h
+      FROM t),
+    keyed AS (
+      SELECT doc_id, p, h || ':' || lpad(cast(p as varchar), 8, '0') AS key
+      FROM g),
+    sel AS (
+      SELECT doc_id, p,
+        min(key) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS s
+      FROM keyed),
+    fp AS (
+      SELECT DISTINCT doc_id, substr(s, 1, 16) AS h
+      FROM sel WHERE p >= 12),
+    keep AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd, count(*) AS occ
+        FROM fp GROUP BY h)
+      WHERE nd BETWEEN 2 AND 8 AND occ <= 32),
+    m AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h))
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+      cast(count(DISTINCT a.h) as bigint) AS n_shared_fp
+    FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY id1, id2"""),
+    (s, d) => DedupOps.winnowedPairs(T(s, d, "documents"), "text",
+        "doc_id", k = 20, w = 12)
+      .orderBy("id1", "id2"))
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -8646,6 +8689,7 @@ object Catalog {
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
+    dd25,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     ann21,

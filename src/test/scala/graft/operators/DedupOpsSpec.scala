@@ -437,6 +437,52 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- winnowed fingerprints (dd25) ----
+
+  test("winnowing guarantee: a shared span of w+k-1 chars always shares a fingerprint") {
+    // k=20, w=12: the published bound says any shared substring of
+    // length >= 31 has every copy select the same minimum inside the
+    // window that fits entirely within the span
+    val shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ01234" // 31 chars = w+k-1
+    assert(shared.length == 31)
+    val docs = Seq(
+      (1L, s"left context one $shared right padding text"),
+      (2L, s"totally different words ${shared} other tail here"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.winnowedPairs(docs, "text", "doc_id", k = 20, w = 12)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Long]("id1") == 1L
+      && pairs.head.getAs[Long]("id2") == 2L
+      && pairs.head.getAs[Long]("n_shared_fp") >= 1L,
+      s"the >= w+k-1 span must be detected: ${pairs.mkString(",")}")
+  }
+
+  test("winnowing density: selected fingerprints are a small sample of the grams") {
+    // a long low-repetition doc: the expected density is 2/(w+1) ~ 15%
+    val body = (1 to 400).map(i => (i * 2654435761L % 977).toString).mkString(" ")
+    val docs = Seq((1L, body)).toDF("doc_id", "text")
+    val grams = DedupOps.positionalCharGrams(docs, "text", "doc_id", 20).count()
+    val fps = DedupOps.winnowedFingerprints(docs, "text", "doc_id", k = 20, w = 12)
+      .count()
+    assert(fps > 0 && fps < grams / 3,
+      s"winnowed index must be a sparse sample: $fps of $grams grams")
+  }
+
+  test("winnowed pairs are a subset of charSpans pairs (no false candidates)") {
+    val shared = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG" // 43 chars
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"omega psi$shared" + "chi rho"),
+      (3L, "nothing in common with anyone at all here"))
+      .toDF("doc_id", "text")
+    val winnow = DedupOps.winnowedPairs(docs, "text", "doc_id", k = 20, w = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupOps.charSpans(docs, "text", "doc_id", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnow.nonEmpty && winnow.subsetOf(exact),
+      s"every fingerprint pair must verify exactly: $winnow vs $exact")
+  }
+
   test("jaccardJoinExact: complete and exact vs brute force (zero false negatives)") {
     import spark.implicits._
     // staggered shared word runs -> a spread of pairwise Jaccards above
