@@ -207,4 +207,45 @@ object GraphOps {
     Exec.releaseMaterialized(und)
     labels
   }
+
+  /** Bounded k-core peeling — the density-based graph CURATION move
+    * (keep the part of a co-occurrence graph where every member has ≥ k
+    * surviving connections; spam/long-tail nodes peel away): `rounds`
+    * synchronous rounds of "drop every node whose current degree < k,
+    * then drop the edges that touched it". A fixpoint is reached when a
+    * round removes nothing; like [[labelPropagation]], the round count
+    * is FIXED and documented (bounded iteration, deterministic result,
+    * oracle-unrollable) rather than data-dependent — callers size
+    * `rounds` to their graph's peel depth (each round peels at least
+    * one "layer" of under-connected nodes, and real co-occurrence
+    * graphs peel in a handful).
+    *
+    * Scale shape per round: one degree hash-agg over surviving edges +
+    * two semi-joins (u-side, v-side keep filters) — edge-key shuffles
+    * only, no windows, loop state is the edge set itself
+    * (localCheckpointed, superseded handles released).
+    *
+    * @return [node, degree] — nodes surviving all rounds with their
+    *         residual degree
+    */
+  def kCore(edges: DataFrame, uCol: String, vCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 16)
+    var e = Exec.materializeForSelfJoin(
+      edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v")))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("n")
+      val next = Exec.materializeForSelfJoin(
+        e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+          .select("u", "v"))
+      Exec.releaseMaterialized(e)
+      e = next
+    }
+    val out = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("degree"))
+    out
+  }
 }

@@ -5994,6 +5994,151 @@ object Catalog {
         "doc_id", k = 20, w = 12)
       .orderBy("id1", "id2"))
 
+  // INCREMENTAL winnowed-index maintenance (the char-exact member of
+  // the incremental family dd08/dd14/dd18/ann19/dd23/dp25): a new batch
+  // (doc_id >= 400) fingerprints ITSELF — O(batch), winnowing is
+  // within-doc — and probes the HISTORY's persisted fingerprint index
+  // (SharedArtifacts.winnowFp12, the DiskArtifacts bucketed serving
+  // copy, id-filtered to < 400: row-local selection makes the filter
+  // equal to fingerprinting the history corpus). The history-side
+  // rarity cap derives from HISTORY stats alone (dd14's discipline —
+  // the index is immutable at probe time). Daily cost: fingerprint the
+  // batch + one equi-join on the bucketed gram key.
+  private val dd26 = Q("dd26_incremental_winnow", Some("""
+    WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+    g AS (
+      SELECT doc_id,
+        unnest(generate_series(1, length(text) - 19)) AS p,
+        unnest(list_transform(generate_series(1, length(text) - 19),
+          i -> substr(md5(substr(text, i, 20)), 1, 16))) AS h
+      FROM t),
+    keyed AS (
+      SELECT doc_id, p, h || ':' || lpad(cast(p as varchar), 8, '0') AS key
+      FROM g),
+    sel AS (
+      SELECT doc_id, p,
+        min(key) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS s
+      FROM keyed),
+    fp AS (
+      SELECT DISTINCT doc_id, substr(s, 1, 16) AS h
+      FROM sel WHERE p >= 12),
+    hist AS (SELECT doc_id AS existing_id, h FROM fp WHERE doc_id < 400),
+    newb AS (SELECT doc_id AS new_id, h FROM fp WHERE doc_id >= 400),
+    hkeep AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT existing_id) AS nd FROM hist GROUP BY h)
+      WHERE nd <= 8),
+    hi AS (SELECT hist.existing_id, hist.h FROM hist JOIN hkeep USING (h))
+    SELECT n.new_id, hi.existing_id,
+      cast(count(DISTINCT n.h) as bigint) AS n_shared_fp
+    FROM newb n JOIN hi ON n.h = hi.h
+    GROUP BY 1, 2 ORDER BY new_id, existing_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      // the history index is the persisted serving artifact; the batch
+      // fingerprints itself fresh — the honest O(batch) increment cost
+      val hist = SharedArtifacts.winnowFp12(s, d)
+        .where(col("_id") < 400)
+        .select(col("_id").as("existing_id"), col("_h")).distinct()
+      val batch = DedupOps.winnowedFingerprints(
+          docs.where(col("doc_id") >= 400), "text", "doc_id", k = 20, w = 12)
+        .select(col("_id").as("new_id"), col("_h")).distinct()
+      val hkeep = hist.groupBy("_h")
+        .agg(countDistinct("existing_id").as("_nd"))
+        .where(col("_nd") <= 8).select("_h")
+      val hi = hist.join(hkeep, "_h")
+      batch.join(hi, Seq("_h"))
+        .groupBy("new_id", "existing_id")
+        .agg(countDistinct("_h").cast("long").as("n_shared_fp"))
+        .orderBy("new_id", "existing_id")
+    })
+
+  // Bounded k-core peeling (GraphOps.kCore — the density-based graph
+  // CURATION member of the family q68/dd06/q77/q86/q92): 3 synchronous
+  // rounds of "drop nodes with degree < 2, then their edges" over the
+  // shared co-purchase artifact; the surviving 2-core is the part of
+  // the graph where every member keeps >= 2 connections after the
+  // under-connected tail peels away (at sf0.1 the graph collapses from
+  // 3.6k edges to a 10-edge core — exactly the curation signal). Round
+  // count FIXED and documented (the q92/LPA bounded-iteration
+  // discipline); per round one degree hash-agg + two semi-joins, edge
+  // keys only.
+  private val q97 = Q("q97_kcore", Some("""
+    WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+    d1 AS (SELECT k, count(*) AS d FROM (
+        SELECT u AS k FROM e0 UNION ALL SELECT v AS k FROM e0) GROUP BY k),
+    k1 AS (SELECT k FROM d1 WHERE d >= 2),
+    e1 AS (SELECT u, v FROM e0
+           WHERE u IN (SELECT k FROM k1) AND v IN (SELECT k FROM k1)),
+    d2 AS (SELECT k, count(*) AS d FROM (
+        SELECT u AS k FROM e1 UNION ALL SELECT v AS k FROM e1) GROUP BY k),
+    k2 AS (SELECT k FROM d2 WHERE d >= 2),
+    e2 AS (SELECT u, v FROM e1
+           WHERE u IN (SELECT k FROM k2) AND v IN (SELECT k FROM k2)),
+    d3 AS (SELECT k, count(*) AS d FROM (
+        SELECT u AS k FROM e2 UNION ALL SELECT v AS k FROM e2) GROUP BY k),
+    k3 AS (SELECT k FROM d3 WHERE d >= 2),
+    e3 AS (SELECT u, v FROM e2
+           WHERE u IN (SELECT k FROM k3) AND v IN (SELECT k FROM k3))
+    SELECT node, cast(count(*) as bigint) AS degree FROM (
+      SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+    GROUP BY node ORDER BY node"""),
+    (s, d) => GraphOps.kCore(SharedArtifacts.copurchaseEdges(s, d),
+        "u", "v", k = 2, rounds = 3)
+      .orderBy("node"))
+
+  // Exact PHRASE search over the positional shingle index (the
+  // retrieval primitive BM25's bag-of-words scoring cannot express:
+  // "this exact 8-token sequence"): the query set is the corpus's 3
+  // most-widely-shared phrases (top by distinct-doc count, hash
+  // tiebreak — a TakeOrderedAndProject over the reduced per-shingle
+  // stats, so it is non-empty at EVERY scale), and the search is one
+  // equi-join of that bounded 3-row side (AQE broadcasts it) onto the
+  // SHARED positional index (SharedArtifacts.posShingles8 — the kernel
+  // dd12/dd16/dd19 ride): zero new corpus scans; per-doc occurrence
+  // counts and first positions fall out of one hash agg.
+  private val tx25 = Q("tx25_phrase_search", Some("""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+        unnest(generate_series(1, len(tk) - 7)) AS p,
+        unnest(list_transform(generate_series(1, len(tk) - 7),
+          i -> substr(md5(array_to_string(list_slice(tk, i, i + 7), ' ')), 1, 16))) AS h
+      FROM t WHERE len(tk) >= 8),
+    q AS (
+      SELECT h, row_number() OVER (ORDER BY nd DESC, h) AS phrase_rank
+      FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+      ORDER BY nd DESC, h LIMIT 3)
+    SELECT q.phrase_rank, sh.doc_id,
+      cast(count(*) as bigint) AS n_occ,
+      cast(min(sh.p) as bigint) AS first_pos
+    FROM q JOIN sh ON sh.h = q.h
+    GROUP BY 1, 2 ORDER BY phrase_rank, doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = SharedArtifacts.posShingles8(s, d)
+      // top-3 by distinct-doc spread: orderBy().limit() is a
+      // distributed partial top-k over the reduced per-shingle stats;
+      // the rank window then runs over just the 3 survivors
+      val q = sh.groupBy("_h").agg(countDistinct("_id").as("_nd"))
+        .orderBy(col("_nd").desc, col("_h")).limit(3)
+        .withColumn("phrase_rank",
+          row_number().over(Window.orderBy(col("_nd").desc, col("_h"))))
+        .select("phrase_rank", "_h")
+      q.join(sh, Seq("_h"))
+        .groupBy(col("phrase_rank"), col("_id").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_occ"),
+          min(col("_p")).cast("long").as("first_pos"))
+        .orderBy("phrase_rank", "doc_id")
+    })
+
   // Vocabulary coverage curve: what share of all token occurrences the
   // top-k vocabulary covers — the first question of tokenizer/vocab
   // design over a corpus. Cumulative sums are integer; the share is one
@@ -8686,15 +8831,16 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
+    q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
-    dd25,
+    dd25, dd26,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     ann21,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
+    tx25,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

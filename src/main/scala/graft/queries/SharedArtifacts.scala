@@ -272,6 +272,23 @@ object SharedArtifacts {
   def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     copurchaseWeighted(s, d).select("u", "v")
 
+  /** The winnowed fingerprint index (k=20, w=12 — dd25's configuration)
+    * over the full corpus, persisted bucketed on the 16-char gram key:
+    * THE index a character-exact dedup deployment serves (Schleimer et
+    * al.'s guarantee at 2/(w+1) density). dd25 always builds fresh —
+    * its bench number is the honest index-build + detect cost; dd26's
+    * incremental probe and any future gate consume this serving copy.
+    * Winnowing windows are within-doc, so id-filtering this index
+    * equals fingerprinting the id-filtered corpus — the property dd26's
+    * history split rides.
+    */
+  def winnowFp12(s: SparkSession, d: String): DataFrame =
+    cached(s, "winfp12", d, "documents", "_h", 8) {
+      Exec.materializeForSelfJoin(
+        DedupOps.winnowedFingerprints(Tables.table(s, d, "documents"),
+          "text", "doc_id", k = 20, w = 12))
+    }
+
   /** dd20's verified τ=1/2 exact-Jaccard edge set, served to dd21's
     * roster (the r12 judge item #2 fix completed: dd21 now costs CC over
     * the persisted edges; dd20 itself always runs the join fresh).

@@ -167,4 +167,25 @@ class GraphOpsSpec extends AnyFunSuite {
     // once -> tie -> min = 2
     assert(lpa(g, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("kCore: a tail peels round by round while the cycle core survives") {
+    import spark.implicits._
+    // square core {1,2,3,4} + a path tail 4-5-6: round 1 drops 6
+    // (deg 1), round 2 drops 5 (its degree fell to 1), round 3 is a
+    // fixpoint — the 2-core is exactly the square, every member deg 2
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    def core(rounds: Int): Map[Long, Long] =
+      GraphOps.kCore(g, "u", "v", k = 2, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    assert(core(1) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 1L))
+    assert(core(2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    assert(core(3) === core(2), "round 3 must be a fixpoint")
+  }
+
+  test("kCore: a graph below k everywhere peels to empty") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
+    assert(GraphOps.kCore(g, "u", "v", k = 2, rounds = 2).count() == 0)
+  }
 }
