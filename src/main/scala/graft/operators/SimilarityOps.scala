@@ -1106,7 +1106,7 @@ object SimilarityOps {
     */
   def ivfFilteredTopK(corpus: DataFrame, queryPred: Column,
       centroids: DataFrame, attrCol: String, k: Int, nProbe: Int = 2,
-      roundSim: Int = 6): DataFrame = {
+      roundSim: Int = 6, sameAttr: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignToCentroids(corpus, "id", "vec", centroids, roundSim)
       .join(corpus.select(col("id"), col(attrCol)), Seq("id"))
@@ -1121,7 +1121,17 @@ object SimilarityOps {
     val probes = scoredQ.withColumn("_fv_rn", row_number().over(wp))
       .where(col("_fv_rn") <= nProbe).select(col("query_id"), col("cell"))
       .join(queries.select(col("id").as("query_id"), col(attrCol)), Seq("query_id"))
-    val cand = probes.join(assigned, Seq("cell", attrCol))
+    // sameAttr=true: the production "top-k within a tenant/label" filter
+    // (the attr equality rides the cell equi-join — pre-filter, never
+    // post-filter-and-discard). sameAttr=false: HARD-NEGATIVE MINING —
+    // nearest candidates with a DIFFERENT label (contrastive-training
+    // pairs), same candidate-bounded shape with the label inequality as
+    // a residual predicate on the cell join.
+    val cand = (if (sameAttr) probes.join(assigned, Seq("cell", attrCol))
+      else probes.join(
+          assigned.withColumnRenamed(attrCol, "_fv_nattr"), Seq("cell"))
+        .where(col("_fv_nattr") =!= col(attrCol))
+        .drop("_fv_nattr"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", attrCol)
     val q = queries.select(col("id").as("query_id"), col("vec").as("_fv_qvec"))

@@ -4362,7 +4362,70 @@ object Catalog {
         .orderBy("query_id", "rank")
     })
 
-  /** Shared oracle tail for the graph-ANN pair (ann16/ann17): ann14's
+    // HARD-NEGATIVE MINING (the contrastive-training data op: for each
+  // anchor, the nearest candidates with a DIFFERENT label are exactly
+  // the "hard negatives" a contrastive/embedding trainer pairs with its
+  // positives — random negatives are too easy, same-label neighbors are
+  // positives): ann15's filtered search with the label test INVERTED,
+  // riding the same shared trained quantizer (SharedArtifacts.cent16),
+  // the same candidate-bounded probed-cell equi-join (the inequality is
+  // a residual predicate on the cell join, never a post-filter over a
+  // corpus-wide top-k), and the same exact-cosine re-rank.
+private val ann22 = Q("ann22_hard_negatives", Some(s"""
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    s3 AS (SELECT v.vec_id, c2.cell,
+             ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
+           FROM v CROSS JOIN c2),
+    a3 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn = 1),
+    lb AS (SELECT vec_id, label FROM embeddings),
+    a3l AS (SELECT a3.vec_id, a3.cell, lb.label FROM a3 JOIN lb USING (vec_id)),
+    pr AS (SELECT t.vec_id AS query_id, t.cell, lb.label FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3 WHERE vec_id < 20) t
+           JOIN lb ON lb.vec_id = t.vec_id
+           WHERE t.rn <= 2),
+    cand AS (SELECT pr.query_id, a3l.vec_id AS neighbor_id, pr.label
+             FROM pr JOIN a3l ON pr.cell = a3l.cell AND pr.label <> a3l.label
+             WHERE a3l.vec_id <> pr.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, c.label,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM cand c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, cast(rank as int) AS rank, neighbor_id, label, sim FROM (
+      SELECT query_id, neighbor_id, label, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val corpus = graft.operators.Exec.materializeForSelfJoin(
+        T(s, d, "embeddings").select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, 16).as("vec"), col("label")))
+      SimilarityOps.ivfFilteredTopK(corpus, col("id") < 20,
+          SharedArtifacts.centroids16(s, d),
+          attrCol = "label", k = 5, nProbe = 2, roundSim = 6, sameAttr = false)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("neighbor_id"), col("label"), col("sim"))
+        .orderBy("query_id", "rank")
+    })
+
+  
+/** Shared oracle tail for the graph-ANN pair (ann16/ann17): ann14's
     * trained k-NN graph (knn), per-cell min-id entry points plus the
     * query's own node as a warm-start seed (queries are corpus members,
     * so the pool ⊇ the query's outgoing edges = the ivf result), the
@@ -6091,6 +6154,115 @@ object Catalog {
     (s, d) => GraphOps.kCore(SharedArtifacts.copurchaseEdges(s, d),
         "u", "v", k = 2, rounds = 3)
       .orderBy("node"))
+
+  // Geometric-decay moving-average anomaly flag (the monitoring gate
+  // over per-type daily volumes: each day compares against a
+  // 2^i-weighted average of its <= 6 PRECEDING observed days — the
+  // integer-exact stand-in for EWMA, whose truncating per-step
+  // recurrence no closed form mirrors across engines). The baseline
+  // rides a ROWS window collect per (type, day) — frame order is the
+  // ORDER BY, so both engines build the identical ascending list; num =
+  // sum(bl[i] * 2^i), den = 2^(m+1) - 2 in closed form, flags by integer
+  // cross-multiplication (n*den vs 2*num), no float in any decision.
+  // The sequence(1,0)-descends trap is guarded (first observed day per
+  // type has an empty baseline -> NULL ewma, false flags).
+  private val q98 = Q("q98_decay_anomaly", Some("""
+    WITH dc AS (
+      SELECT event_type,
+        datediff('day', DATE '1970-01-01', cast(ts as date)) AS d,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, d, n,
+        list(n) OVER (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS bl
+      FROM dc),
+    sc AS (
+      SELECT event_type, d, n, coalesce(len(bl), 0) AS m,
+        CASE WHEN coalesce(len(bl), 0) > 0 THEN
+          list_sum(list_transform(generate_series(1, len(bl)),
+            i -> bl[i] * (1::BIGINT << i))) END AS num
+      FROM w)
+    SELECT event_type, cast(d as bigint) AS day_num, cast(n as bigint) AS n,
+      CASE WHEN m > 0
+        THEN cast((num * 1000000) // ((1::BIGINT << (m + 1)) - 2) as bigint) END
+        AS ewma_micro,
+      coalesce(m > 0 AND n * ((1::BIGINT << (m + 1)) - 2) > 2 * num, false)
+        AS flag_hi,
+      coalesce(m > 0 AND 2 * n * ((1::BIGINT << (m + 1)) - 2) < num, false)
+        AS flag_lo
+    FROM sc ORDER BY event_type, day_num"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = T(s, d, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-6, -1)
+      dc.withColumn("bl", collect_list(col("n")).over(w))
+        .withColumn("m", size(col("bl")))
+        .withColumn("num", expr(
+          """case when size(bl) = 0 then cast(null as bigint)
+             else aggregate(transform(sequence(1, size(bl)),
+               i -> element_at(bl, i) * shiftleft(cast(1 as bigint), i)),
+               cast(0 as bigint), (a, x) -> a + x) end"""))
+        .withColumn("den", expr(
+          "shiftleft(cast(1 as bigint), m + 1) - cast(2 as bigint)"))
+        .select(col("event_type"), col("d").cast("long").as("day_num"),
+          col("n").cast("long").as("n"),
+          when(col("m") > 0,
+            expr("(num * cast(1000000 as bigint)) div den")).as("ewma_micro"),
+          coalesce(col("m") > 0 && col("n") * col("den") > lit(2L) * col("num"),
+            lit(false)).as("flag_hi"),
+          coalesce(col("m") > 0 && lit(2L) * col("n") * col("den") < col("num"),
+            lit(false)).as("flag_lo"))
+        .orderBy("event_type", "day_num")
+    })
+
+  // Cohort retention matrix (the classic warehouse engagement rollup:
+  // of users whose FIRST activity fell in week w, what share is still
+  // active k weeks later). Weeks are integer epoch-day div 7 — no
+  // engine-specific calendar truncation enters the keys; the cohort
+  // assignment is a per-user min over the distinct (user, week) table,
+  // the matrix two hash aggs + one join back; the single IEEE division
+  // is nano-rounded and mirrored.
+  private val q99 = Q("q99_cohort_retention", Some("""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+        datediff('day', DATE '1970-01-01', cast(ts as date)) // 7 AS w
+      FROM events),
+    c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id),
+    sz AS (SELECT cw, count(*) AS n_cohort FROM c GROUP BY cw),
+    r AS (
+      SELECT c.cw, uw.w - c.cw AS off, count(DISTINCT uw.user_id) AS n_active
+      FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+    SELECT cast(r.cw as bigint) AS cohort_week,
+      cast(r.off as bigint) AS week_offset,
+      cast(r.n_active as bigint) AS n_active,
+      cast(sz.n_cohort as bigint) AS n_cohort,
+      cast(round(cast(r.n_active as double) / sz.n_cohort * 1000000000.0) as bigint)
+        AS retention_nano
+    FROM r JOIN sz USING (cw) ORDER BY cohort_week, week_offset"""),
+    (s, d) => {
+      val uw = T(s, d, "events")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), to_date('1970-01-01')) div 7").as("w"))
+        .distinct()
+      val c = uw.groupBy("user_id").agg(min("w").as("cw"))
+      val sz = c.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+      uw.join(c, Seq("user_id"))
+        .groupBy(col("cw"), (col("w") - col("cw")).as("off"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .join(sz, Seq("cw"))
+        .select(col("cw").cast("long").as("cohort_week"),
+          col("off").cast("long").as("week_offset"),
+          col("n_active").cast("long").as("n_active"),
+          col("n_cohort").cast("long").as("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort") * 1e9)
+            .cast("long").as("retention_nano"))
+        .orderBy("cohort_week", "week_offset")
+    })
 
   // Exact PHRASE search over the positional shingle index (the
   // retrieval primitive BM25's bag-of-words scoring cannot express:
@@ -8831,13 +9003,13 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
+    q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     dd25, dd26,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
-    ann21,
+    ann21, ann22,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
     tx25,

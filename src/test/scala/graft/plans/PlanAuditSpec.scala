@@ -58,6 +58,9 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // probe ranking — dd13's bounded shape)
     "ann15_filtered_topk",      // k-row centroid cross join (assignment
                                 // + bounded query probe ranking)
+    "ann22_hard_negatives",     // ann15's shape with the label test
+                                // inverted — same bounded centroid
+                                // cross join + query broadcast
     "ann19_index_update",       // k-row FROZEN centroid cross join (the
                                 // batch assignment pass is the query)
     "q83_sketch_setops",        // |types|-row sketch-table pair join
@@ -153,6 +156,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann14_knn_graph",          // k-row trained centroid broadcast
                                 // (assignment + probe ranking)
     "ann15_filtered_topk",      // centroids + bounded query-vector set
+    "ann22_hard_negatives",     // same bounded sides, inverted label test
     "ann19_index_update",       // frozen k-row centroid broadcast
     // ann16_graph_search left this list with SharedArtifacts: its probe
     // ranking + re-rank broadcasts now execute eagerly against the
