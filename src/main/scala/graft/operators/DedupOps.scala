@@ -579,24 +579,31 @@ object DedupOps {
     df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol), tokens(col(textCol)).as("_tk"))
       .join(islands.withColumnRenamed("_id", idCol), Seq(idCol), "left")
-      // position p is covered iff more island starts are ≤ p than island
-      // ends are < p (the sorted-boundary count for DISJOINT intervals —
-      // no start/end pairing needed, so it mirrors into DuckDB lambdas
-      // verbatim); keep p iff the counts are equal. Docs with no islands
-      // carry null arrays -> empty filters -> 0 = 0 -> keep all.
-      // expr(), NOT the Scala lambda DSL: nested Scala-side HOF lambdas
-      // all name their variable `x`, so the inner filter SHADOWS the
-      // outer position variable and the predicate silently degenerates
-      // (observed: every doc with ≥1 island lost ALL its tokens).
+      // the kept tokens are the GAPS between the disjoint sorted
+      // islands (the same linear zip-of-shifted-boundaries splice as
+      // [[removeCharSpans]] — VERDICT r14 #4's fix applied to the token
+      // variant too; the old per-position boundary count re-scanned
+      // both arrays for every token, O(n_tok × islands) per row). Docs
+      // with no islands carry null arrays -> one gap [1, n_tok] ->
+      // keep all. expr(), NOT the Scala lambda DSL: nested Scala-side
+      // HOF lambdas all name their variable `x`, so an inner lambda
+      // SHADOWS the outer variable and the predicate silently
+      // degenerates (observed: every doc with ≥1 island lost ALL its
+      // tokens).
       .withColumn("_ssn", coalesce(col("_ss"), typedLit(Seq.empty[Long])))
       .withColumn("_esn", coalesce(col("_es"), typedLit(Seq.empty[Long])))
-      .withColumn("_keep", expr(
-        "filter(sequence(1, size(_tk)), p -> " +
-          "size(filter(_ssn, s -> s <= p)) = size(filter(_esn, e -> e < p)))"))
+      .withColumn("_segs", expr(
+        "filter(zip_with(" +
+          "concat(array(cast(0 as bigint)), _esn), " +
+          "concat(_ssn, array(cast(size(_tk) + 1 as bigint))), " +
+          "(e, s) -> named_struct('st', e + 1, 'en', s - 1)), " +
+          "x -> x.en >= x.st)"))
       .select(col(idCol), size(col("_tk")).cast("long").as("n_tok"),
-        size(col("_keep")).cast("long").as("kept_tok"),
-        concat_ws(" ", transform(col("_keep"),
-          p => element_at(col("_tk"), p))).as("clean_text"))
+        expr("aggregate(_segs, cast(0 as bigint), (acc, x) -> acc + x.en - x.st + 1)")
+          .as("kept_tok"),
+        concat_ws(" ", expr("flatten(transform(_segs, x -> " +
+          "slice(_tk, cast(x.st as int), cast(x.en - x.st + 1 as int))))"))
+          .as("clean_text"))
   }
 
   /** Positional character k-gram table (_id, _p, _h): one row per
@@ -641,11 +648,12 @@ object DedupOps {
     * rarity filter stays a [[substringSpans]] concern where candidate
     * PAIRS explode quadratically), covered spans [p, p+k−1] union into
     * disjoint islands per doc (two windows over the doc key), and the
-    * splice keeps character p iff #(island starts ≤ p) = #(island ends
-    * < p) — the sorted-boundary counting trick, expressed as integer
-    * lambdas both engines run identically. The whole predicate lives in
-    * one `expr` (the dd19 lesson: Scala-side nested HOF lambdas shadow
-    * their variable).
+    * splice emits the GAPS between the sorted disjoint islands as
+    * substrings — a linear zip of the shifted boundary arrays,
+    * O(n_chars + islands) per row (the per-position boundary-COUNT form
+    * the oracle replays is value-identical but O(n_chars × islands);
+    * VERDICT r14 #4). The whole construction lives in one `expr` (the
+    * dd19 lesson: Scala-side nested HOF lambdas shadow their variable).
     *
     * @return [idCol, n_chars, kept_chars, clean_text] one row per
     *         non-empty doc; clean_text = "" when fully covered
@@ -678,12 +686,28 @@ object DedupOps {
       .join(islands.withColumnRenamed("_id", idCol), Seq(idCol), "left")
       .withColumn("_ssn", coalesce(col("_ss"), typedLit(Seq.empty[Long])))
       .withColumn("_esn", coalesce(col("_es"), typedLit(Seq.empty[Long])))
-      .withColumn("_keep", expr(
-        "filter(sequence(1, length(_t)), p -> " +
-          "size(filter(_ssn, s -> s <= p)) = size(filter(_esn, e -> e < p)))"))
+      // LINEAR splice (VERDICT r14 #4: the old per-position boundary
+      // count re-scanned both boundary arrays for every character —
+      // O(n_chars × islands) per row, quadratic on boilerplate docs
+      // with thousands of duplicated fragments). The islands are
+      // disjoint and sorted, so the KEPT text is exactly the gaps
+      // between them: zip the shifted end array (0, e1, …, eb) against
+      // the shifted start array (s1, …, sb, len+1) — gap i is
+      // [e_i + 1, s_{i+1} − 1] — drop empty gaps, and emit each gap as
+      // one substring. O(n_chars + islands) per row, value-identical
+      // to the per-position filter (the dd24 oracle still replays the
+      // boundary-count form; the hash pins the equivalence).
+      .withColumn("_segs", expr(
+        "filter(zip_with(" +
+          "concat(array(cast(0 as bigint)), _esn), " +
+          "concat(_ssn, array(cast(length(_t) + 1 as bigint))), " +
+          "(e, s) -> named_struct('st', e + 1, 'en', s - 1)), " +
+          "x -> x.en >= x.st)"))
       .select(col(idCol), length(col("_t")).cast("long").as("n_chars"),
-        size(col("_keep")).cast("long").as("kept_chars"),
-        expr("array_join(transform(_keep, p -> substring(_t, p, 1)), '')")
+        expr("aggregate(_segs, cast(0 as bigint), (acc, x) -> acc + x.en - x.st + 1)")
+          .as("kept_chars"),
+        expr("array_join(transform(_segs, x -> " +
+          "substring(_t, cast(x.st as int), cast(x.en - x.st + 1 as int))), '')")
           .as("clean_text"))
   }
 
@@ -725,9 +749,12 @@ object DedupOps {
     * character-exact dedup at 100 TB, where dd24's one-row-per-character
     * table is the honest but expensive exact arm.
     *
-    * Selection key is the string `h || ':' || lpad(p, 8, '0')` — one
+    * Selection key is the string `h || ':' || lpad(p, 12, '0')` — one
     * lexicographic `min` both engines evaluate identically (equal hashes
-    * tie to the leftmost position; p < 10^8 keeps lpad faithful). The
+    * tie to the leftmost position; lpad TRUNCATES beyond its width, so
+    * the 12-digit pad keeps the ordering faithful for any document up
+    * to 10^12 characters — ADVICE r14 #3 flagged the old 8-digit pad's
+    * silent corruption at ≥ 10^8 chars). The
     * window runs per doc ordered by position (the q47 bounded-partition
     * shape); the position filter `_p ≥ w` (only FULL windows select)
     * applies AFTER the window — it is not a partition key, so Catalyst
@@ -743,12 +770,12 @@ object DedupOps {
       .rowsBetween(-(w - 1), 0)
     positionalCharGrams(df, textCol, idCol, k)
       .withColumn("_key",
-        concat(col("_h"), lit(":"), lpad(col("_p").cast("string"), 8, "0")))
+        concat(col("_h"), lit(":"), lpad(col("_p").cast("string"), 12, "0")))
       .withColumn("_sel", min(col("_key")).over(win))
       .where(col("_p") >= w)
       .select(col("_id"), col("_sel")).distinct()
       .select(col("_id"), substring(col("_sel"), 1, 16).as("_h"),
-        expr("cast(substring(_sel, 18, 8) as int)").as("_p"))
+        expr("cast(substring(_sel, 18, 12) as long)").as("_p"))
   }
 
   /** Candidate duplicate pairs from the winnowed fingerprint index:

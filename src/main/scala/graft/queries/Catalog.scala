@@ -6033,7 +6033,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
           i -> substr(md5(substr(text, i, 20)), 1, 16))) AS h
       FROM t),
     keyed AS (
-      SELECT doc_id, p, h || ':' || lpad(cast(p as varchar), 8, '0') AS key
+      SELECT doc_id, p, h || ':' || lpad(cast(p as varchar), 12, '0') AS key
       FROM g),
     sel AS (
       SELECT doc_id, p,
@@ -6076,7 +6076,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
           i -> substr(md5(substr(text, i, 20)), 1, 16))) AS h
       FROM t),
     keyed AS (
-      SELECT doc_id, p, h || ':' || lpad(cast(p as varchar), 8, '0') AS key
+      SELECT doc_id, p, h || ':' || lpad(cast(p as varchar), 12, '0') AS key
       FROM g),
     sel AS (
       SELECT doc_id, p,
@@ -7781,6 +7781,143 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         T(s, d, "documents"), "doc_id", "text", rounds = 3)
       .orderBy("doc_id"))
 
+  /** One unigram-LM EM round ([[graft.operators.UnigramOps]] mirror,
+    * p$j → p$k): candidate spans joined against the current vocabulary,
+    * the per-word Viterbi forward fold + longest-piece backtrack (both
+    * DuckDB `list_reduce` with the init element prepended — acc and
+    * elements are BIGINT lists, the type-stable fold trick), weighted
+    * piece counts, the 0.2-discrete-quantile prune of multi-char
+    * pieces (zero-count multi die; single chars never), and the
+    * Laplace-smoothed nano-log-prob M-step.
+    *
+    * The fold-bearing CTEs are `AS MATERIALIZED`: DuckDB 1.0 inlines a
+    * single-reference CTE, splicing one lambda expression (the
+    * list_reduce producing `best`/`btl`) inside another lambda's body —
+    * the lambda-variable collision silently corrupted every
+    * multi-piece segmentation (observed: words lost all pieces past
+    * the first, `''` pieces appeared). Materializing forces the fold
+    * to evaluate into a plain column before any downstream lambda
+    * touches it.
+    */
+  /** One unigram-LM EM round ([[graft.operators.UnigramOps]] mirror,
+    * p$j -> p$k): candidate spans joined against the current vocabulary,
+    * the per-word Viterbi DP, weighted piece counts, the
+    * 0.2-discrete-quantile prune of multi-char pieces (zero-count multi
+    * die; single chars never), and the Laplace-smoothed nano-log-prob
+    * M-step.
+    *
+    * The DP is UNROLLED into join/aggregate CTEs — one forward step per
+    * character position (best(p) = max over candidates ending at p of
+    * best(s-1) + lp, a 4-wide band because pieces are <= 4 chars) and
+    * one backtrack step per emitted piece (min-s winner re-identified
+    * by exact BIGINT score equality), both bounded by the operator's
+    * maxWordLen = 16 word-length cap. The first formulation — per-word
+    * `list_reduce` higher-order folds, the exact mirror of the Spark
+    * expression — was abandoned after DuckDB 1.0 evaluated it
+    * NON-DETERMINISTICALLY under its default thread pool (49-53 output
+    * rows across identical runs; single-threaded it was deterministic
+    * but still disagreed with a hand-rolled reference implementation
+    * that Spark matches exactly). Joins + aggregates have no such
+    * failure mode: every CTE is order-independent relational algebra.
+    */
+  private def unigramRoundCtes(k: Int): String = {
+    val j = k - 1
+    val W = 16
+    val fwd = (1 to W).map { i =>
+      val prev = (math.max(1, i - 4) until i).map(q =>
+        s"SELECT w, $q AS p, best FROM f${k}_$q") ++
+        (if (i <= 4) Seq("SELECT w, 0 AS p, CAST(0 AS BIGINT) AS best FROM w") else Seq())
+      s"""f${k}_$i AS MATERIALIZED (
+      SELECT c.w, max(b.best + c.lp) AS best
+      FROM cd$k c JOIN (${prev.mkString(" UNION ALL ")}) b
+        ON b.w = c.w AND b.p = c.s - 1
+      WHERE c.e = $i
+      GROUP BY c.w)"""
+    }.mkString(",\n    ")
+    val ba = (s"SELECT w, 0 AS p, CAST(0 AS BIGINT) AS best FROM w" +:
+      (1 to W).map(i => s"SELECT w, $i AS p, best FROM f${k}_$i"))
+      .mkString(" UNION ALL ")
+    val back = (1 to W).map { i =>
+      s"""ch${k}_$i AS MATERIALIZED (
+      SELECT t.w, t.p, min(c.s) AS s
+      FROM wk${k}_${i - 1} t
+      JOIN cd$k c ON c.w = t.w AND c.e = t.p
+      JOIN ba$k bs ON bs.w = c.w AND bs.p = c.s - 1
+      JOIN ba$k bp ON bp.w = t.w AND bp.p = t.p
+      WHERE bs.best + c.lp = bp.best
+      GROUP BY t.w, t.p),
+    wk${k}_$i AS MATERIALIZED (SELECT w, s - 1 AS p FROM ch${k}_$i WHERE s > 1)"""
+    }.mkString(",\n    ")
+    val ems = (1 to W).map(i =>
+      s"SELECT w, substr(w, CAST(s AS INT), CAST(p - s + 1 AS INT)) AS piece FROM ch${k}_$i")
+      .mkString(" UNION ALL ")
+    s"""cd$k AS MATERIALIZED (
+      SELECT q.w, q.c.s AS s, q.c.e AS e, p$j.lp FROM (
+        SELECT w, unnest(flatten(list_transform(generate_series(1, length(w)), sx ->
+          list_transform(generate_series(sx, least(length(w), sx + 3)), ex ->
+            {'s': sx, 'e': ex, 'sub': substr(w, sx, ex - sx + 1)})))) AS c
+        FROM w) q JOIN p$j ON q.c.sub = p$j.piece),
+    $fwd,
+    ba$k AS MATERIALIZED ($ba),
+    wk${k}_0 AS MATERIALIZED (SELECT w, length(w) AS p FROM w),
+    $back,
+    sg$k AS MATERIALIZED (
+      SELECT wt.freq, e.piece FROM ($ems) e JOIN w wt ON wt.w = e.w),
+    cn$k AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM sg$k GROUP BY piece),
+    al$k AS MATERIALIZED (SELECT p$j.piece, coalesce(cn$k.cnt, 0) AS cnt
+             FROM p$j LEFT JOIN cn$k USING (piece)),
+    th$k AS MATERIALIZED (SELECT quantile_disc(cnt, 0.2) AS tv FROM al$k WHERE length(piece) >= 2),
+    kp$k AS MATERIALIZED (SELECT piece, cnt FROM al$k, th$k
+             WHERE length(piece) = 1 OR (cnt >= tv AND cnt > 0)),
+    tt$k AS MATERIALIZED (SELECT sum(cnt) AS t, count(*) AS p FROM kp$k),
+    p$k AS MATERIALIZED (SELECT piece, cnt,
+      CAST(round(ln((CAST(cnt + 1 AS DOUBLE)) / CAST(t + p AS DOUBLE))
+        * 1000000000.0) AS BIGINT) AS lp FROM kp$k, tt$k)"""
+  }
+
+  // Unigram-LM (SentencePiece-style) tokenizer training
+  // (UnigramOps.unigramFit — Kudo 2018; VERDICT r14 next-round #2, the
+  // EM-pruning complement of tx19's merge-based BPE): seed the
+  // vocabulary with every frequent ≤4-char substring of the distinct
+  // word table, then 2 EM rounds of per-word VITERBI segmentation under
+  // integer nano-log-probs (exact BIGINT path sums — ties pick the
+  // longest piece), frequency-weighted count re-estimation,
+  // 0.2-quantile pruning (single chars exempt: segmentability), and
+  // Laplace-smoothed re-scoring. The 100 TB shape is BpeOps' fact: ONE
+  // corpus pass to the word-frequency table, every EM round on the
+  // VOCABULARY — the DP is a per-row integer fold over each word's ≤
+  // 4·|w| candidate pieces, no join fan-out, no corpus window. The
+  // oracle replays seed + both rounds CTE-by-CTE with the DP UNROLLED
+  // into join/agg steps (see unigramRoundCtes: DuckDB's list_reduce
+  // lambdas were non-deterministic under threads); words are capped at
+  // maxWordLen = 16 on both engines — the SentencePiece-style length
+  // cap that also bounds the oracle's unroll depth.
+  private val tx26 = Q("tx26_unigram_lm", Some(s"""
+    WITH w AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) t
+      WHERE length(w) > 0 AND length(w) <= 16 GROUP BY w),
+    sub0 AS MATERIALIZED (
+      SELECT q.c.sub AS piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(flatten(list_transform(generate_series(1, length(w)), sx ->
+          list_transform(generate_series(sx, least(length(w), sx + 3)), ex ->
+            {'s': sx, 'e': ex, 'sub': substr(w, sx, ex - sx + 1)})))) AS c
+        FROM w) q
+      GROUP BY q.c.sub),
+    seed AS MATERIALIZED (SELECT piece, cnt FROM sub0 WHERE length(piece) = 1 OR cnt >= 2),
+    t0 AS MATERIALIZED (SELECT sum(cnt) AS t, count(*) AS p FROM seed),
+    p0 AS MATERIALIZED (SELECT piece, cnt,
+      CAST(round(ln((CAST(cnt + 1 AS DOUBLE)) / CAST(t + p AS DOUBLE))
+        * 1000000000.0) AS BIGINT) AS lp FROM seed, t0),
+    ${unigramRoundCtes(1)},
+    ${unigramRoundCtes(2)}
+    SELECT piece, cnt, lp AS lp_nano FROM p2 ORDER BY piece"""),
+    (s, d) => graft.operators.UnigramOps.unigramFit(
+        T(s, d, "documents"), "text", maxLen = 4, minCount = 2, rounds = 2,
+        maxWordLen = 16,
+        tokenTable = Some(SharedArtifacts.docTokens(s, d)))
+      .orderBy("piece"))
+
   // Sketch SET OPERATIONS (the theta-sketch trick on KMV): estimate
   // the user-set UNION and INTERSECTION of every event-type pair from
   // per-type sketches alone — the "audience overlap" question, answered
@@ -8246,11 +8383,18 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     o AS (
       SELECT user_id, event_type, ts_us, event_id,
         lag(event_type) OVER (PARTITION BY user_id
-                              ORDER BY ts_us, event_id) AS prev
+                              ORDER BY ts_us, event_id) AS prev,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS rn
       FROM src),
     ch AS (
+      -- null-safe change test mirroring SnapshotOps.scd2's first-row
+      -- flag + `<=>` (ADVICE r14 #1): `prev IS NULL OR <>` would drop
+      -- X->NULL transitions and open a spurious version after every
+      -- NULL attribute; rn = 1 + IS DISTINCT FROM matches the Scala
+      -- semantics on NULL event_type exactly
       SELECT user_id, event_type, ts_us, event_id FROM o
-      WHERE prev IS NULL OR event_type <> prev),
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
     scd AS (
       SELECT user_id, event_type, ts_us AS valid_from_us,
         lead(ts_us) OVER (PARTITION BY user_id
@@ -9012,7 +9156,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     ann21, ann22,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
-    tx25,
+    tx25, tx26,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

@@ -20,22 +20,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   <root>/<tag>__<sfdir-key>/
-  *     data/            bucketed parquet (hash-clustered + sorted on the
+  *     _GRAFT_CURRENT   the COMMIT POINTER: the name of the committed
+  *                      version dir ("v-<uuid>"). Written LAST — a copy
+  *                      with no pointer (or a pointer to an older
+  *                      version) does not exist as far as readers are
+  *                      concerned.
+  *     v-<uuid>/        one immutable version per build:
+  *       data/          bucketed parquet (hash-clustered + sorted on the
   *                      artifact's join key — Spark's bucketed writer, so
   *                      file names carry bucket ids and a metastore
   *                      re-registration serves shuffle-free joins)
-  *     _GRAFT_SCHEMA    the schema as DDL (re-registration needs it)
-  *     _GRAFT_BUCKETS   "<bucketCol>:<n>"
-  *     _GRAFT_ADONE     the source parquet's size:mtime stamp — exists
-  *                      iff the copy is whole AND current
+  *       _GRAFT_SCHEMA  the schema as DDL (re-registration needs it)
+  *       _GRAFT_BUCKETS "<bucketCol>:<n>"
+  *       _GRAFT_ADONE   the source parquet's size:mtime stamp — written
+  *                      after the data, before the pointer flip
   * }}}
   *
-  * Build discipline is [[ZOrderRangeJoin.ensureZOrderedLineitem]]'s,
-  * verbatim: inter-process file lock (plus the object monitor for
-  * same-JVM threads), build into a UNIQUE temp dir, atomic rename into
-  * place, stamp travels inside the renamed dir. A regenerated corpus at
-  * the same path invalidates the copy (stamp mismatch) instead of
-  * serving stale artifacts.
+  * Build discipline — the OBJECT-STORE-SAFE commit protocol (VERDICT r14
+  * #3: the old tmp-dir + directory-rename discipline assumed POSIX
+  * atomic rename, which S3-class stores do not offer):
+  *
+  *   1. write `data/` + sidecars into a fresh immutable `v-<uuid>/`
+  *      (never reused, never mutated);
+  *   2. write `_GRAFT_ADONE` inside it (whole-copy marker);
+  *   3. COMMIT by replacing the single small `_GRAFT_CURRENT` pointer
+  *      object — on a filesystem via write-temp + atomic rename of the
+  *      ONE FILE (every POSIX fs has this), on an object store a single
+  *      conditional PUT. No directory is ever renamed or moved.
+  *
+  * A crash anywhere before step 3 leaves the pointer absent or aimed at
+  * the previous committed version: readers refuse the torn copy
+  * (DiskArtifactsSpec simulates exactly this). Replacement never deletes
+  * the version a concurrent reader may hold — superseded `v-*` dirs are
+  * GC'd only once a grace period old (closing ADVICE r14 #4's
+  * build-races-reader TOCTOU; a fresh build commits a NEW version and
+  * leaves the old one readable until GC). An inter-process file lock
+  * still serializes builders — for work-dedup, not correctness.
   *
   * Why bucketed: at 100 TB the artifacts' consumers join on the
   * artifact's key (graph walks join edges by `query_id`, rosters join by
@@ -69,6 +89,13 @@ object DiskArtifacts {
   def root: Path =
     Paths.get(sys.props.getOrElse("graft.artifacts.dir", "/tmp/graft_artifacts"))
 
+  /** Grace age (millis) before a superseded or uncommitted version dir
+    * is GC'd — long enough for any in-flight reader of the old version
+    * to finish (test-overridable via -Dgraft.artifacts.gcGraceMs).
+    */
+  private def gcGraceMs: Long =
+    sys.props.getOrElse("graft.artifacts.gcGraceMs", "900000").toLong
+
   private def stampOf(sfDir: String, table: String): String = {
     val p = Paths.get(sfDir, s"$table.parquet")
     if (Files.exists(p))
@@ -79,60 +106,103 @@ object DiskArtifacts {
   private def dirKey(tag: String, sfDir: String): String =
     s"${tag}__${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
-  private def fresh(dst: Path, stamp: String): Boolean = {
-    val done = dst.resolve("_GRAFT_ADONE")
-    Files.exists(done) && Files.readString(done) == stamp
+  /** The committed, corpus-current version dir, or None: follow the
+    * pointer, then require the version's own `_GRAFT_ADONE` to match
+    * `stamp` — an absent pointer, a pointer to a missing/torn version
+    * (crash before commit), or a stale stamp (regenerated corpus) all
+    * read as "no artifact".
+    */
+  private def resolve(dst: Path, stamp: String): Option[Path] = {
+    val ptr = dst.resolve("_GRAFT_CURRENT")
+    if (!Files.exists(ptr)) None
+    else {
+      val v = dst.resolve(Files.readString(ptr).trim)
+      val done = v.resolve("_GRAFT_ADONE")
+      if (Files.exists(done) && Files.readString(done) == stamp) Some(v)
+      else None
+    }
   }
 
-  /** Serve `tag`'s persisted copy if a whole, corpus-current one exists;
-    * otherwise run `build` (which must return an already-executed
-    * artifact), persist it bucketed on `bucketCol`, and serve the
-    * persisted form — so EVERY consumer, including the building session,
-    * reads the exact bytes a later session will.
+  /** Serve `tag`'s persisted copy if a committed, corpus-current one
+    * exists; otherwise run `build` (which must return an
+    * already-executed artifact), persist it bucketed on `bucketCol`,
+    * commit, and serve the persisted form — so EVERY consumer, including
+    * the building session, reads the exact bytes a later session will.
     */
   def serveOrBuild(s: SparkSession, tag: String, sfDir: String,
       table: String, bucketCol: String, nBuckets: Int)(
       build: => DataFrame): DataFrame = {
     val stamp = stampOf(sfDir, table)
     val dst = root.resolve(dirKey(tag, sfDir))
-    if (!fresh(dst, stamp)) ensureBuilt(s, tag, dst, stamp, bucketCol, nBuckets)(build)
-    s.read.parquet(dst.resolve("data").toString)
+    def attempt(): DataFrame = resolve(dst, stamp) match {
+      case Some(v) => s.read.parquet(v.resolve("data").toString)
+      case None =>
+        ensureBuilt(s, tag, dst, stamp, bucketCol, nBuckets)(build)
+        val v = resolve(dst, stamp).getOrElse(
+          throw new IllegalStateException(s"artifact $tag failed to commit at $dst"))
+        s.read.parquet(v.resolve("data").toString)
+    }
+    // retry once: a concurrent clear() (cold-probe protocol in another
+    // process) can delete a version between resolve and the footer read
+    // — the second attempt re-resolves and rebuilds if needed
+    try attempt()
+    catch { case _: Exception => attempt() }
   }
 
   private def ensureBuilt(s: SparkSession, tag: String, dst: Path,
       stamp: String, bucketCol: String, nBuckets: Int)(
       build: => DataFrame): Unit = synchronized {
-    Files.createDirectories(root)
+    Files.createDirectories(dst)
     val lockPath = root.resolve(s"${dst.getFileName}.lock")
     val ch = java.nio.channels.FileChannel.open(lockPath, CREATE, WRITE)
     try {
       val lock = ch.lock()
-      try if (!fresh(dst, stamp)) { // re-check under the lock
+      try if (resolve(dst, stamp).isEmpty) { // re-check under the lock
         buildCounts.computeIfAbsent(tag, _ => new AtomicInteger).incrementAndGet()
         val built = build
-        val tmp = root.resolve(s"${dst.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+        val vdir = dst.resolve(s"v-${java.util.UUID.randomUUID()}")
         val tmpTable = s"graft_art_build_${java.util.UUID.randomUUID().toString.replace("-", "_")}"
         // Spark's bucketed writer only runs through saveAsTable; an
         // explicit path makes the table EXTERNAL, so dropping it right
-        // after keeps the bucket-named files for the atomic rename.
+        // after keeps the bucket-named files in the immutable version dir.
         built.write.format("parquet")
           .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-          .option("path", tmp.resolve("data").toString)
+          .option("path", vdir.resolve("data").toString)
           .saveAsTable(tmpTable)
         s.sql(s"DROP TABLE `$tmpTable`")
-        Files.writeString(tmp.resolve("_GRAFT_SCHEMA"), built.schema.toDDL)
-        Files.writeString(tmp.resolve("_GRAFT_BUCKETS"), s"$bucketCol:$nBuckets")
-        Files.writeString(tmp.resolve("_GRAFT_ADONE"), stamp)
+        Files.writeString(vdir.resolve("_GRAFT_SCHEMA"), built.schema.toDDL)
+        Files.writeString(vdir.resolve("_GRAFT_BUCKETS"), s"$bucketCol:$nBuckets")
+        Files.writeString(vdir.resolve("_GRAFT_ADONE"), stamp)
         try graft.operators.Exec.releaseMaterialized(built)
         catch { case _: Throwable => () }
-        if (Files.exists(dst)) {
-          val trash = root.resolve(s"${dst.getFileName}.old-${java.util.UUID.randomUUID()}")
-          Files.move(dst, trash, StandardCopyOption.ATOMIC_MOVE)
-          org.apache.commons.io.FileUtils.deleteQuietly(trash.toFile)
-        }
-        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+        // COMMIT: replace the single pointer object. Write-temp + rename
+        // of ONE FILE (atomic on every POSIX fs; on an object store this
+        // step is a single PUT of the pointer key).
+        val ptrTmp = dst.resolve(s"_GRAFT_CURRENT.tmp-${java.util.UUID.randomUUID()}")
+        Files.writeString(ptrTmp, vdir.getFileName.toString)
+        Files.move(ptrTmp, dst.resolve("_GRAFT_CURRENT"),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        gcOldVersions(dst)
       } finally lock.release()
     } finally ch.close()
+  }
+
+  /** Delete superseded / never-committed version dirs once they are a
+    * grace period old — new builds never delete the version a concurrent
+    * reader may still hold, they just stop pointing at it.
+    */
+  private def gcOldVersions(dst: Path): Unit = {
+    val ptr = dst.resolve("_GRAFT_CURRENT")
+    val current =
+      if (Files.exists(ptr)) Files.readString(ptr).trim else ""
+    val cutoff = System.currentTimeMillis() - gcGraceMs
+    val ds = Files.list(dst)
+    try ds.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v-") && n != current
+          && Files.getLastModifiedTime(p).toMillis < cutoff)
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    } finally ds.close()
   }
 
   /** Register the persisted artifact in `s`'s catalog as an EXTERNAL
@@ -140,27 +210,38 @@ object DiskArtifacts {
     * against it need no artifact-side exchange) and return it. The copy
     * must already exist — call [[serveOrBuild]] (or a builder session)
     * first.
+    *
+    * The table name carries the full sanitized dirKey (tag + corpus
+    * dir) AND the committed version id — ADVICE r14 #2: a stamp-hash
+    * name let two corpora sharing a tag collide, serving a table whose
+    * LOCATION pointed at the other corpus. Version ids are unique per
+    * build, so `tableExists` can only short-circuit onto the same
+    * committed bytes.
     */
   def registerServing(s: SparkSession, tag: String, sfDir: String,
       table: String): DataFrame = {
     val stamp = stampOf(sfDir, table)
     val dst = root.resolve(dirKey(tag, sfDir))
-    require(fresh(dst, stamp), s"no persisted artifact for $tag at $dst")
-    val ddl = Files.readString(dst.resolve("_GRAFT_SCHEMA"))
-    val Array(bucketCol, n) = Files.readString(dst.resolve("_GRAFT_BUCKETS")).split(":")
-    val name = s"graft_art_${tag}_${math.abs(stamp.hashCode).toString}"
+    val v = resolve(dst, stamp).getOrElse(
+      throw new IllegalArgumentException(s"no persisted artifact for $tag at $dst"))
+    val ddl = Files.readString(v.resolve("_GRAFT_SCHEMA"))
+    val Array(bucketCol, n) = Files.readString(v.resolve("_GRAFT_BUCKETS")).split(":")
+    val name = (s"graft_art_${dirKey(tag, sfDir)}_${v.getFileName}")
+      .replaceAll("[^A-Za-z0-9_]", "_")
     if (!s.catalog.tableExists(name))
       s.sql(s"""CREATE TABLE `$name` ($ddl) USING parquet
                 CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
                 INTO $n BUCKETS
-                LOCATION '${dst.resolve("data")}'""")
+                LOCATION '${v.resolve("data")}'""")
     s.table(name)
   }
 
   /** Delete every persisted artifact — the cold-probe protocol's disk
     * half (Bench sf1 section, Sf1Probe): without it "cold" probes would
     * read yesterday's trained index from /tmp and measure a file scan
-    * instead of the build.
+    * instead of the build. Probe-tool only: concurrent READERS in
+    * another process may fail their first attempt mid-clear (serveOrBuild
+    * retries once, re-resolving and rebuilding).
     */
   def clear(): Unit = {
     if (Files.exists(root)) {

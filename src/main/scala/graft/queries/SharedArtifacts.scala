@@ -135,6 +135,33 @@ object SharedArtifacts {
 
   private val largeCache = new ConcurrentHashMap[String, DataFrame]()
 
+  /** [[cached]]'s sibling for O(corpus)-FRACTION artifacts (ADVICE r14
+    * #5: winnowFp12 is ~2/(w+1) of total corpus characters — routing it
+    * through `cached` pinned a corpus-fraction table in executor
+    * MEMORY_AND_DISK storage via localCheckpoint, the exact shape the
+    * r7 rule reserves for DISK_ONLY). Same two-level protocol — L1
+    * session map, [[DiskArtifacts]] persistence, disk-miss-only build —
+    * but the served frame keeps its parquet lineage and is NOT
+    * checkpointed: the bucketed on-disk copy IS the materialization, so
+    * consumers scan it per use (bucket-pruned, nothing pinned). Handles
+    * live in `largeCache` purely as memo keys; `clear()` treats an
+    * un-persisted handle's unpersist as a no-op.
+    */
+  private def cachedLargeServed(s: SparkSession, tag: String, sfDir: String,
+      table: String, bucketCol: String, nBuckets: Int)(
+      build: => DataFrame): DataFrame = {
+    val key =
+      s"${System.identityHashCode(s)}|$tag|$sfDir|${stampOf(sfDir, table)}"
+    val hit = largeCache.get(key)
+    if (hit != null) hit
+    else {
+      val served =
+        DiskArtifacts.serveOrBuild(s, tag, sfDir, table, bucketCol, nBuckets)(build)
+      val prev = largeCache.putIfAbsent(key, served)
+      if (prev == null) served else prev
+    }
+  }
+
   private def largeCached(s: SparkSession, tag: String, sfDir: String,
       table: String)(build: => DataFrame): DataFrame = {
     val key =
@@ -281,9 +308,16 @@ object SharedArtifacts {
     * Winnowing windows are within-doc, so id-filtering this index
     * equals fingerprinting the id-filtered corpus — the property dd26's
     * history split rides.
+    *
+    * Served via [[cachedLargeServed]], not [[cached]]: the index is a
+    * corpus-FRACTION table (2/(w+1) of total characters), so consumers
+    * scan the bucketed parquet copy directly — nothing corpus-sized is
+    * pinned in executor storage (ADVICE r14 #5). Tag carries a version
+    * suffix: r15 widened the fingerprint position to long/lpad-12, so a
+    * v1 artifact persisted by an older build must never be served.
     */
   def winnowFp12(s: SparkSession, d: String): DataFrame =
-    cached(s, "winfp12", d, "documents", "_h", 8) {
+    cachedLargeServed(s, "winfp12v2", d, "documents", "_h", 8) {
       Exec.materializeForSelfJoin(
         DedupOps.winnowedFingerprints(Tables.table(s, d, "documents"),
           "text", "doc_id", k = 20, w = 12))

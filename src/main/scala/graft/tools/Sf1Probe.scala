@@ -38,7 +38,14 @@ import org.apache.spark.sql.functions._
 object Sf1Probe {
   private val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
     "tx06_tfidf", "q51_stream_join", "q66_stream_upsert",
-    "dd13_semantic_dedup", "ann08_kmeans_train")
+    "dd13_semantic_dedup", "ann08_kmeans_train",
+    // VERDICT r14 #1: the driver's in-run sf1 section read 13.9–26.2x
+    // on these four where the committed envelope reads 1.7–6.2x —
+    // they join the DEFAULT isolated list so every `runMain
+    // graft.tools.Sf1Probe 3` leaves a contention-controlled decade
+    // ratio on record (tx14 had none at all when it was flagged weak)
+    "tx14_bigram_lm", "dd17_lsh_recall", "dd20_jaccard_join",
+    "dd23_incremental_clusters")
 
   /** Also called by graft.Bench's optional sf1 section. Idempotent: the
     * `_DONE` marker caches the built corpus across runs/rounds.

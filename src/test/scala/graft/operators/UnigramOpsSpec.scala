@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Unigram-LM tokenizer training (Kudo 2018) on a hand-computable
+  * corpus. Words: abab×2, ab×2, cd×1 (maxLen 4, minCount 2, 2 EM
+  * rounds). Worked by hand:
+  *
+  *  - seed: a6 b6 ab6 ba2 aba2 bab2 abab2 + singles c1 d1 (cd cnt 1
+  *    dies to minCount); T=28, P=9.
+  *  - round-1 Viterbi: "abab" → whole-word piece (lp −2.512 beats
+  *    ab+ab −3.330), "ab" → [ab], "cd" → [c, d]. Counts: abab 2, ab 2,
+  *    c 1, d 1; ba/aba/bab/a/b zero. Prune: multi counts
+  *    {2,0,0,0,2} → 0.2-quantile 0, zero-count multi die → survivors
+  *    a b c d ab abab; M-step denom T+P = 6+6 = 12.
+  *  - round-2 replays identically (fixed point).
+  */
+class UnigramOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unigramFit: EM keeps the whole-word piece and prunes dead seeds") {
+    val docs = Seq(
+      (1L, "abab ab abab"),
+      (2L, "ab cd")).toDF("doc_id", "text")
+    val out = UnigramOps.unigramFit(docs, "text", maxLen = 4,
+        minCount = 2, rounds = 2)
+      .orderBy("piece")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = Seq(
+      ("a", 0L, -2484906650L),
+      ("ab", 2L, -1386294361L),
+      ("abab", 2L, -1386294361L),
+      ("b", 0L, -2484906650L),
+      ("c", 1L, -1791759469L),
+      ("d", 1L, -1791759469L))
+    assert(out.toSeq == expected)
+  }
+
+  test("viterbiCounts backtrack prefers the longest piece on tied scores") {
+    // pieces a, b, ab with lp chosen so a+b exactly ties ab:
+    // lp(ab) = -40, lp(a) = lp(b) = -20. The backtrack's min-start rule
+    // must pick [ab], not [a, b], on both engines.
+    val words = Seq(("ab", 1L)).toDF("w", "freq")
+    val pieces = Seq(("a", -20L), ("b", -20L), ("ab", -40L))
+      .toDF("piece", "lp")
+    val got = UnigramOps.viterbiCounts(words, pieces, maxLen = 4)
+      .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("ab", 1L)))
+  }
+
+  test("every word stays segmentable after aggressive pruning") {
+    // single characters are never pruned, so even a corpus whose every
+    // multi-char seed dies still segments (chars only)
+    val docs = Seq((1L, "xy zw")).toDF("doc_id", "text")
+    val out = UnigramOps.unigramFit(docs, "text", maxLen = 4,
+        minCount = 10, rounds = 2)
+      .orderBy("piece").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("w", "x", "y", "z"))
+  }
+}

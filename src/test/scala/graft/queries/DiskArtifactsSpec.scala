@@ -98,6 +98,55 @@ class DiskArtifactsSpec extends AnyFunSuite {
     }
   }
 
+  test("crash before commit: readers refuse an uncommitted copy and rebuild") {
+    val isolated = Files.createTempDirectory("graft_art_spec4").toString
+    val prior = sys.props.put("graft.artifacts.dir", isolated)
+    try {
+      SharedArtifacts.clear()
+      DiskArtifacts.clear()
+      val s1 = spark.newSession()
+      org.apache.spark.sql.SparkSession.setActiveSession(s1)
+      SharedArtifacts.centroids16(s1, sfDir).count()
+      val built = DiskArtifacts.buildCount("cent16")
+      val dst = DiskArtifacts.root.resolve(
+        "cent16__" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+      // Crash simulation A — between the data/marker writes and the
+      // pointer flip: the version dir is whole (data + _GRAFT_ADONE with
+      // the CURRENT stamp) but _GRAFT_CURRENT was never written. The
+      // commit-marker protocol says that copy does not exist.
+      Files.delete(dst.resolve("_GRAFT_CURRENT"))
+      SharedArtifacts.clear()
+      val s2 = spark.newSession()
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      SharedArtifacts.centroids16(s2, sfDir).count()
+      assert(DiskArtifacts.buildCount("cent16") == built + 1,
+        "an unpointed (uncommitted) version must be refused and rebuilt")
+
+      // Crash simulation B — torn version: the pointer names a version
+      // whose _GRAFT_ADONE never landed. Readers must refuse it too.
+      val torn = dst.resolve("v-torn")
+      Files.createDirectories(torn.resolve("data"))
+      val ptr = dst.resolve("_GRAFT_CURRENT")
+      Files.writeString(ptr, "v-torn")
+      SharedArtifacts.clear()
+      val s3 = spark.newSession()
+      org.apache.spark.sql.SparkSession.setActiveSession(s3)
+      SharedArtifacts.centroids16(s3, sfDir).count()
+      assert(DiskArtifacts.buildCount("cent16") == built + 2,
+        "a pointed-at version missing its _GRAFT_ADONE must be refused and rebuilt")
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      SharedArtifacts.clear()
+      DiskArtifacts.clear()
+      prior match {
+        case Some(p) => sys.props.put("graft.artifacts.dir", p)
+        case None => sys.props.remove("graft.artifacts.dir")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(isolated))
+    }
+  }
+
   test("registered serving table is bucketed: self-join on the bucket key has no exchange") {
     val isolated = Files.createTempDirectory("graft_art_spec3").toString
     val prior = sys.props.put("graft.artifacts.dir", isolated)
