@@ -6117,6 +6117,77 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         .orderBy("new_id", "existing_id")
     })
 
+  // MEASURED winnow detection-rate curve (DedupOps.winnowDetectionCurve
+  // — VERDICT r14 #6, the dd17/ann07 grading discipline applied to the
+  // winnow family): ground truth is charSpans' exact character-level
+  // spans (longest shared run -> span length per pair); the detector is
+  // winnowedPairs over the 2/(w+1)-sampled index. Pairs bucket by span
+  // length (width 4 from k=20, last bucket open) and each bucket
+  // reports its measured detection rate in integer nano-units — the
+  // Schleimer guarantee says buckets at/above w+k-1 = 31 chars read 1.0
+  // absent stop-fingerprint caps (spec-asserted on a controlled
+  // corpus); below it the curve is what (k, w) tuning needs. One gram
+  // explode feeds both arms.
+  private val dd27 = Q("dd27_winnow_detection", Some("""
+    WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+    g AS (
+      SELECT doc_id,
+        unnest(generate_series(1, length(text) - 19)) AS p,
+        unnest(list_transform(generate_series(1, length(text) - 19),
+          i -> substr(md5(substr(text, i, 20)), 1, 16))) AS h
+      FROM t),
+    keep AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd, count(*) AS occ
+        FROM g GROUP BY h)
+      WHERE nd BETWEEN 2 AND 8 AND occ <= 32),
+    m AS (SELECT g.doc_id, g.p, g.h FROM g JOIN keep USING (h)),
+    pr AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.p AS p1, b.p AS p2
+      FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT id1, id2, p1 - p2 AS diag,
+        p1 - row_number() OVER (PARTITION BY id1, id2, p1 - p2 ORDER BY p1) AS grp
+      FROM pr),
+    agg AS (SELECT id1, id2, diag, grp, count(*) AS run
+            FROM runs GROUP BY 1, 2, 3, 4),
+    truth AS (SELECT id1, id2, cast(max(run) as bigint) + 19 AS span
+              FROM agg GROUP BY id1, id2),
+    keyed AS (
+      SELECT doc_id, p, h || ':' || lpad(cast(p as varchar), 12, '0') AS key
+      FROM g),
+    sel AS (
+      SELECT doc_id, p,
+        min(key) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS s
+      FROM keyed),
+    fp AS (
+      SELECT DISTINCT doc_id, substr(s, 1, 16) AS h
+      FROM sel WHERE p >= 12),
+    wkeep AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd, count(*) AS occ
+        FROM fp GROUP BY h)
+      WHERE nd BETWEEN 2 AND 8 AND occ <= 32),
+    wm AS (SELECT fp.doc_id, fp.h FROM fp JOIN wkeep USING (h)),
+    det AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM wm a JOIN wm b ON a.h = b.h AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT t.id1, t.id2, t.span,
+        CASE WHEN d.id1 IS NULL THEN 0 ELSE 1 END AS det
+      FROM truth t LEFT JOIN det d ON t.id1 = d.id1 AND t.id2 = d.id2),
+    bk AS (SELECT least((span - 20) // 4, 5) AS b, det FROM j)
+    SELECT cast(b * 4 + 20 as bigint) AS bucket_lo,
+      cast(count(*) as bigint) AS n_pairs,
+      cast(sum(det) as bigint) AS n_detected,
+      cast(round(cast(sum(det) as double) / cast(count(*) as double)
+        * 1000000000.0) as bigint) AS rate_nano
+    FROM bk GROUP BY 1 ORDER BY bucket_lo"""),
+    (s, d) => DedupOps.winnowDetectionCurve(T(s, d, "documents"), "text",
+        "doc_id", k = 20, w = 12)
+      .orderBy("bucket_lo"))
+
   // Bounded k-core peeling (GraphOps.kCore — the density-based graph
   // CURATION member of the family q68/dd06/q77/q86/q92): 3 synchronous
   // rounds of "drop nodes with degree < 2, then their edges" over the
@@ -9150,7 +9221,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
-    dd25, dd26,
+    dd25, dd26, dd27,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
     ann21, ann22,

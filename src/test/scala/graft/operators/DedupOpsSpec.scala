@@ -483,6 +483,40 @@ class DedupOpsSpec extends AnyFunSuite {
       s"every fingerprint pair must verify exactly: $winnow vs $exact")
   }
 
+  test("winnowDetectionCurve: guaranteed buckets read 1.0; every truth pair is graded") {
+    // one doc pair per span length; pair i shares exactly one span of
+    // spanLens(i) chars. Span content carries the pair id in every
+    // 20-gram (period-10 pattern) so spans never collide across pairs;
+    // fillers carry a per-DOC letter so no gram crosses docs. Buckets
+    // land at 20, 24, 28 (the 31-char guarantee boundary), 32, 40 —
+    // every bucket at or above w+k-1 = 31 must read rate 1.0 (Schleimer
+    // guarantee; no stop caps bite here), and each pair appears in the
+    // truth exactly once.
+    val spanLens = Seq(20, 25, 31, 35, 60)
+    val docs = spanLens.zipWithIndex.flatMap { case (len, i) =>
+      val pat = f"$i%04dabcdef"
+      val span = (pat * (len / 10 + 2)).take(len)
+      // fillers are LETTER-ONLY and per-doc: a filler sharing even its
+      // last character with the other doc's filler silently extends
+      // every span by one (observed: digit-tagged fillers shifted all
+      // guarantee buckets up one)
+      Seq((2L * i + 1, "Uu" * 6 + span + "Vv" * 6),
+          (2L * i + 2, "Xx" * 6 + span + "Yy" * 6))
+    }.toDF("doc_id", "text")
+    val curve = DedupOps.winnowDetectionCurve(docs, "text", "doc_id",
+        k = 20, w = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket_lo"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_detected"), r.getAs[Long]("rate_nano")))
+    assert(curve.map(_._2).sum == spanLens.size.toLong,
+      s"every pair graded exactly once: ${curve.mkString(",")}")
+    // L=31 -> bucket 28, L=35 -> 32, L=60 -> open bucket 40
+    val guaranteed = curve.filter(c => Seq(28L, 32L, 40L).contains(c._1))
+    assert(guaranteed.size == 3 && guaranteed.forall(c =>
+      c._2 == c._3 && c._4 == 1000000000L),
+      s"spans >= w+k-1 must all be detected: ${curve.mkString(",")}")
+  }
+
   test("jaccardJoinExact: complete and exact vs brute force (zero false negatives)") {
     import spark.implicits._
     // staggered shared word runs -> a spread of pairwise Jaccards above
