@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -76,6 +76,44 @@ object MultimodalOps {
       .withColumn("thumb_md5", md5(col("thumb")))
       .drop(payloadCol)
   }
+
+  /** 2-D patch/tile extraction (the ViT patch-embedding access pattern):
+    * interpret the payload as a row-major `width`-byte-wide image and
+    * cut `patch`×`patch` tiles — each tile the concatenation of `patch`
+    * row slices, so tiles are genuinely 2-D (non-contiguous bytes), not
+    * frame windows (mm02's 1-D pattern). Height is the number of
+    * complete rows; only complete tiles are emitted, and the emitted
+    * grid is capped at `maxGrid`×`maxGrid` tiles per payload (the
+    * bounded-probe convention — a real patch embedder consumes every
+    * tile, but a CATALOG query's output must stay bounded per doc).
+    *
+    * All codegen'd HOFs: the (pr, pc) grid is a fixed
+    * `sequence(0, maxGrid−1)` FILTERED by the per-doc tile counts
+    * (never `sequence(0, n−1)` with possibly-negative n — Spark's
+    * sequence DESCENDS there where DuckDB's generate_series is empty),
+    * and each tile body is an `aggregate` over its `patch` row slices
+    * concatenating binary `substr`s. Narrow, no shuffle, no UDF; a real
+    * decoder would swap byte rows for decoded pixel rows inside the
+    * same plumbing (the decodeStub stance).
+    */
+  def patchGrid(df: DataFrame, payloadCol: String, idCol: String,
+      width: Column, patch: Int, maxGrid: Int): DataFrame =
+    df.select(col(idCol), col(payloadCol).as("_pl"), width.as("_w"))
+      .withColumn("_h", expr("length(_pl) div _w"))
+      .withColumn("pg", expr(
+        s"""filter(flatten(transform(sequence(0, ${maxGrid - 1}), pr ->
+              transform(sequence(0, ${maxGrid - 1}), pc ->
+                named_struct('pr', pr, 'pc', pc)))),
+              g -> g.pr < _h div $patch AND g.pc < _w div $patch)"""))
+      .select(col(idCol), col("_pl"), col("_w"), col("_h"),
+        explode(col("pg")).as("g"))
+      .withColumn("tile", expr(
+        s"""aggregate(sequence(0, ${patch - 1}), cast('' as binary),
+              (acc, dy) -> concat(acc, substring(_pl,
+                (g.pr * $patch + dy) * _w + g.pc * $patch + 1, $patch)))"""))
+      .select(col(idCol), col("_w").as("width"), col("_h").as("height"),
+        col("g.pr").as("pr"), col("g.pc").as("pc"),
+        length(col("tile")).as("tile_len"), md5(col("tile")).as("tile_md5"))
 
   /** Average-hash perceptual signature (aHash — the classic
     * perceptual-hash family member: pHash swaps the downsample for a

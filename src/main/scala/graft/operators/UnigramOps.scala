@@ -101,7 +101,22 @@ object UnigramOps {
     * piece) on ties. Both folds run ≤ |w| steps and mirror into DuckDB
     * `list_reduce` with the init element prepended.
     */
-  def viterbiCounts(words: DataFrame, pieces: DataFrame, maxLen: Int): DataFrame = {
+  def viterbiCounts(words: DataFrame, pieces: DataFrame, maxLen: Int): DataFrame =
+    viterbiBoundaries(words, pieces, maxLen)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(bt) - 1), i ->
+             substring(w, cast(element_at(bt, i) + 1 as int),
+               cast(element_at(bt, i + 1) - element_at(bt, i) as int)))"""))
+        .as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** The shared Viterbi DP: every word of `words` segmented under
+    * `pieces` [piece, lp], returned with its boundary array `bt`
+    * (0 = word start … length(w), so `size(bt) − 1` pieces). `freq`
+    * rides along for the callers that weight by it.
+    */
+  private def viterbiBoundaries(words: DataFrame, pieces: DataFrame,
+      maxLen: Int): DataFrame = {
     val cands = words.select(col("w"), explode(expr(spanExpr(maxLen))).as("c"))
       .select(col("w"), col("c.s").as("s"), col("c.e").as("e"), col("c.sub").as("sub"))
       .join(pieces.select(col("piece").as("sub"), col("lp")), "sub")
@@ -128,12 +143,6 @@ object UnigramOps {
                      and element_at(best, cx.s) + cx.lp
                          = element_at(best, cast(element_at(acc, 1) + 1 as int))),
                    cx -> cast(cx.s as bigint))) - 1), acc)))"""))
-      .select(col("freq"), explode(expr(
-        """transform(sequence(1, size(bt) - 1), i ->
-             substring(w, cast(element_at(bt, i) + 1 as int),
-               cast(element_at(bt, i + 1) - element_at(bt, i) as int)))"""))
-        .as("piece"))
-      .groupBy("piece").agg(sum("freq").as("cnt"))
   }
 
   /** Full training run: seed → `rounds` × (E-step; prune; M-step).
@@ -180,5 +189,47 @@ object UnigramOps {
       pieces = withLogProbs(kept)
     }
     pieces.select(col("piece"), col("cnt"), col("lp").as("lp_nano"))
+  }
+
+  /** ENCODE the corpus with a trained unigram vocabulary — the serving
+    * half of the tokenizer story ([[BpeOps.encodedTokenCounts]]' analog
+    * for the EM-trained vocab): Viterbi-segment each DISTINCT word ONCE
+    * under the trained piece log-probs (vocabulary-scale DP — the same
+    * fold as training's E-step), then map the corpus by one equi-join
+    * on the word. At 100 TB the DP never sees the corpus: it runs over
+    * |distinct words ≤ maxWordLen| rows, and the corpus pays exactly
+    * its token explode (the [[graft.queries.SharedArtifacts.docTokens]]
+    * kernel can substitute) plus one join against that reduced table.
+    *
+    * Output, one row per document that has ≥ 1 qualifying word
+    * (1 ≤ length ≤ maxWordLen — the training cap applied symmetrically;
+    * over-long words are out of the trained distribution's domain):
+    * [idCol, n_words, n_chars, n_pieces, pieces_per_kchar] with
+    * pieces_per_kchar = n_pieces·1000 div n_chars, the integer
+    * compression proxy (more pieces per character = worse vocabulary
+    * fit). Determinism is inherited from [[unigramFit]]'s contract:
+    * integer nano-log-prob path sums, longest-piece tie-break.
+    *
+    * @param vocab a trained [piece, …, lp_nano] table (e.g.
+    *              [[unigramFit]]'s output, or the
+    *              `SharedArtifacts.unigramVocab16` trained artifact)
+    */
+  def encodeStats(df: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, maxLen: Int = 4, maxWordLen: Int = 16,
+      tokenTable: Option[DataFrame] = None): DataFrame = {
+    val docToks = tokenTable
+      .map(_.select(col(idCol), col("tok").as("w")))
+      .getOrElse(df.select(col(idCol), explode(DedupOps.tokens(col(textCol))).as("w")))
+      .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+    val words = docToks.groupBy("w").agg(count(lit(1)).as("freq"))
+    val seg = viterbiBoundaries(words,
+        vocab.select(col("piece"), col("lp_nano").as("lp")), maxLen)
+      .select(col("w"), (size(col("bt")) - 1).cast("long").as("n_pieces"))
+    docToks.join(seg, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("pieces_per_kchar", expr("n_pieces * 1000 div n_chars"))
   }
 }

@@ -6335,6 +6335,46 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         .orderBy("cohort_week", "week_offset")
     })
 
+  // Incremental aggregate maintenance (the materialized-view refresh
+  // primitive — dd08's increment-==-scratch discipline applied to the
+  // RELATIONAL side): the per-event-type aggregate state over the
+  // history partition is a persisted bucketed artifact
+  // (SharedArtifacts.evAggState — mergeable components only: count,
+  // exact-cents BIGINT sum, min, max), and the refresh touches ONLY the
+  // delta partition (event_id % 10 ≥ 8) plus that key-cardinality-sized
+  // state — never the history corpus. Merging partial states is one
+  // unionByName + re-agg (count→sum, sum→sum, min→min, max→max); the
+  // derived avg falls out of the merged sums as one integer division.
+  // The oracle computes the SAME aggregate from scratch over ALL events
+  // — hash equality IS the incremental-==-scratch proof.
+  private val q100 = Q("q100_incremental_agg", Some("""
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+        AS sum_cents,
+      CAST(min(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+        AS min_cents,
+      CAST(max(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+        AS max_cents,
+      CAST(CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+        // count(*) AS BIGINT) AS avg_cents
+    FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => {
+      val delta = T(s, d, "events")
+        .where(expr("event_id % 10 >= 8"))
+        .select(col("event_type"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+      SharedArtifacts.evAggState(s, d).unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+          min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+        .withColumn("avg_cents", expr("sum_cents div n"))
+        .orderBy("event_type")
+    })
+
   // Exact PHRASE search over the positional shingle index (the
   // retrieval primitive BM25's bag-of-words scoring cannot express:
   // "this exact 8-token sequence"): the query set is the corpus's 3
@@ -7891,7 +7931,14 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     * that Spark matches exactly). Joins + aggregates have no such
     * failure mode: every CTE is order-independent relational algebra.
     */
-  private def unigramRoundCtes(k: Int): String = {
+  /** Just the Viterbi segmentation CTEs of round `k` — candidates
+    * against vocabulary p(k−1), the unrolled forward band, and the
+    * unrolled backtrack whose ch$k_i rows ARE the chosen pieces (one
+    * row per word still active at backtrack step i). Factored out of
+    * [[unigramRoundCtes]] so the ENCODE oracle (tx27) can segment under
+    * the FINAL vocabulary without an EM tail.
+    */
+  private def viterbiCtes(k: Int): String = {
     val j = k - 1
     val W = 16
     val fwd = (1 to W).map { i =>
@@ -7919,9 +7966,6 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
       GROUP BY t.w, t.p),
     wk${k}_$i AS MATERIALIZED (SELECT w, s - 1 AS p FROM ch${k}_$i WHERE s > 1)"""
     }.mkString(",\n    ")
-    val ems = (1 to W).map(i =>
-      s"SELECT w, substr(w, CAST(s AS INT), CAST(p - s + 1 AS INT)) AS piece FROM ch${k}_$i")
-      .mkString(" UNION ALL ")
     s"""cd$k AS MATERIALIZED (
       SELECT q.w, q.c.s AS s, q.c.e AS e, p$j.lp FROM (
         SELECT w, unnest(flatten(list_transform(generate_series(1, length(w)), sx ->
@@ -7931,7 +7975,16 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     $fwd,
     ba$k AS MATERIALIZED ($ba),
     wk${k}_0 AS MATERIALIZED (SELECT w, length(w) AS p FROM w),
-    $back,
+    $back"""
+  }
+
+  private def unigramRoundCtes(k: Int): String = {
+    val j = k - 1
+    val W = 16
+    val ems = (1 to W).map(i =>
+      s"SELECT w, substr(w, CAST(s AS INT), CAST(p - s + 1 AS INT)) AS piece FROM ch${k}_$i")
+      .mkString(" UNION ALL ")
+    s"""${viterbiCtes(k)},
     sg$k AS MATERIALIZED (
       SELECT wt.freq, e.piece FROM ($ems) e JOIN w wt ON wt.w = e.w),
     cn$k AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM sg$k GROUP BY piece),
@@ -7988,6 +8041,61 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         maxWordLen = 16,
         tokenTable = Some(SharedArtifacts.docTokens(s, d)))
       .orderBy("piece"))
+
+  // Unigram-LM ENCODE (UnigramOps.encodeStats — tx20's serving analog
+  // for the EM-trained vocabulary, completing the train/serve pair the
+  // BPE family already has): Viterbi-segment each DISTINCT word ONCE
+  // under tx26's trained piece log-probs — served via
+  // SharedArtifacts.unigramVocab16, the DiskArtifacts-persisted trained
+  // artifact; tx26 stays builder-fresh — then map the corpus by one
+  // equi-join on the word and aggregate per document. The 100 TB shape:
+  // the DP runs on the VOCABULARY-scale distinct-word table, the corpus
+  // pays its token explode (the shared docTokens kernel) + one join
+  // against that reduced table. Output: per-doc word/char/piece counts
+  // and the integer pieces-per-kilochar compression proxy. The oracle
+  // replays training (seed + 2 EM rounds) and then ONE more unrolled
+  // Viterbi pass under the final vocabulary — ch3_i backtrack rows ARE
+  // the chosen pieces, so n_pieces(w) is a COUNT over their union.
+  private val tx27 = Q("tx27_unigram_encode", Some(s"""
+    WITH w AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) t
+      WHERE length(w) > 0 AND length(w) <= 16 GROUP BY w),
+    sub0 AS MATERIALIZED (
+      SELECT q.c.sub AS piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(flatten(list_transform(generate_series(1, length(w)), sx ->
+          list_transform(generate_series(sx, least(length(w), sx + 3)), ex ->
+            {'s': sx, 'e': ex, 'sub': substr(w, sx, ex - sx + 1)})))) AS c
+        FROM w) q
+      GROUP BY q.c.sub),
+    seed AS MATERIALIZED (SELECT piece, cnt FROM sub0 WHERE length(piece) = 1 OR cnt >= 2),
+    t0 AS MATERIALIZED (SELECT sum(cnt) AS t, count(*) AS p FROM seed),
+    p0 AS MATERIALIZED (SELECT piece, cnt,
+      CAST(round(ln((CAST(cnt + 1 AS DOUBLE)) / CAST(t + p AS DOUBLE))
+        * 1000000000.0) AS BIGINT) AS lp FROM seed, t0),
+    ${unigramRoundCtes(1)},
+    ${unigramRoundCtes(2)},
+    ${viterbiCtes(3)},
+    np AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces FROM (
+        ${(1 to 16).map(i => s"SELECT w FROM ch3_$i").mkString(" UNION ALL ")}) u
+      GROUP BY w),
+    dt AS MATERIALIZED (SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) t
+      WHERE length(w) > 0 AND length(w) <= 16)
+    SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
+      CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces,
+      CAST(CAST(sum(np.n_pieces) AS BIGINT) * 1000
+        // CAST(sum(length(dt.w)) AS BIGINT) AS BIGINT) AS pieces_per_kchar
+    FROM dt JOIN np USING (w)
+    GROUP BY dt.doc_id ORDER BY dt.doc_id"""),
+    (s, d) => graft.operators.UnigramOps.encodeStats(
+        T(s, d, "documents"), "text", "doc_id",
+        vocab = SharedArtifacts.unigramVocab16(s, d),
+        maxLen = 4, maxWordLen = 16,
+        tokenTable = Some(SharedArtifacts.docTokens(s, d)))
+      .orderBy("doc_id"))
 
   // Sketch SET OPERATIONS (the theta-sketch trick on KMV): estimate
   // the user-set UNION and INTERSECTION of every event-type pair from
@@ -9161,6 +9269,54 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         col("energy").cast("long").as("energy"))
       .orderBy("doc_id", "seg"))
 
+  // 2-D patch/tile extraction (MultimodalOps.patchGrid — the ViT
+  // patch-embedding access pattern over opaque binary payloads): each
+  // payload read as a row-major width-byte image (width a deterministic
+  // per-doc stand-in, mm01's dims convention), 8×8 tiles cut as the
+  // concatenation of 8 NON-CONTIGUOUS row slices (genuinely 2-D access
+  // — mm02's frames are 1-D windows), grid capped 4×4 per doc (bounded
+  // probe). Oracle rebuilds each tile via ordered string_agg over the
+  // same row slices (the corpus is ASCII: byte == char, md5s match);
+  // DuckDB's empty-when-negative generate_series and Spark's fixed
+  // sequence + filter express the same truncated grids.
+  private val mm11 = Q("mm11_patch_grid", Some("""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS len,
+        32 + octet_length(encode(text)) % 97 AS w
+      FROM documents WHERE doc_id < 200),
+    g AS (
+      SELECT doc_id, w, len // w AS h,
+        unnest(generate_series(0, least(3, (len // w) // 8 - 1))) AS pr
+      FROM b),
+    g2 AS (
+      SELECT doc_id, w, h, pr,
+        unnest(generate_series(0, least(3, w // 8 - 1))) AS pc
+      FROM g),
+    rws AS (
+      SELECT doc_id, w, h, pr, pc, unnest(generate_series(0, 7)) AS dy
+      FROM g2),
+    tiles AS (
+      SELECT r.doc_id, r.w, r.h, r.pr, r.pc,
+        string_agg(substr(b.text, CAST((r.pr * 8 + r.dy) * r.w + r.pc * 8 + 1 AS INT), 8),
+          '' ORDER BY r.dy) AS tile
+      FROM rws r JOIN b USING (doc_id)
+      GROUP BY r.doc_id, r.w, r.h, r.pr, r.pc)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(pr AS INT) AS pr, CAST(pc AS INT) AS pc,
+      CAST(length(tile) AS INT) AS tile_len, md5(tile) AS tile_md5
+    FROM tiles ORDER BY doc_id, pr, pc"""),
+    (s, d) => {
+      val pl = MultimodalOps.withBinaryPayload(
+        T(s, d, "documents").where(col("doc_id") < 200), "text")
+      MultimodalOps.patchGrid(pl, "payload", "doc_id",
+          width = length(col("payload")) % 97 + 32, patch = 8, maxGrid = 4)
+        .select(col("doc_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          col("pr").cast("int").as("pr"), col("pc").cast("int").as("pc"),
+          col("tile_len").cast("int").as("tile_len"), col("tile_md5"))
+        .orderBy("doc_id", "pr", "pc")
+    })
+
   // Recursive CTE on the Spark SQL surface (Spark 4 WITH RECURSIVE): a
   // data-driven month spine from min to max order month, left-joined to
   // per-month counts — the classic gap-filling calendar recursion, and
@@ -9218,7 +9374,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
+    q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     dd25, dd26, dd27,
@@ -9227,8 +9383,8 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     ann21, ann22,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
-    tx25, tx26,
-    mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10,
+    tx25, tx26, tx27,
+    mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
     dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28, dp29,

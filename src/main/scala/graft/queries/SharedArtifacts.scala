@@ -323,6 +323,44 @@ object SharedArtifacts {
           "text", "doc_id", k = 20, w = 12))
     }
 
+  /** The persisted per-event-type aggregate STATE table over the
+    * HISTORY partition of `events` (event_id % 10 < 8 — the dd08 split
+    * convention applied to the relational side), mergeable components
+    * only: count, exact-cents sum (the d12 money convention ×100, so
+    * the state is pure BIGINT), min, max. This is the
+    * incremental-view-maintenance half of q100: at 100 TB the state
+    * table is key-cardinality-sized and persisted bucketed on the key,
+    * and refreshing the aggregate touches ONLY the delta plus this
+    * reduced table — never the history corpus.
+    */
+  def evAggState(s: SparkSession, d: String): DataFrame =
+    cached(s, "evaggstate", d, "events", "event_type", 4) {
+      Exec.materializeForSelfJoin(
+        Tables.table(s, d, "events")
+          .where(expr("event_id % 10 < 8"))
+          .select(col("event_type"),
+            (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("cents").as("min_cents"), max("cents").as("max_cents")))
+    }
+
+  /** tx26's trained unigram-LM vocabulary (maxLen=4, minCount=2,
+    * 2 EM rounds, maxWordLen=16 — exactly tx26's configuration), served
+    * to the encode path (tx27). tx26 itself trains fresh — the EM cost
+    * is tx26's number; this handle is the serving copy a tokenizer
+    * deployment reads (vocabulary-sized, so [[cached]]'s pinned
+    * localCheckpoint is the right storage class).
+    */
+  def unigramVocab16(s: SparkSession, d: String): DataFrame =
+    cached(s, "ugvocab16", d, "documents", "piece", 4) {
+      Exec.materializeForSelfJoin(
+        graft.operators.UnigramOps.unigramFit(
+          Tables.table(s, d, "documents"), "text",
+          maxLen = 4, minCount = 2, rounds = 2, maxWordLen = 16,
+          tokenTable = Some(docTokens(s, d))))
+    }
+
   /** dd20's verified τ=1/2 exact-Jaccard edge set, served to dd21's
     * roster (the r12 judge item #2 fix completed: dd21 now costs CC over
     * the persisted edges; dd20 itself always runs the join fresh).

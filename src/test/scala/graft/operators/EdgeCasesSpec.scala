@@ -61,6 +61,25 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((0, 0)))
   }
 
+  test("patchGrid: full-cover tile reassembles the payload; short payloads yield none") {
+    import org.apache.spark.sql.functions.{col, lit, md5}
+    val txt = ("0123456789abcdef" * 4) // 64 bytes
+    val df = MultimodalOps.withBinaryPayload(
+      Seq((1L, txt)).toDF("media_id", "text"), "text")
+    // width 8 → height 8 → one 8×8 tile = rows 0..7 concatenated = the
+    // whole payload, so tile_md5 == md5(payload)
+    val full = MultimodalOps.patchGrid(df, "payload", "media_id",
+        width = lit(8), patch = 8, maxGrid = 4)
+      .select("pr", "pc", "tile_len", "tile_md5")
+      .as[(Int, Int, Int, String)].collect()
+    val want = df.select(md5(col("payload"))).as[String].head()
+    assert(full.toSeq == Seq((0, 0, 64, want)))
+    // width 16 → height 4 < patch → no complete tile
+    val none = MultimodalOps.patchGrid(df, "payload", "media_id",
+      width = lit(16), patch = 8, maxGrid = 4).count()
+    assert(none == 0L)
+  }
+
   test("resampleBytes on an empty payload yields an empty thumb") {
     val df = MultimodalOps.withBinaryPayload(
       Seq((1L, "")).toDF("media_id", "text"), "text")

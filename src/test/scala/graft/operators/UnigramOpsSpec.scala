@@ -51,6 +51,24 @@ class UnigramOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("ab", 1L)))
   }
 
+  test("encodeStats: corpus mapped via one distinct-word segmentation join") {
+    // same corpus, encoded under its own trained vocab: "abab" and "ab"
+    // are whole pieces, "cd" (pruned at seed) falls back to [c, d].
+    // doc1 = abab ab abab → 3 words / 10 chars / 3 pieces → 300 p/kchar;
+    // doc2 = ab cd → 2 words / 4 chars / 3 pieces → 750 p/kchar.
+    val docs = Seq(
+      (1L, "abab ab abab"),
+      (2L, "ab cd")).toDF("doc_id", "text")
+    val vocab = UnigramOps.unigramFit(docs, "text", maxLen = 4,
+      minCount = 2, rounds = 2)
+    val got = UnigramOps.encodeStats(docs, "text", "doc_id", vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 10L, 3L, 300L),
+      (2L, 2L, 4L, 3L, 750L)))
+  }
+
   test("every word stays segmentable after aggressive pruning") {
     // single characters are never pruned, so even a corpus whose every
     // multi-char seed dies still segments (chars only)
