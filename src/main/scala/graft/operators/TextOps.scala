@@ -239,6 +239,78 @@ object TextOps {
       .select(col("_id").as(idCol), col("n_bigrams"), col("avg_logprob"))
   }
 
+  /** Stupid Backoff LM scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — THE n-gram smoothing designed for
+    * the distributed trillion-token regime: no discount normalization,
+    * no cross-order bookkeeping, every score a pure count ratio, so
+    * training is hash aggregations and scoring is equi-joins):
+    * S(w2|w1) = c12/c1 when the HISTORY corpus saw the bigram, else
+    * α·(c(w2)+1)/(N+V) with α = 0.4 (the paper's constant). The backoff
+    * arm is add-one-smoothed so OOV batch tokens stay finite — the one
+    * documented deviation (Brants leaves OOV to the decoder).
+    *
+    * Train/score split (`isBatch`): model counts come from history rows
+    * ONLY, scored rows are the batch — scored on its own training
+    * corpus the backoff would never fire (every bigram is its own
+    * evidence). Per-term scores are nano-rounded BEFORE the per-doc sum
+    * (the tx15/tx17 discipline: exact BIGINT under any aggregation
+    * order; `ln` is the one float step, op-for-op mirrored). Output is
+    * all-integer — n_bigrams / n_backoff / score_sum_nano — no engine
+    * ever divides (Spark `div` truncates where DuckDB `//` floors, and
+    * these sums are negative).
+    *
+    * Linear: model tables are hash aggregates the batch occurrence
+    * table equi-joins back against; the 1-row (N, V) history aggregate
+    * rides a broadcast cross join (tx14's audited BNLJ shape).
+    */
+  def stupidBackoff(df: DataFrame, textCol: String, idCol: String,
+      isBatch: Column): DataFrame = {
+    val toks = Exec.materializeLarge(
+      df.where(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("_id"), isBatch.as("_b"),
+          DedupOps.tokens(col(textCol)).as("_tk")))
+    val occ = toks.where(col("_b") && size(col("_tk")) >= 2)
+      .select(col("_id"), explode(expr(
+        "transform(sequence(1, size(_tk) - 1), i -> struct(" +
+          "substring(md5(concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))), 1, 16) as h2, " +
+          "substring(md5(element_at(_tk, i)), 1, 16) as h1, " +
+          "substring(md5(element_at(_tk, i + 1)), 1, 16) as hu))")).as("_s"))
+      .select(col("_id"), col("_s.h2").as("_h2"), col("_s.h1").as("_h1"),
+        col("_s.hu").as("_hu"))
+      .groupBy("_id", "_h2", "_h1", "_hu").agg(count(lit(1)).as("_cnt"))
+    // history bigram table feeds BOTH model aggregates: one explode
+    val hbg = Exec.materializeLarge(
+      toks.where(!col("_b") && size(col("_tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(_tk) - 1), i -> struct(" +
+            "substring(md5(concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))), 1, 16) as h2, " +
+            "substring(md5(element_at(_tk, i)), 1, 16) as h1))")).as("_s"))
+        .select(col("_s.h2").as("_h2"), col("_s.h1").as("_h1")))
+    val c12 = hbg.groupBy("_h2").agg(count(lit(1)).as("_c12"))
+    val c1 = hbg.groupBy("_h1").agg(count(lit(1)).as("_c1"))
+    // history unigram table feeds the per-token counts AND (N, V)
+    val hun = Exec.materializeLarge(
+      toks.where(!col("_b")).select(explode(col("_tk")).as("_u"))
+        .select(substring(md5(col("_u")), 1, 16).as("_hu")))
+    val cu = hun.groupBy("_hu").agg(count(lit(1)).as("_cu"))
+    val nv = hun.agg(count(lit(1)).as("_n"), countDistinct("_hu").as("_v"))
+    occ.join(c12, Seq("_h2"), "left").join(c1, Seq("_h1"), "left")
+      .join(cu, Seq("_hu"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("_t", expr(
+        """cast(round(1000000000.0 * (case
+             when _c12 is not null then ln(_c12) - ln(_c1)
+             else ln(0.4) + ln(coalesce(_cu, 0) + 1.0) - ln(_n + _v)
+           end)) as bigint)"""))
+      .groupBy("_id")
+      .agg(sum("_cnt").cast("long").as("n_bigrams"),
+        sum(when(col("_c12").isNull, col("_cnt")).otherwise(lit(0L)))
+          .cast("long").as("n_backoff"),
+        sum(col("_cnt") * col("_t")).cast("long").as("score_sum_nano"))
+      .select(col("_id").as(idCol), col("n_bigrams"), col("n_backoff"),
+        col("score_sum_nano"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2019
     * arXiv:1911.00359 §4.4): split each language's corpus into
     * head / middle / tail terciles by language-model score — CCNet's

@@ -8097,6 +8097,62 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         tokenTable = Some(SharedArtifacts.docTokens(s, d)))
       .orderBy("doc_id"))
 
+  // Stupid Backoff LM scoring (TextOps.stupidBackoff — Brants et al.
+  // 2007, the n-gram smoothing DESIGNED for the distributed
+  // trillion-token regime: every score a pure count ratio, training =
+  // hash aggs, scoring = equi-joins, no discount normalization). Model
+  // trained on HISTORY docs (doc_id < 400, the dd08/tx15 split); the
+  // BATCH is scored, so the backoff arm genuinely fires on unseen
+  // bigrams: S = c12/c1 if seen else 0.4·(c(w2)+1)/(N+V) (add-one on
+  // the backoff arm so OOV stays finite — documented deviation).
+  // Per-term nano-rounding before the per-doc sum; output all-integer
+  // (no division: Spark `div` truncates where DuckDB `//` floors, and
+  // these sums are negative).
+  private val tx28 = Q("tx28_stupid_backoff", Some("""
+    WITH t AS (
+      SELECT doc_id, doc_id >= 400 AS b,
+        regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    occ AS (
+      SELECT doc_id, s.h2 AS h2, s.h1 AS h1, s.hu AS hu, count(*) AS cnt
+      FROM (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(tk) - 1),
+            i -> struct_pack(h2 := substr(md5(tk[i] || ' ' || tk[i+1]), 1, 16),
+                             h1 := substr(md5(tk[i]), 1, 16),
+                             hu := substr(md5(tk[i+1]), 1, 16)))) AS s
+        FROM t WHERE b AND len(tk) >= 2)
+      GROUP BY 1, 2, 3, 4),
+    hb AS (
+      SELECT s.h2 AS h2, s.h1 AS h1 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+          i -> struct_pack(h2 := substr(md5(tk[i] || ' ' || tk[i+1]), 1, 16),
+                           h1 := substr(md5(tk[i]), 1, 16)))) AS s
+        FROM t WHERE NOT b AND len(tk) >= 2)),
+    c12 AS (SELECT h2, count(*) AS c12 FROM hb GROUP BY 1),
+    c1 AS (SELECT h1, count(*) AS c1 FROM hb GROUP BY 1),
+    hu_t AS (SELECT substr(md5(u), 1, 16) AS hu FROM (
+        SELECT unnest(tk) AS u FROM t WHERE NOT b)),
+    cu AS (SELECT hu, count(*) AS cu FROM hu_t GROUP BY 1),
+    nv AS (SELECT count(*) AS n, count(DISTINCT hu) AS v FROM hu_t),
+    terms AS (
+      SELECT occ.doc_id, occ.cnt, c12.c12,
+        CAST(round(1000000000.0 * (CASE
+          WHEN c12.c12 IS NOT NULL THEN ln(c12.c12) - ln(c1.c1)
+          ELSE ln(0.4) + ln(coalesce(cu.cu, 0) + 1.0) - ln(nv.n + nv.v)
+        END)) AS BIGINT) AS t_nano
+      FROM occ LEFT JOIN c12 USING (h2) LEFT JOIN c1 USING (h1)
+        LEFT JOIN cu USING (hu) CROSS JOIN nv)
+    SELECT doc_id,
+      CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      CAST(sum(CASE WHEN c12 IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+        AS n_backoff,
+      CAST(sum(cnt * t_nano) AS BIGINT) AS score_sum_nano
+    FROM terms GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => TextOps.stupidBackoff(T(s, d, "documents"), "text", "doc_id",
+        col("doc_id") >= 400)
+      .orderBy("doc_id"))
+
   // Sketch SET OPERATIONS (the theta-sketch trick on KMV): estimate
   // the user-set UNION and INTERSECTION of every event-type pair from
   // per-type sketches alone — the "audience overlap" question, answered
@@ -9383,7 +9439,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     ann21, ann22,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
-    tx25, tx26, tx27,
+    tx25, tx26, tx27, tx28,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

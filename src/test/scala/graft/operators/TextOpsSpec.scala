@@ -161,6 +161,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(5L)._2 > got(2L)._2)
   }
 
+  test("stupidBackoff: seen bigram scores c12/c1; unseen backs off to α·add-one unigram") {
+    // history doc "a b a c": bigrams ab/ba/ac (c1: a=2, b=1); unigrams
+    // a2 b1 c1 → N=4, V=3. Batch doc "a b z": (a,b) seen → ln(1/2);
+    // (b,z) unseen, z OOV → ln(0.4·(0+1)/(4+3)). Hand-computed nanos:
+    // -693147181 + -2862200881 = -3555348062.
+    val docs = Seq((1L, "a b a c"), (500L, "a b z")).toDF("doc_id", "text")
+    val got = TextOps.stupidBackoff(docs, "text", "doc_id",
+        col("doc_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((500L, 2L, 1L, -3555348062L)))
+  }
+
   test("distributionDrift: identical batch ≈ zero KL and zero OOV; alien batch spikes both") {
     import spark.implicits._
     val hist = (0 until 8).map(i => (i.toLong, "en", "alpha beta gamma delta"))

@@ -79,9 +79,11 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // hash equi-join, not the BNLJ)
     "ann21_mips_topk",          // 10-query quantized-vector broadcast
                                 // (ann01's bounded query-side pattern)
-    "q95_chisq_independence")   // 7-row dow-marginal + two 1-row
+    "q95_chisq_independence",   // 7-row dow-marginal + two 1-row
                                 // aggregates (q83's reduced-table
                                 // contingency-grid shape)
+    "tx28_stupid_backoff")      // 1-row (N, V) history-corpus aggregate
+                                // (tx14's audited shape)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -141,6 +143,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dp07_weighted_sample",    // 1-row total-weight aggregate
     "dp08_ingest_gate",        // 1-row corpus max
     "tx14_bigram_lm",          // 1-row vocabulary-size aggregate
+    "tx28_stupid_backoff",     // 1-row (N, V) history-corpus aggregate
     "dd17_lsh_recall",         // bounded query-set broadcast
     "dp18_epoch_mixture",      // 1-row budget-total aggregate
     "ann10_pq_adc_topk",       // blocks x codes codebook + ADC table broadcasts
