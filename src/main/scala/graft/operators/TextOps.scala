@@ -311,6 +311,71 @@ object TextOps {
         col("score_sum_nano"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004 — PageRank over
+    * the word CO-OCCURRENCE graph, the classic unsupervised keyword
+    * ranker): nodes are words of length ≥ `minLen` (the stand-in for
+    * the paper's POS filter), edges connect words co-occurring within a
+    * window of 2 (undirected, weight = co-occurrence count, self-pairs
+    * dropped), and `rounds` synchronous weighted-PageRank rounds run
+    * q68's PURE-INTEGER discipline — init = 1e12 div |nodes|,
+    * contribution = (pr·w) div wdeg, 15/85 damping in integer div — so
+    * both engines agree bit-for-bit with no float anywhere.
+    *
+    * 100 TB shape: ONE corpus pass builds the pair table (two HOF
+    * window explodes, no self-join); every round runs on the
+    * VOCABULARY-scale graph. Output: top `topK` by (pr DESC, word) — a
+    * total order.
+    */
+  def textrankKeywords(df: DataFrame, textCol: String, minLen: Int = 4,
+      rounds: Int = 3, topK: Int = 50): DataFrame = {
+    val t = df.where(length(trim(col(textCol))) > 0)
+      .select(DedupOps.tokens(col(textCol)).as("_tk"))
+    val rawp = t.select(explode(expr(
+      """concat(
+           if(size(_tk) >= 2,
+             transform(sequence(1, size(_tk) - 1), i ->
+               struct(element_at(_tk, i) as a, element_at(_tk, i + 1) as b)),
+             array()),
+           if(size(_tk) >= 3,
+             transform(sequence(1, size(_tk) - 2), i ->
+               struct(element_at(_tk, i) as a, element_at(_tk, i + 2) as b)),
+             array()))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairs = rawp
+      .where(length(col("a")) >= minLen && length(col("b")) >= minLen
+        && col("a") =!= col("b"))
+      .groupBy(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val sym = pairs.select(col("u"), col("v"), col("w"))
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val wdeg = sym.groupBy("u").agg(sum("w").as("wdeg"))
+    // weighted degree joined onto the edge list ONCE, outside the loop
+    // (the q68 move); loop state localCheckpointed + released per round
+    val edges = Exec.materializeForSelfJoin(sym.join(wdeg, "u"))
+    val nodes = Exec.materializeForSelfJoin(wdeg.select(col("u").as("node")))
+    val meta = Exec.materializeForSelfJoin(
+      nodes.agg(expr("1000000000000 div count(*)").as("init")))
+    var ranks = nodes.crossJoin(broadcast(meta))
+      .select(col("node"), col("init").as("pr"))
+    for (_ <- 1 to rounds) {
+      val contribs = ranks.join(edges, col("node") === col("u"))
+        .select(col("v"), expr("(pr * w) div wdeg").as("c"))
+        .groupBy("v").agg(sum("c").as("contrib"))
+      val prev = ranks
+      ranks = Exec.materializeForSelfJoin(
+        nodes.join(contribs, col("node") === col("v"), "left")
+          .crossJoin(broadcast(meta))
+          .select(col("node"),
+            (expr("(15 * init) div 100")
+              + expr("(85 * coalesce(contrib, 0)) div 100")).as("pr")))
+      Exec.releaseMaterialized(prev)
+    }
+    ranks.select(col("node").as("word"), col("pr"))
+      .orderBy(col("pr").desc, col("word")).limit(topK)
+      .orderBy(col("pr").desc, col("word"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2019
     * arXiv:1911.00359 §4.4): split each language's corpus into
     * head / middle / tail terciles by language-model score — CCNet's

@@ -8153,6 +8153,65 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         col("doc_id") >= 400)
       .orderBy("doc_id"))
 
+  /** One weighted-PageRank round over the co-occurrence graph (tx29's
+    * loop body, q68's integer discipline with edge weights): contrib to
+    * v = Σ over in-edges (pr(u)·w) div wdeg(u), all BIGINT.
+    */
+  private def textrankIterSql(prev: String): String = s"""
+      SELECT n.node,
+        (15 * (SELECT init FROM tmeta)) // 100
+          + (85 * coalesce(c.contrib, 0)) // 100 AS pr
+      FROM tnodes n LEFT JOIN (
+        SELECT e.v AS node, sum((r.pr * e.w) // e.wdeg) AS contrib
+        FROM $prev r JOIN tedges e ON e.u = r.node
+        GROUP BY e.v) c USING (node)"""
+
+  // TextRank keyword extraction (Mihalcea & Tarau 2004 — PageRank over
+  // the word CO-OCCURRENCE graph, the classic unsupervised keyword
+  // ranker): nodes are qualifying words (length ≥ 4 — the stand-in for
+  // the paper's POS filter), edges connect words co-occurring within a
+  // window of 2 in any document (undirected, weight = co-occurrence
+  // count, self-pairs dropped), and 3 synchronous weighted-PageRank
+  // rounds run q68's PURE-INTEGER discipline (init = 1e12 div |nodes|;
+  // contribution = (pr·w) div wdeg; 15/85 damping in integer div) — no
+  // float ever, so both engines agree bit-for-bit. 100 TB shape: ONE
+  // corpus pass builds the pair table (two HOF window explodes, no
+  // self-join), every round runs on the VOCABULARY-scale graph. Top 50
+  // by (pr DESC, word) — a total order.
+  private val tx29 = Q("tx29_textrank", Some(s"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    rawp AS (
+      SELECT p.a AS a, p.b AS b FROM (
+        SELECT unnest(list_concat(
+          list_transform(generate_series(1, len(tk) - 1),
+            i -> {'a': tk[i], 'b': tk[i+1]}),
+          list_transform(generate_series(1, len(tk) - 2),
+            i -> {'a': tk[i], 'b': tk[i+2]}))) AS p
+        FROM t)),
+    pairs AS (
+      SELECT least(a, b) AS u, greatest(a, b) AS v, count(*) AS w
+      FROM rawp
+      WHERE length(a) >= 4 AND length(b) >= 4 AND a <> b
+      GROUP BY 1, 2),
+    tedges0 AS (
+      SELECT u, v, w FROM pairs
+      UNION ALL SELECT v AS u, u AS v, w FROM pairs),
+    twdeg AS (SELECT u, sum(w) AS wdeg FROM tedges0 GROUP BY u),
+    tedges AS (SELECT e.u, e.v, e.w, d.wdeg
+               FROM tedges0 e JOIN twdeg d USING (u)),
+    tnodes AS (SELECT u AS node FROM twdeg),
+    tmeta AS (SELECT 1000000000000 // count(*) AS init FROM tnodes),
+    tr0 AS (SELECT node, (SELECT init FROM tmeta) AS pr FROM tnodes),
+    tr1 AS (${textrankIterSql("tr0")}),
+    tr2 AS (${textrankIterSql("tr1")}),
+    tr3 AS (${textrankIterSql("tr2")})
+    SELECT node AS word, CAST(pr AS BIGINT) AS pr
+    FROM tr3 ORDER BY pr DESC, word LIMIT 50"""),
+    (s, d) => TextOps.textrankKeywords(T(s, d, "documents"), "text",
+      minLen = 4, rounds = 3, topK = 50))
+
   // Sketch SET OPERATIONS (the theta-sketch trick on KMV): estimate
   // the user-set UNION and INTERSECTION of every event-type pair from
   // per-type sketches alone — the "audience overlap" question, answered
@@ -9439,7 +9498,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     ann21, ann22,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
-    tx25, tx26, tx27, tx28,
+    tx25, tx26, tx27, tx28, tx29,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

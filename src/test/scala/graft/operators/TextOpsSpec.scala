@@ -173,6 +173,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((500L, 2L, 1L, -3555348062L)))
   }
 
+  test("textrankKeywords: hub outranks leaves on a star graph, integer-exact") {
+    // docs "alpha beta" / "alpha gamma" / "alpha delta": a 4-node star.
+    // init = 1e12 div 4; 3 integer PR rounds hand-replayed (python
+    // cross-check): hub 620812500000, each leaf 126395833333.
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val got = TextOps.textrankKeywords(docs, "text", minLen = 4,
+        rounds = 3, topK = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("alpha", 620812500000L), ("beta", 126395833333L),
+      ("delta", 126395833333L), ("gamma", 126395833333L)))
+  }
+
   test("distributionDrift: identical batch ≈ zero KL and zero OOV; alien batch spikes both") {
     import spark.implicits._
     val hist = (0 until 8).map(i => (i.toLong, "en", "alpha beta gamma delta"))
