@@ -354,8 +354,11 @@ object TextOps {
     // (the q68 move); loop state localCheckpointed + released per round
     val edges = Exec.materializeForSelfJoin(sym.join(wdeg, "u"))
     val nodes = Exec.materializeForSelfJoin(wdeg.select(col("u").as("node")))
+    // greatest(·, 1): an empty graph must yield an empty result, not an
+    // ANSI DIVIDE_BY_ZERO from the init literal (identical on any
+    // non-empty graph, so the oracle needs no mirror)
     val meta = Exec.materializeForSelfJoin(
-      nodes.agg(expr("1000000000000 div count(*)").as("init")))
+      nodes.agg(expr("1000000000000 div greatest(count(*), 1)").as("init")))
     var ranks = nodes.crossJoin(broadcast(meta))
       .select(col("node"), col("init").as("pr"))
     for (_ <- 1 to rounds) {

@@ -82,7 +82,11 @@ object UnigramOps {
     */
   private def withLogProbs(pieces: DataFrame): DataFrame = {
     val r = pieces.agg(sum("cnt").cast("long"), count(lit(1))).head()
-    val denom = (r.getLong(0) + r.getLong(1)).toDouble
+    // empty piece set (empty corpus): sum() is NULL — denom never used
+    // because every downstream column computes over zero rows, but the
+    // literal must still build
+    val denom =
+      ((if (r.isNullAt(0)) 0L else r.getLong(0)) + r.getLong(1)).toDouble max 1.0
     pieces
       .withColumn("_lpr", log((col("cnt") + lit(1L)).cast("double") / lit(denom)))
       .withColumn("lp", expr("cast(round(_lpr * 1000000000.0) as bigint)"))
@@ -180,9 +184,9 @@ object UnigramOps {
       // (single chars are exempt; zero-count multi pieces die regardless)
       val multi = all.where(length(col("piece")) >= 2)
       val thr = QuantileOps.discreteQuantile(multi, Seq(), "cnt", 1, 5, "t")
-        .head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
+        .collect().headOption match {
+          case Some(r) if !r.isNullAt(0) => r.getLong(0)
+          case _ => 0L
         }
       val kept = all.where(length(col("piece")) === 1
         || (col("cnt") >= thr && col("cnt") > 0))

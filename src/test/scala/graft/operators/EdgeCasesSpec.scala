@@ -80,6 +80,21 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
+  test("unigramFit and encodeStats on an empty corpus are empty, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val vocab = UnigramOps.unigramFit(empty, "text", maxLen = 4,
+      minCount = 2, rounds = 1)
+    assert(vocab.count() == 0L)
+    assert(UnigramOps.encodeStats(empty, "text", "doc_id", vocab).count() == 0L)
+  }
+
+  test("textrankKeywords with no qualifying co-occurrence is empty") {
+    // all words shorter than minLen — the graph has no nodes, and the
+    // 1e12 div 0 init literal must not blow up the empty plan
+    val docs = Seq((1L, "a bb c"), (2L, "dd e")).toDF("doc_id", "text")
+    assert(TextOps.textrankKeywords(docs, "text", minLen = 4).count() == 0L)
+  }
+
   test("resampleBytes on an empty payload yields an empty thumb") {
     val df = MultimodalOps.withBinaryPayload(
       Seq((1L, "")).toDF("media_id", "text"), "text")
