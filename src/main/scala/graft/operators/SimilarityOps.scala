@@ -1144,6 +1144,48 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF RANGE search (the vector database's second serving mode next
+    * to top-k — FAISS `range_search`: ALL corpus vectors within a
+    * similarity threshold of each query, the candidate-set retrieval a
+    * near-duplicate audit or recall-oriented miner wants when the
+    * result size is data-dependent): candidate generation identical to
+    * [[ivfFilteredTopK]] (one-pass assignment against the shared
+    * trained quantizer; each query probes its top-`nProbe` cells), but
+    * the threshold REPLACES the rank window — no per-query sort
+    * anywhere, so serving is one candidate-bounded equi-join + a
+    * filter. Approximate exactly the way IVF top-k is: the only misses
+    * are vectors whose cell the query does not probe.
+    *
+    * The threshold compares the ROUNDED similarity (`roundSim` decimal
+    * places, the dd05/ann15 convention), so the boundary is
+    * engine-exact.
+    */
+  def ivfRangeSearch(corpus: DataFrame, queryPred: Column,
+      centroids: DataFrame, tau: Double, nProbe: Int = 2,
+      roundSim: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignToCentroids(corpus, "id", "vec", centroids, roundSim)
+      .select(col("id").as("neighbor_id"), col("cell"))
+    val queries = corpus.where(queryPred)
+    val scoredQ = queries
+      .select(col("id").as("query_id"), col("vec").cast("array<double>").as("_fv_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_fv_qsim", round(cosine(col("_fv_qv"), col("cvec")), roundSim))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_fv_qsim").desc, col("cell").asc)
+    val probes = scoredQ.withColumn("_fv_rn", row_number().over(wp))
+      .where(col("_fv_rn") <= nProbe).select(col("query_id"), col("cell"))
+    val cand = probes.join(assigned, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col("id").as("query_id"), col("vec").as("_fv_qvec"))
+    val n = corpus.select(col("id").as("neighbor_id"), col("vec").as("_fv_nvec"))
+    cand.join(broadcast(q), Seq("query_id")).join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_fv_qvec"), col("_fv_nvec")), roundSim).as("sim"))
+      .where(col("sim") >= tau)
+  }
+
   /** k-NN GRAPH construction: every corpus vector's k nearest neighbors
     * among the vectors of its top-`nProbe` trained cells — the base
     * structure for graph-based clustering, SNN density estimation, and

@@ -4362,6 +4362,60 @@ object Catalog {
         .orderBy("query_id", "rank")
     })
 
+  // IVF RANGE search (SimilarityOps.ivfRangeSearch — FAISS
+  // range_search, the vector database's SECOND serving mode next to
+  // top-k: all corpus vectors within sim ≥ τ of each query, result size
+  // data-dependent): ann15's probed-cell candidate generation with the
+  // threshold REPLACING the rank window — no per-query sort anywhere,
+  // one candidate-bounded equi-join + a filter. Approximate exactly the
+  // way IVF top-k is (misses = unprobed cells); τ compares the ROUNDED
+  // 6-dp similarity so the boundary is engine-exact. Oracle replays
+  // training + assignment + probes + threshold CTE-by-CTE.
+  private val ann23 = Q("ann23_range_search", Some(s"""
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    s3 AS (SELECT v.vec_id, c2.cell,
+             ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
+           FROM v CROSS JOIN c2),
+    a3 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn = 1),
+    pr AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3 WHERE vec_id < 20) t
+           WHERE rn <= 2),
+    cand AS (SELECT pr.query_id, a3.vec_id AS neighbor_id
+             FROM pr JOIN a3 ON pr.cell = a3.cell
+             WHERE a3.vec_id <> pr.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
+      FROM cand c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, sim FROM scored
+    WHERE sim >= 0.5 ORDER BY query_id, neighbor_id"""),
+    (s, d) => {
+      val corpus = graft.operators.Exec.materializeForSelfJoin(
+        T(s, d, "embeddings").select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, 16).as("vec")))
+      SimilarityOps.ivfRangeSearch(corpus, col("id") < 20,
+          SharedArtifacts.centroids16(s, d),
+          tau = 0.5, nProbe = 2, roundSim = 6)
+        .orderBy("query_id", "neighbor_id")
+    })
+
     // HARD-NEGATIVE MINING (the contrastive-training data op: for each
   // anchor, the nearest candidates with a DIFFERENT label are exactly
   // the "hard negatives" a contrastive/embedding trainer pairs with its
@@ -9495,7 +9549,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     dd25, dd26, dd27,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
-    ann21, ann22,
+    ann21, ann22, ann23,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
     tx25, tx26, tx27, tx28, tx29,

@@ -61,6 +61,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann22_hard_negatives",     // ann15's shape with the label test
                                 // inverted — same bounded centroid
                                 // cross join + query broadcast
+    "ann23_range_search",       // ann15's probe shape, threshold in
+                                // place of the rank window — same
+                                // bounded centroid cross join
     "ann19_index_update",       // k-row FROZEN centroid cross join (the
                                 // batch assignment pass is the query)
     "q83_sketch_setops",        // |types|-row sketch-table pair join
@@ -160,6 +163,7 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // (assignment + probe ranking)
     "ann15_filtered_topk",      // centroids + bounded query-vector set
     "ann22_hard_negatives",     // same bounded sides, inverted label test
+    "ann23_range_search",       // same bounded sides, threshold filter
     "ann19_index_update",       // frozen k-row centroid broadcast
     // ann16_graph_search left this list with SharedArtifacts: its probe
     // ranking + re-rank broadcasts now execute eagerly against the
