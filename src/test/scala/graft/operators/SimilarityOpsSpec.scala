@@ -143,6 +143,40 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1000L, 1.0)))
   }
 
+  test("ivfRangeSearch: no false positives, contained in the exact tau-set") {
+    import spark.implicits._
+    // the zero-false-positive contract: candidates are exact-rescored
+    // before the threshold, so every returned pair really has rounded
+    // sim >= tau AND appears in the brute-force tau-set — the only
+    // legal misses are unprobed cells (IVF's usual recall trade)
+    def vec(i: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(i * 131 + d * 17).abs + 0.1 * d)
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    val cents = Seq(0, 1, 2, 3)
+      .map(c => (c.toLong, (0 until 8).map(d => math.cos(c * 37 + d * 29) + 1.1)))
+      .toDF("cell", "cvec")
+    val tau = 0.9
+    val got = SimilarityOps.ivfRangeSearch(corpus, col("id") < 10, cents,
+        tau = tau, nProbe = 2)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= tau))
+    assert(got.forall(r => r._1 != r._2))
+    // brute-force exact tau-set over raw doubles (same rounding)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.round(r * 1e6) / 1e6
+    }
+    val exact = (for {
+      q <- 0 until 10; n <- 0 until 60 if n != q
+      if cos(vec(q), vec(n)) >= tau
+    } yield (q.toLong, n.toLong)).toSet
+    assert(got.map(r => (r._1, r._2)).toSet.subsetOf(exact),
+      "range search returned a pair outside the exact tau-set")
+  }
+
   test("graphAnnSearch escapes the probed-cell horizon that caps ivfTopK") {
     import spark.implicits._
     // three cells; the query probes {c0, c1}. Vector 20 is assigned to
