@@ -248,4 +248,60 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).cast("long").as("degree"))
     out
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) over a directed edge
+    * set, `rounds` synchronous mutual-reinforcement iterations in the
+    * q68 pure-integer discipline: hub mass starts uniform at
+    * 10^12 `div` |hubs|; each round computes raw authority scores
+    * a'(u) = Σ_{v→u} h(v) then L1-renormalizes by the INTEGER quotient
+    * q = max(1, Σa' div 10^12) (a = a' div q), and symmetrically for
+    * hubs — every value an exact long, so both engines agree bit-for-bit
+    * under any aggregation order (`div` truncates, `//` floors: all
+    * values here are non-negative, so the two coincide).
+    *
+    * Scale contract: normalized mass totals ~10^12, so a raw per-node
+    * sum is ≤ 10^12·deg(node) and the renormalization sum is
+    * ≤ 10^12·max-degree — longs hold both for max-degree < 9·10^6,
+    * far above any real web/bipartite corpus after the usual top-domain
+    * capping. Each round is one equi-join + one hash aggregation per
+    * direction over the deduplicated edge list (no windows, no driver
+    * data); rounds materialize via localCheckpoint and release their
+    * predecessor, the q68/kCore loop discipline.
+    *
+    * Returns (side 'hub'|'auth', node, score) for every node that holds
+    * nonzero mass after the final round.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16)
+    val e = Exec.materializeForSelfJoin(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    val hubs = e.select(col("src").as("node")).distinct()
+    var h = Exec.materializeForSelfJoin(
+      hubs.crossJoin(broadcast(
+          hubs.agg(expr("1000000000000 div count(*)").as("init"))))
+        .select(col("node"), col("init").as("score")))
+    var a: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val aRaw = e.join(h, col("node") === col("src"))
+        .groupBy(col("dst").as("anode")).agg(sum("score").as("raw"))
+      val prevA = a
+      a = Exec.materializeForSelfJoin(
+        aRaw.crossJoin(broadcast(
+            aRaw.agg(greatest(lit(1L), expr("sum(raw) div 1000000000000")).as("q"))))
+          .select(col("anode").as("node"), expr("raw div q").as("score")))
+      if (prevA != null) Exec.releaseMaterialized(prevA)
+      val hRaw = e.join(a, col("node") === col("dst"))
+        .groupBy(col("src").as("hnode")).agg(sum("score").as("raw"))
+      val prevH = h
+      h = Exec.materializeForSelfJoin(
+        hRaw.crossJoin(broadcast(
+            hRaw.agg(greatest(lit(1L), expr("sum(raw) div 1000000000000")).as("q"))))
+          .select(col("hnode").as("node"), expr("raw div q").as("score")))
+      Exec.releaseMaterialized(prevH)
+    }
+    h.select(lit("hub").as("side"), col("node"), col("score"))
+      .unionAll(a.select(lit("auth").as("side"), col("node"), col("score")))
+  }
 }

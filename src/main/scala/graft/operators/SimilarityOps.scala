@@ -1526,4 +1526,120 @@ object SimilarityOps {
     Exec.releaseMaterialized(minDist)
     selected
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998) — the retrieval-serving tail pass that stops a RAG context
+    * window (or a hard-negative batch) filling with near-duplicates of
+    * one neighbourhood: from each query's exact-cosine top-`poolK` pool,
+    * greedily select `k` items maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s).
+    *
+    * Determinism: similarities are rounded to integer NANO-units at
+    * computation, λ enters as integer tenths (score = λ₁₀·rel_nano −
+    * (10−λ₁₀)·red_nano, exact longs), every argmax ties to the smaller
+    * neighbour id — so both engines pick identical chains. Round 1 has
+    * no selected set: red = 0, i.e. the pick is the plain relevance
+    * argmax (the standard MMR base case).
+    *
+    * Scale shape: queries are bounded by contract (`queryPred`, the
+    * ann01 convention) and broadcast; the ONE corpus-sized pass is the
+    * pool scoring. Everything after — the poolK×poolK pairwise table
+    * and k greedy rounds of anti-join + max-aggregation + 1-row argmax
+    * — runs on queries×poolK rows, materialized per round in the
+    * k-center loop discipline.
+    *
+    * @return [query_id, neighbor_id, pick (1-based selection order),
+    *          rel_nano, score_nano]
+    */
+  def mmrDiversify(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, poolK: Int, k: Int,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(poolK >= k && k >= 1 && lambdaTenths >= 0 && lambdaTenths <= 10)
+    import org.apache.spark.sql.expressions.Window
+    val corpus = df.select(col(idCol).cast("long").as("_mid"),
+      col(vecCol).as("_mv"))
+    val queries = broadcast(corpus.where(queryPred)
+      .select(col("_mid").as("query_id"), col("_mv").as("_qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel_nano").desc, col("neighbor_id").asc)
+    val pool = Exec.materializeForSelfJoin(
+      corpus.join(queries, col("query_id") =!= col("_mid"))
+        .withColumn("_sim_d", cosine(col("_qv"), col("_mv")))
+        .select(col("query_id"), col("_mid").as("neighbor_id"),
+          expr("cast(round(_sim_d * 1000000000.0) as bigint)").as("rel_nano"),
+          col("_mv"))
+        .withColumn("_prn", row_number().over(w)).where(col("_prn") <= poolK)
+        .drop("_prn"))
+    // pairwise sims INSIDE each pool: poolK² rows per query, equi-join
+    // on the query key (never a corpus self-join)
+    val pw = Exec.materializeForSelfJoin(
+      pool.select(col("query_id"), col("neighbor_id").as("_a"), col("_mv").as("_av"))
+        .join(pool.select(col("query_id"), col("neighbor_id").as("_b"),
+          col("_mv").as("_bv")), "query_id")
+        .where(col("_a") =!= col("_b"))
+        .withColumn("_sim_d", cosine(col("_av"), col("_bv")))
+        .select(col("query_id"), col("_a"), col("_b"),
+          expr("cast(round(_sim_d * 1000000000.0) as bigint)").as("_s")))
+    val slim = Exec.materializeForSelfJoin(
+      pool.select("query_id", "neighbor_id", "rel_nano"))
+    Exec.releaseMaterialized(pool)
+    val pickW = Window.partitionBy("query_id")
+      .orderBy(col("score_nano").desc, col("neighbor_id").asc)
+    var sel = Exec.materializeForSelfJoin(
+      slim.withColumn("score_nano", col("rel_nano") * lambdaTenths)
+        .withColumn("_rn", row_number().over(pickW)).where(col("_rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("pick"),
+          col("rel_nano"), col("score_nano")))
+    for (p <- 2 to k) {
+      val rem = slim.join(sel.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val red = rem
+        .join(pw.withColumnRenamed("_a", "neighbor_id"), Seq("query_id", "neighbor_id"))
+        .join(sel.select(col("query_id"), col("neighbor_id").as("_b")),
+          Seq("query_id", "_b"))
+        .groupBy("query_id", "neighbor_id", "rel_nano")
+        .agg(max("_s").as("_red"))
+      val prev = sel
+      sel = Exec.materializeForSelfJoin(prev.unionByName(
+        red.withColumn("score_nano",
+            col("rel_nano") * lambdaTenths - col("_red") * (10 - lambdaTenths))
+          .withColumn("_rn", row_number().over(pickW)).where(col("_rn") === 1)
+          .select(col("query_id"), col("neighbor_id"), lit(p).as("pick"),
+            col("rel_nano"), col("score_nano"))))
+      Exec.releaseMaterialized(prev)
+    }
+    Exec.releaseMaterialized(pw)
+    Exec.releaseMaterialized(slim)
+    sel
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: each arm contributes
+    * 10^9 `div` (kConst + rank) for every (query, candidate) it ranked,
+    * candidates sum contributions across arms, the fused list is the
+    * top-`topK` by that sum. All-integer (`div` truncates, `//` floors:
+    * both operands non-negative, identical), so cross-engine parity is
+    * exact and ties break on the neighbour id.
+    *
+    * Arms are (query_id, neighbor_id, rank) frames — each already a
+    * bounded per-query top-k, so the fusion input is |arms|·k rows per
+    * query regardless of corpus size; the combine is one hash
+    * aggregation on (query, candidate).
+    *
+    * @return [query_id, neighbor_id, n_arms, rrf_nano, rank]
+    */
+  def rrfFuse(arms: Seq[DataFrame], kConst: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(arms.nonEmpty && kConst >= 0 && topK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val contrib = arms.map(_.select(col("query_id"), col("neighbor_id"),
+        expr(s"1000000000 div ($kConst + rank)").as("_c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy("query_id", "neighbor_id")
+      .agg(count(lit(1)).cast("long").as("n_arms"),
+        sum("_c").cast("long").as("rrf_nano"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_nano").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+  }
 }

@@ -646,4 +646,125 @@ object TextOps {
       .select(col("doc_id"), col("_n").as("n_tok"), col("n_types"),
         col("entropy_nano"))
   }
+
+  /** PMI-ranked bigram collocations (Church & Hanks 1990): the corpus's
+    * most-associated adjacent word pairs,
+    * pmi = ln( (c12/N_bi) / ((c1/N_uni)·(c2/N_uni)) ), computed as a
+    * sum/difference of six `ln` terms over EXACT integer counts in a
+    * fixed mirrored order and rounded to integer nano-units — no
+    * integer product ever forms (c12·N_uni² would overflow a long and
+    * lose double precision past 2^53 at corpus scale), and the one
+    * float step is absorbed by the nano rounding, so both engines rank
+    * identically (ties by the pair text).
+    *
+    * The `minCount` floor (default 5 — the classic Collins cutoff) is
+    * applied BEFORE the unigram joins, so at 100 TB the joined side is
+    * the rare-tail-free bigram table; the two count lookups are plain
+    * equi-joins against the map-side-combined unigram aggregate, and
+    * the two 1-row totals ride broadcast cross joins (the tx14 audited
+    * BNLJ shape). Output is the global top-`topK` — a LIMIT over the
+    * floored table, never a full sort of the raw bigram space.
+    *
+    * @return [w1, w2, n_pair, pmi_nano, rank]
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val toks = Exec.materializeLarge(
+      df.where(length(trim(col(textCol))) > 0)
+        .select(DedupOps.tokens(col(textCol)).as("_tk")))
+    val uni = toks.select(explode(col("_tk")).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_cu"))
+    val nUni = uni.agg(sum("_cu").cast("long").as("_nu"))
+    val bi = toks.where(size(col("_tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_tk) - 1), i -> struct(" +
+          "element_at(_tk, i) as w1, element_at(_tk, i + 1) as w2))")).as("_s"))
+      .groupBy(col("_s.w1").as("w1"), col("_s.w2").as("w2"))
+      .agg(count(lit(1)).as("_c12"))
+    val nBi = bi.agg(sum("_c12").cast("long").as("_nb"))
+    val floored = bi.where(col("_c12") >= minCount)
+    floored
+      .join(uni.select(col("_w").as("w1"), col("_cu").as("_c1")), "w1")
+      .join(uni.select(col("_w").as("w2"), col("_cu").as("_c2")), "w2")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .withColumn("pmi_nano", expr(
+        "cast(round((ln(_c12) - ln(_nb) - ln(_c1) - ln(_c2) + 2 * ln(_nu)) " +
+          "* 1000000000.0) as bigint)"))
+      .orderBy(col("pmi_nano").desc, col("w1"), col("w2")).limit(topK)
+      .select(col("w1"), col("w2"), col("_c12").cast("long").as("n_pair"),
+        col("pmi_nano"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi_nano").desc, col("w1"), col("w2"))).as("rank"))
+  }
+
+  /** Feature-hashing featurizer (Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning") — the fixed-width
+    * bag-of-words vector a quality classifier trains on without ever
+    * materializing a corpus-sized vocabulary: token → bucket
+    * `md5-prefix mod dims` (the dp19 portable hash, identical in both
+    * engines), per-(doc, bucket) counts, zero-filled to a dense
+    * `dims`-row output per document.
+    *
+    * Scale shape: the count is one map-side-combinable hash aggregation
+    * over the token explode; the zero-fill spine is a ROW-LOCAL
+    * `sequence` explode per distinct doc (never a dims-row table cross
+    * join); the left join back is one shuffle on (doc, dim). Output is
+    * docs × dims rows — independent of vocabulary size, the entire
+    * point of the hashing trick.
+    *
+    * @return [doc_id, dim, val] — dense, zero-filled
+    */
+  def featureHash(df: DataFrame, textCol: String, idCol: String,
+      dims: Int = 16): DataFrame = {
+    require(dims >= 1)
+    val toks = Exec.materializeLarge(
+      df.where(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("_tk")))
+    val cnt = toks
+      .select(col("doc_id"), explode(col("_tk")).as("_u"))
+      .select(col("doc_id"), expr(
+        s"cast(conv(substring(md5(_u), 1, 8), 16, 10) as bigint) % $dims").as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("_c"))
+    toks.select(col("doc_id"),
+        explode(expr(s"sequence(0L, ${dims - 1}L)")).as("dim"))
+      .join(cnt, Seq("doc_id", "dim"), "left")
+      .select(col("doc_id"), col("dim"),
+        coalesce(col("_c"), lit(0L)).cast("long").as("val"))
+  }
+
+  /** Sliding-window context chunking — the serving op that turns raw
+    * documents into fixed-length training/RAG windows: chunks of
+    * `chunk` tokens starting every `stride` tokens (overlap =
+    * chunk − stride), the last window clipped to the document end. A
+    * document of n tokens yields 1 + max(0, ⌈(n − chunk)/stride⌉)
+    * chunks — pure integer arithmetic (`(n - chunk + stride - 1) div
+    * stride`), mirrored exactly by the oracle.
+    *
+    * Row-local throughout (explode over a per-doc `sequence`, then
+    * `slice` on the already-split token array — no join, no shuffle, no
+    * second tokenization), so the op is one narrow map at any corpus
+    * size. The chunk text is emitted as an md5 hash, not the string:
+    * the window overlap re-emits up to chunk/stride × the corpus bytes,
+    * which the hash caps at 32 bytes/row while still pinning exact
+    * chunk-content parity cross-engine.
+    *
+    * @return [doc_id, chunk_id, start_tok, n_toks, chunk_hash]
+    */
+  def contextChunks(df: DataFrame, textCol: String, idCol: String,
+      chunk: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk)
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("_tk"))
+      .withColumn("_n", size(col("_tk")))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, greatest(0, cast((_n - $chunk + $stride - 1) div $stride as int)))")))
+      .withColumn("start_tok", col("chunk_id") * stride + 1)
+      .withColumn("n_toks", least(lit(chunk), col("_n") - col("start_tok") + 1))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("n_toks").cast("long").as("n_toks"),
+        md5(concat_ws(" ", slice(col("_tk"), col("start_tok"), col("n_toks"))))
+          .as("chunk_hash"))
+  }
 }

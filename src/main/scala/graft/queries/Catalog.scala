@@ -9536,6 +9536,388 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
 
   // ---------------------------------------------------------------------
 
+  // PMI-ranked bigram collocations (Church & Hanks 1990 — THE classic
+  // association measure for multiword-expression mining in a corpus
+  // pipeline): pmi = ln((c12/N_bi)/((c1/N_uni)(c2/N_uni))) evaluated as
+  // a fixed-order sum of six ln terms over exact integer counts (never
+  // an integer product — c12·N_uni² overflows a long and loses double
+  // precision past 2^53 at corpus scale), nano-rounded so both engines
+  // rank identically. The minCount=5 floor lands BEFORE the unigram
+  // joins (the rare tail — most of the bigram space — never joins), and
+  // the global top-20 is a LIMIT over the floored table.
+  private val tx30 = Q("tx30_pmi_collocations", Some("""
+    WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+               FROM documents WHERE length(trim(text)) > 0),
+    uni AS (SELECT u AS w, count(*) AS cu
+            FROM (SELECT unnest(tk) AS u FROM t) GROUP BY 1),
+    nu AS (SELECT cast(sum(cu) as bigint) AS nu FROM uni),
+    bi AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c12 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+          i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS s
+        FROM t WHERE len(tk) >= 2) GROUP BY 1, 2),
+    nb AS (SELECT cast(sum(c12) as bigint) AS nb FROM bi),
+    sc AS (SELECT f.w1, f.w2, f.c12,
+        cast(round((ln(f.c12) - ln(nb.nb) - ln(u1.cu) - ln(u2.cu)
+          + 2 * ln(nu.nu)) * 1000000000.0) as bigint) AS pmi_nano
+      FROM bi f JOIN uni u1 ON u1.w = f.w1 JOIN uni u2 ON u2.w = f.w2
+      CROSS JOIN nb CROSS JOIN nu
+      WHERE f.c12 >= 5)
+    SELECT w1, w2, cast(c12 as bigint) AS n_pair, pmi_nano,
+      row_number() OVER (ORDER BY pmi_nano DESC, w1, w2) AS rank
+    FROM sc ORDER BY pmi_nano DESC, w1, w2 LIMIT 20"""),
+    (s, d) => TextOps.pmiCollocations(T(s, d, "documents"), "text",
+        minCount = 5L, topK = 20)
+      .orderBy("rank"))
+
+  // Sliding-window context chunking (the GPT-style fixed-window
+  // pretraining / RAG serving op): 64-token windows every 48 tokens,
+  // the last clipped to the doc end — 1 + max(0, ceil((n-64)/48))
+  // chunks per doc by pure integer arithmetic. Row-local: one explode
+  // over a per-doc sequence + slice on the already-split array, no
+  // join or shuffle at any corpus size; chunk text leaves as an md5
+  // hash (full-content parity at 32 bytes/row instead of re-emitting
+  // chunk/stride × the corpus bytes).
+  private val tx31 = Q("tx31_context_chunks", Some("""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+               FROM documents WHERE length(trim(text)) > 0),
+    c AS (SELECT doc_id, tk, len(tk) AS n,
+            unnest(generate_series(0, greatest(0, (len(tk) - 17) // 48)))
+              AS chunk_id
+          FROM t)
+    SELECT doc_id, cast(chunk_id as bigint) AS chunk_id,
+      cast(chunk_id * 48 + 1 as bigint) AS start_tok,
+      cast(least(64, n - chunk_id * 48) as bigint) AS n_toks,
+      md5(array_to_string(list_slice(tk, chunk_id * 48 + 1,
+        chunk_id * 48 + least(64, n - chunk_id * 48)), ' ')) AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_id"""),
+    (s, d) => TextOps.contextChunks(T(s, d, "documents"), "text", "doc_id",
+        chunk = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id"))
+
+  /** One HITS mutual-reinforcement round (q101's oracle): raw authority
+    * = in-edge sum of hub mass, L1-renormalized by the integer quotient
+    * max(1, Σ `//` 10^12); then hubs symmetrically from the fresh
+    * authority scores — mirrored op-for-op by [[GraphOps.hits]] (`//`
+    * floors where Spark `div` truncates; every value here is
+    * non-negative, so they coincide).
+    */
+  private def hitsRoundCtes(j: Int): String = {
+    val hp = if (j == 1) "h0" else s"h${j - 1}"
+    s"""
+    ar$j AS (SELECT e.dst AS node, cast(sum(h.score) as bigint) AS raw
+             FROM e JOIN $hp h ON h.node = e.src GROUP BY e.dst),
+    am$j AS (SELECT cast(greatest(1, sum(raw) // 1000000000000) as bigint) AS q
+             FROM ar$j),
+    a$j AS (SELECT node, cast(raw // (SELECT q FROM am$j) as bigint) AS score
+            FROM ar$j),
+    hr$j AS (SELECT e.src AS node, cast(sum(a.score) as bigint) AS raw
+             FROM e JOIN a$j a ON a.node = e.dst GROUP BY e.src),
+    hm$j AS (SELECT cast(greatest(1, sum(raw) // 1000000000000) as bigint) AS q
+             FROM hr$j),
+    h$j AS (SELECT node, cast(raw // (SELECT q FROM hm$j) as bigint) AS score
+            FROM hr$j)"""
+  }
+
+  // HITS hubs & authorities (Kleinberg 1999) over the q68 bipartite
+  // customer→supplier graph, 3 synchronous rounds in the pure-integer
+  // pagerank discipline (GraphOps.hits: uniform 10^12-scaled start,
+  // integer-quotient L1 renormalization per half-round — exact longs,
+  // bit-equal across engines under any aggregation order). Per round:
+  // one equi-join + one hash agg per direction, loop state
+  // checkpointed + released. Top-30 per side via the two-phase salted
+  // top-k (a bare PARTITION BY side window would sort each whole side
+  // in one task at scale).
+  private val q101 = Q("q101_hits", Some(s"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    hubs AS (SELECT DISTINCT src AS node FROM e),
+    meta AS (SELECT 1000000000000 // count(*) AS init FROM hubs),
+    h0 AS (SELECT node, (SELECT init FROM meta) AS score FROM hubs),
+    ${hitsRoundCtes(1)},
+    ${hitsRoundCtes(2)},
+    ${hitsRoundCtes(3)}
+    SELECT side, node, score, rank FROM (
+      SELECT 'hub' AS side, node, score,
+        row_number() OVER (ORDER BY score DESC, node) AS rank FROM h3
+      UNION ALL
+      SELECT 'auth' AS side, node, score,
+        row_number() OVER (ORDER BY score DESC, node) AS rank FROM a3) t
+    WHERE rank <= 30 ORDER BY side, rank"""),
+    (s, d) => {
+      val edges = T(s, d, "orders").join(T(s, d, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+      val scores = GraphOps.hits(edges, "src", "dst", rounds = 3)
+      TopKOps.perGroupTopK(scores, Seq("side"),
+          Seq(col("score").desc, col("node").asc), k = 30, saltOn = col("node"))
+        .select("side", "node", "score", "rank")
+        .orderBy("side", "rank")
+    })
+
+  /** One greedy MMR selection round (ann24's oracle): candidates still
+    * outside the selected set take red = max pairwise-sim to any
+    * selected item, score = 7·rel − 3·red (λ = 0.7 in integer tenths,
+    * nano-unit sims), the per-query argmax ties to the smaller
+    * neighbour id — mirrored by [[SimilarityOps.mmrDiversify]]'s round
+    * loop.
+    */
+  private def mmrRoundCtes(j: Int): String = {
+    val selU = (1 until j).map(i => s"SELECT query_id, neighbor_id FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""
+    su$j AS ($selU),
+    red$j AS (SELECT p.query_id, p.neighbor_id, p.rel, max(w.s) AS red
+      FROM pool p
+      JOIN pw w ON w.query_id = p.query_id AND w.a = p.neighbor_id
+      JOIN su$j s ON s.query_id = w.query_id AND s.neighbor_id = w.b
+      WHERE NOT EXISTS (SELECT 1 FROM su$j x
+        WHERE x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id)
+      GROUP BY 1, 2, 3),
+    sel$j AS (SELECT query_id, neighbor_id, $j AS pick, rel,
+        rel * 7 - red * 3 AS score FROM (
+        SELECT query_id, neighbor_id, rel, red, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel * 7 - red * 3 DESC, neighbor_id) AS rn
+        FROM red$j) t WHERE rn = 1)"""
+  }
+
+  // Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+  // 1998 — the serving tail pass that keeps a RAG context window or
+  // hard-negative batch from filling with near-duplicates of one
+  // neighbourhood): pool = exact-cosine top-8 per query (nano-unit
+  // sims — bit-identical doubles before rounding, the ann01 evaluation
+  // order), then 4 greedy rounds of score = 7·rel − 3·max-sim-to-
+  // selected, all exact longs. The one corpus-sized pass is the pool
+  // scoring (queries broadcast, the ann01 shape); the pairwise table
+  // and every greedy round run on queries × 8 rows. The oracle replays
+  // the pool, the pairwise sims, and each greedy round CTE-by-CTE.
+  private val ann24 = Q("ann24_mmr_diversify", Some(s"""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        cast(round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * c.e[i]))))
+          * 1000000000.0) as bigint) AS rel
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+    pool AS (SELECT query_id, neighbor_id, rel FROM (
+        SELECT query_id, neighbor_id, rel, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        FROM sc) t WHERE rn <= 8),
+    pw AS (SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+        cast(round(list_sum(list_transform(generate_series(1, 64), i -> va.e[i] * vb.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> va.e[i] * va.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> vb.e[i] * vb.e[i]))))
+          * 1000000000.0) as bigint) AS s
+      FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id
+        AND p1.neighbor_id <> p2.neighbor_id
+      JOIN v va ON va.vec_id = p1.neighbor_id
+      JOIN v vb ON vb.vec_id = p2.neighbor_id),
+    sel1 AS (SELECT query_id, neighbor_id, 1 AS pick, rel,
+        rel * 7 AS score FROM (
+        SELECT query_id, neighbor_id, rel, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel * 7 DESC, neighbor_id) AS rn
+        FROM pool) t WHERE rn = 1),
+    ${mmrRoundCtes(2)},
+    ${mmrRoundCtes(3)},
+    ${mmrRoundCtes(4)}
+    SELECT query_id, neighbor_id, pick, rel AS rel_nano, score AS score_nano
+    FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+          UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4) u
+    ORDER BY query_id, pick"""),
+    (s, d) => SimilarityOps.mmrDiversify(T(s, d, "embeddings"), "vec_id",
+        "embedding", col("_mid") < 5, poolK = 8, k = 4, lambdaTenths = 7)
+      .orderBy("query_id", "pick"))
+
+  // Reciprocal-rank-fusion hybrid retrieval (Cormack, Clarke &
+  // Buettcher 2009 — the industry-standard lexical+dense combiner):
+  // for each query document, arm 1 ranks candidates by shared distinct
+  // word-3-shingle count (the dd20 set representation, served from the
+  // shared SharedArtifacts.docShingles3 kernel — exact integers), arm 2
+  // by exact cosine over the document's embedding (the ann01 shape,
+  // 6-decimal rounding); each arm's top-20 contributes
+  // 10^9 div (60 + rank) and the fused top-10 orders by the all-integer
+  // sum. documents and embeddings share the id space by corpus
+  // construction — the realistic "one item, two representations" setup.
+  private val ann25 = Q("ann25_rrf_fusion", Some("""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    shl AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(t) >= 3 THEN
+          list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks),
+    sh AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM shl),
+    lexsc AS (SELECT q.id AS query_id, c.id AS neighbor_id, count(*) AS ov
+      FROM sh q JOIN sh c ON c.sh = q.sh AND c.id <> q.id
+      WHERE q.id < 5 GROUP BY 1, 2),
+    lex AS (SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY ov DESC, neighbor_id) AS rank
+        FROM lexsc) t WHERE rank <= 20),
+    v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    dsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * c.e[i])))), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+    dense AS (SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM dsc) t WHERE rank <= 20),
+    arms AS (
+      SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS c FROM lex
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS c FROM dense),
+    fused AS (SELECT query_id, neighbor_id,
+        cast(count(*) as bigint) AS n_arms,
+        cast(sum(c) as bigint) AS rrf_nano
+      FROM arms GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, n_arms, rrf_nano, rank FROM (
+      SELECT query_id, neighbor_id, n_arms, rrf_nano, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_nano DESC, neighbor_id) AS rank
+      FROM fused) t
+    WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = SharedArtifacts.docShingles3(s, d)
+      val qsh = broadcast(sh.where(col("id") < 5)
+        .select(col("id").as("query_id"), col("sh")))
+      val lexsc = sh.join(qsh, "sh")
+        .where(col("id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("id").as("neighbor_id"))
+        .agg(count(lit(1)).as("_ov"))
+      val lw = Window.partitionBy("query_id")
+        .orderBy(col("_ov").desc, col("neighbor_id").asc)
+      val lex = lexsc.withColumn("rank", row_number().over(lw))
+        .where(col("rank") <= 20)
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dense = SimilarityOps.bruteForceTopK(
+        emb.where(col("id") < 5), emb, k = 20)
+      SimilarityOps.rrfFuse(Seq(
+          lex.select("query_id", "neighbor_id", "rank"),
+          dense.select("query_id", "neighbor_id", "rank")),
+          kConst = 60, topK = 10)
+        .select("query_id", "neighbor_id", "n_arms", "rrf_nano", "rank")
+        .orderBy("query_id", "rank")
+    })
+
+  // Weighted bipartite projection (the co-occurrence / co-purchase
+  // kernel behind item-item recommenders and graph features): supplier
+  // pairs weighted by the number of common customers. The classic
+  // quadratic blowup — a degree-d customer contributes d² pairs — is
+  // bounded by the SAME discipline the dedup family uses for hot
+  // shingles (dd12's stop-key cap): customers with degree outside
+  // [2, 50] are dropped BEFORE the pair join (deg-1 customers form no
+  // pairs; hub customers contribute O(d²) noise pairs and little
+  // signal), so per-customer work is ≤ C(50,2) forever. Top-20 by
+  // (weight, pair) is a LIMIT over the aggregated pair table.
+  private val q102 = Q("q102_cooccur_projection", Some("""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    deg AS (SELECT c, count(*) AS d FROM e GROUP BY c),
+    ek AS (SELECT e.c, e.s FROM e JOIN deg USING (c)
+           WHERE deg.d BETWEEN 2 AND 50),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS w
+      FROM ek a JOIN ek b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2)
+    SELECT s1, s2, cast(w as bigint) AS n_common,
+      row_number() OVER (ORDER BY w DESC, s1, s2) AS rank
+    FROM pairs ORDER BY w DESC, s1, s2 LIMIT 20"""),
+    (s, d) => {
+      val e = Exec.materializeForSelfJoin(
+        T(s, d, "orders").join(T(s, d, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct())
+      val deg = e.groupBy("c").agg(count(lit(1)).as("d"))
+      val ek = e.join(deg.where(col("d").between(2, 50)).select("c"), "c")
+      val pairs = ek.select(col("c"), col("s").as("s1"))
+        .join(ek.select(col("c"), col("s").as("s2")), "c")
+        .where(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+      pairs.orderBy(col("w").desc, col("s1"), col("s2")).limit(20)
+        .select(col("s1"), col("s2"), col("w").cast("long").as("n_common"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("w").desc, col("s1"), col("s2"))).as("rank"))
+        .orderBy("rank")
+    })
+
+  // Adamic–Adar link prediction (Adamic & Adar 2003) over the same
+  // bipartite co-occurrence: candidate supplier pairs score
+  // Σ_z 1/ln(deg(z)) over common customers z — rare co-customers count
+  // more than hubs. Each term is nano-rounded BEFORE the pair sum (the
+  // tx15 discipline: exact long under any aggregation order; ln is the
+  // one float step, mirrored op-for-op), and the q102 degree cap bounds
+  // the pair join. deg(z) ≥ 2 by the cap, so ln is never 0.
+  private val q103 = Q("q103_adamic_adar", Some("""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    deg AS (SELECT c, count(*) AS d FROM e GROUP BY c),
+    ek AS (SELECT e.c, e.s, deg.d FROM e JOIN deg USING (c)
+           WHERE deg.d BETWEEN 2 AND 50),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+        cast(sum(cast(round(1000000000.0 / ln(cast(a.d as double))) as bigint))
+          as bigint) AS aa_nano,
+        count(*) AS n_common
+      FROM ek a JOIN ek b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2)
+    SELECT s1, s2, cast(n_common as bigint) AS n_common, aa_nano,
+      row_number() OVER (ORDER BY aa_nano DESC, s1, s2) AS rank
+    FROM pairs ORDER BY aa_nano DESC, s1, s2 LIMIT 20"""),
+    (s, d) => {
+      val e = Exec.materializeForSelfJoin(
+        T(s, d, "orders").join(T(s, d, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct())
+      val deg = e.groupBy("c").agg(count(lit(1)).as("d"))
+      val ek = e.join(deg.where(col("d").between(2, 50)), "c")
+      val pairs = ek.select(col("c"), col("s").as("s1"), col("d"))
+        .join(ek.select(col("c"), col("s").as("s2")), "c")
+        .where(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(sum(expr(
+            "cast(round(1000000000.0 / ln(cast(d as double))) as bigint)"))
+          .cast("long").as("aa_nano"),
+          count(lit(1)).cast("long").as("n_common"))
+      pairs.orderBy(col("aa_nano").desc, col("s1"), col("s2")).limit(20)
+        .select(col("s1"), col("s2"), col("n_common"), col("aa_nano"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("aa_nano").desc, col("s1"), col("s2"))).as("rank"))
+        .orderBy("rank")
+    })
+
+  // Feature-hashing featurizer (Weinberger et al. 2009 — the
+  // fixed-width bag-of-words vector a quality classifier trains on with
+  // NO corpus-sized vocabulary): token → md5-prefix mod 16 (dp19's
+  // portable hash), per-(doc, bucket) counts zero-filled to a dense
+  // 16-dim row set per document. Output size is docs × dims regardless
+  // of vocabulary — the point of the hashing trick; the zero-fill spine
+  // is a row-local sequence explode, never a cross join.
+  private val tx32 = Q("tx32_feature_hash", Some("""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+               FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT doc_id,
+        ('0x' || substr(md5(u), 1, 8))::BIGINT % 16 AS b
+      FROM (SELECT doc_id, unnest(tk) AS u FROM t)),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM tok GROUP BY 1, 2),
+    spine AS (SELECT doc_id, unnest(generate_series(0, 15)) AS dim FROM t)
+    SELECT s.doc_id, cast(s.dim as bigint) AS dim,
+      cast(coalesce(c.c, 0) as bigint) AS val
+    FROM spine s LEFT JOIN cnt c ON c.doc_id = s.doc_id AND c.b = s.dim
+    ORDER BY s.doc_id, s.dim"""),
+    (s, d) => TextOps.featureHash(T(s, d, "documents"), "text", "doc_id",
+        dims = 16)
+      .orderBy("doc_id", "dim"))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -9544,15 +9926,16 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
+    q101, q102, q103,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     dd25, dd26, dd27,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
-    ann21, ann22, ann23,
+    ann21, ann22, ann23, ann24, ann25,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
-    tx25, tx26, tx27, tx28, tx29,
+    tx25, tx26, tx27, tx28, tx29, tx30, tx31, tx32,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

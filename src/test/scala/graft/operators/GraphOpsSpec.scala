@@ -188,4 +188,42 @@ class GraphOpsSpec extends AnyFunSuite {
     val g = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
     assert(GraphOps.kCore(g, "u", "v", k = 2, rounds = 2).count() == 0)
   }
+
+  test("hits: one round reproduces the hand-computed integer trace") {
+    import spark.implicits._
+    // hubs {1,2,3} -> auths {10,11,12}: 1->{10,11}, 2->{10}, 3->{11,12}
+    val g = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L), (3L, 12L))
+      .toDF("src", "dst")
+    val got = GraphOps.hits(g, "src", "dst", rounds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // init = 10^12 div 3 = 333333333333
+    // a_raw: 10 -> 666666666666, 11 -> 666666666666, 12 -> 333333333333
+    //   sum = 1666666666665 -> q = 1 -> a = raw
+    // h_raw: 1 -> 1333333333332, 2 -> 666666666666, 3 -> 999999999999
+    //   sum = 2999999999997 -> q = 2 -> h = raw div 2
+    assert(got(("auth", 10L)) == 666666666666L)
+    assert(got(("auth", 11L)) == 666666666666L)
+    assert(got(("auth", 12L)) == 333333333333L)
+    assert(got(("hub", 1L)) == 666666666666L)
+    assert(got(("hub", 2L)) == 333333333333L)
+    assert(got(("hub", 3L)) == 499999999999L)
+  }
+
+  test("hits: duplicate edges collapse; sides partition src/dst; mass stays ~10^12") {
+    import spark.implicits._
+    val g = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 11L), (1L, 11L))
+      .toDF("src", "dst")
+    val rows = GraphOps.hits(g, "src", "dst", rounds = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.filter(_._1 == "hub").map(_._2).toSet == Set(1L, 2L))
+    assert(rows.filter(_._1 == "auth").map(_._2).toSet == Set(10L, 11L))
+    // symmetric graph: both hubs (and both auths) end equal, and each
+    // side's renormalized mass stays within one quotient step of 10^12
+    val hubs = rows.filter(_._1 == "hub").map(_._3)
+    assert(hubs.distinct.length == 1)
+    Seq("hub", "auth").foreach { side =>
+      val s = rows.filter(_._1 == side).map(_._3).sum
+      assert(s > 500000000000L && s <= 2000000000000L, s"$side mass $s")
+    }
+  }
 }

@@ -248,4 +248,60 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
     assert(got == Seq(4L, 5L))
   }
+
+  test("mmrDiversify: pick 1 is the relevance argmax (scaled-duplicate tie to " +
+      "the smaller id); pick 2 skips the near-duplicate a plain top-k keeps") {
+    // query 0 = (1,0,0); c1 and c2 = the SAME direction (cosine 1.0 to
+    // each other, ~0.9 to the query, identical after scaling since
+    // cosine is scale-invariant); c3 = relevance 0.8, far from c1
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.4359f, 0f)),
+      (2L, Seq(1.8f, 0.8718f, 0f)),
+      (3L, Seq(0.8f, -0.6f, 0f)))
+      .toDF("vec_id", "embedding")
+    // plain top-2 keeps the duplicate pair
+    val plain = SimilarityOps.bruteForceTopK(
+        vecs.where(col("vec_id") === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        vecs.select(col("vec_id").as("id"), col("embedding").as("vec")), k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L))
+    // MMR: pick1 = 1 (rel tie 1-vs-2 -> smaller id); pick2: c2's score
+    // 7·0.9e9 − 3·1e9 = 3.3e9 loses to c3's 7·0.8e9 − 3·red (red < 0.5)
+    val mmr = SimilarityOps.mmrDiversify(vecs, "vec_id", "embedding",
+        col("_mid") === 0, poolK = 3, k = 2, lambdaTenths = 7)
+      .orderBy("pick").select("neighbor_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L))
+  }
+
+  test("mmrDiversify: k picks per query, no repeats, pick order monotone in score") {
+    val vecs = (0L to 9L).map(i =>
+      (i, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.mmrDiversify(vecs, "vec_id", "embedding",
+        col("_mid") < 2, poolK = 6, k = 4, lambdaTenths = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == 8)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4), s"query $q")
+      assert(rows.map(_._2).distinct.length == 4, s"query $q repeats")
+      assert(!rows.map(_._2).contains(q), s"query $q selected itself")
+    }
+  }
+
+  test("rrfFuse: integer contributions sum across arms; ties to smaller id") {
+    val arm1 = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val arm2 = Seq((0L, 2L, 1), (0L, 3L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val got = SimilarityOps.rrfFuse(Seq(arm1, arm2), kConst = 60, topK = 10)
+      .orderBy("rank")
+      .select("neighbor_id", "n_arms", "rrf_nano", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val c1 = 1000000000L / 61  // rank 1
+    val c2 = 1000000000L / 62  // rank 2
+    assert(got == Seq(
+      (2L, 2L, c1 + c2, 1),    // both arms
+      (1L, 1L, c1, 2),
+      (3L, 1L, c2, 3)))
+  }
 }

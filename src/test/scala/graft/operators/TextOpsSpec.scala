@@ -299,4 +299,74 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2L)._3 - math.log(4d) * 1e9) <= 2)
     assert(got(3L) == ((3L, 2L, brute(Seq("a", "a", "b")))))
   }
+
+  test("pmiCollocations: hand-computed PMI, count floor, deterministic rank") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams (a,b) x2, (b,a) x1
+      (2L, "a b c"),     // (a,b), (b,c)
+      (3L, "c c")        // (c,c)
+    ).toDF("doc_id", "text")
+    // N_uni = 9 (a=3, b=3, c=3), N_bi = 6; floor 2 keeps only (a,b)=3
+    val got = TextOps.pmiCollocations(docs, "text", minCount = 2L, topK = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val expNano = math.round((math.log(3) - math.log(6) - math.log(3)
+      - math.log(3) + 2 * math.log(9)) * 1e9)
+    assert(got.toSeq == Seq(("a", "b", 3L, expNano, 1)))
+    // and the floor is real: dropping it admits the count-1 pairs
+    val all = TextOps.pmiCollocations(docs, "text", minCount = 1L, topK = 10)
+      .collect()
+    assert(all.length == 4)
+  }
+
+  test("contextChunks: window arithmetic, clipped tail, sub-chunk and empty docs") {
+    import spark.implicits._
+    val tenToks = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, tenToks),    // chunk=4, stride=3: starts 1,4,7 (3 chunks)
+      (2L, "x y z"),    // shorter than one chunk: single clipped chunk
+      (3L, "   ")       // no tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = TextOps.contextChunks(docs, "text", "doc_id", chunk = 4, stride = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(
+      (1L, 0L, 1L, 4L, h("t1 t2 t3 t4")),
+      (1L, 1L, 4L, 4L, h("t4 t5 t6 t7")),
+      (1L, 2L, 7L, 4L, h("t7 t8 t9 t10")),
+      (2L, 0L, 1L, 3L, h("x y z"))))
+    // boundary: exactly one full window -> exactly one chunk
+    val one = TextOps.contextChunks(
+      Seq((9L, "a b c d")).toDF("doc_id", "text"), "text", "doc_id",
+      chunk = 4, stride = 3).collect()
+    assert(one.length == 1)
+    // one past the window -> a second, 1-token overlap-clipped chunk
+    val two = TextOps.contextChunks(
+      Seq((9L, "a b c d e")).toDF("doc_id", "text"), "text", "doc_id",
+      chunk = 4, stride = 3).collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(two.toSeq.sorted == Seq((0L, 4L), (1L, 2L)))
+  }
+
+  test("featureHash: dense zero-filled rows, portable md5 bucket, count-preserving") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "c"), (3L, " ")).toDF("doc_id", "text")
+    val got = TextOps.featureHash(docs, "text", "doc_id", dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 4
+    }
+    // doc 3 has no tokens -> absent entirely; docs 1/2 emit ALL 4 dims
+    assert(got.keys.map(_._1).toSet == Set(1L, 2L))
+    assert(got.size == 8)
+    assert(got((1L, bucket("a"))) >= 2L) // 'a' twice (+'b' if it collides)
+    assert((0L to 3L).map(d => got((1L, d))).sum == 3L)
+    assert(got((2L, bucket("c"))) == 1L)
+    assert((0L to 3L).map(d => got((2L, d))).sum == 1L)
+  }
 }

@@ -85,8 +85,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q95_chisq_independence",   // 7-row dow-marginal + two 1-row
                                 // aggregates (q83's reduced-table
                                 // contingency-grid shape)
-    "tx28_stupid_backoff")      // 1-row (N, V) history-corpus aggregate
+    "tx28_stupid_backoff",      // 1-row (N, V) history-corpus aggregate
                                 // (tx14's audited shape)
+    "tx30_pmi_collocations",    // two 1-row totals (N_bi, N_uni) cross
+                                // joins (tx14's audited shape)
+    "ann25_rrf_fusion")         // dense arm = ann01's bounded
+                                // query-vector broadcast (the lexical
+                                // arm rides a hash equi-join)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -176,8 +181,11 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // corpus stats — both bounded by the
                                 // fixed query count
     "ann21_mips_topk",          // 10-query quantized-vector broadcast
-    "q95_chisq_independence")   // 7-row marginal + 1-row N + 1-row
+    "q95_chisq_independence",   // 7-row marginal + 1-row N + 1-row
                                 // chi2 total — all bounded
+    "tx30_pmi_collocations",    // two 1-row totals (N_bi, N_uni)
+    "ann25_rrf_fusion")         // bounded query-shingle set + ann01's
+                                // query-vector broadcast
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
