@@ -256,8 +256,8 @@ object GraphOps {
     * a'(u) = Σ_{v→u} h(v) then L1-renormalizes by the INTEGER quotient
     * q = max(1, Σa' div 10^12) (a = a' div q), and symmetrically for
     * hubs — every value an exact long, so both engines agree bit-for-bit
-    * under any aggregation order (`div` truncates, `//` floors: all
-    * values here are non-negative, so the two coincide).
+    * under any aggregation order (Spark `div` and DuckDB integer `//`
+    * both truncate toward zero; every value here is non-negative anyway).
     *
     * Scale contract: normalized mass totals ~10^12, so a raw per-node
     * sum is ≤ 10^12·deg(node) and the renormalization sum is

@@ -94,4 +94,58 @@ object QuantileOps {
       .agg(min(when(col("_dq_cum") * den >= col("_dq_n") * num,
         col(valueCol))).as(outCol))
   }
+
+  /** Theil–Sen robust trend estimator (Theil 1950, Sen 1968) over a
+    * BOUNDED integer series — the monitoring-grade slope that one
+    * outlier month cannot drag the way it drags tx18's OLS: slope =
+    * median of all pairwise slopes, intercept = median of per-point
+    * residuals under that slope.
+    *
+    * Bounded-series contract (mirrors kCenterCoreset's style of
+    * explicit scale bounds): the input must already be an AGGREGATED
+    * series — one row per integer x, length bounded by something
+    * physical (calendar months, histogram bins), never by corpus rows —
+    * because the pairwise self-join is O(M²) and deliberately so; a few
+    * hundred points is thousands of pairs on one executor. The series
+    * is localCheckpointed once so the self-join reads it twice without
+    * recompute.
+    *
+    * Determinism: each pairwise slope is nano-rounded
+    * (`round((yj−yi)·10⁹/(xj−xi))` — the numerator stays under 2⁵³ for
+    * any y below ~9·10⁶ per point, documented), the median is the LOWER
+    * median (rank `(n+1) div 2` under a total order on (value, xi, xj)),
+    * and the intercept residuals `y·10⁹ − slope_nano·x` are exact longs
+    * — so both engines agree bit-for-bit.
+    *
+    * @return one row: [n_points, n_pairs, slope_nano, intercept_nano]
+    */
+  def theilSen(series: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val s = Exec.materializeForSelfJoin(
+      series.select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y")))
+    val pairs = s.select(col("_x").as("_xi"), col("_y").as("_yi"))
+      .join(s.select(col("_x").as("_xj"), col("_y").as("_yj")),
+        col("_xi") < col("_xj"))
+      .select(col("_xi"), col("_xj"), expr(
+        "cast(round((_yj - _yi) * 1000000000.0 / (_xj - _xi)) as bigint)")
+        .as("_s"))
+    val wS = Window.orderBy(col("_s"), col("_xi"), col("_xj"))
+    val slope = pairs
+      .withColumn("_rn", row_number().over(wS))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .where(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col("_s").as("slope_nano"), col("_n").as("n_pairs"))
+    val res = s.crossJoin(broadcast(slope))
+      .select(col("slope_nano"), col("n_pairs"),
+        (col("_y") * lit(1000000000L) - col("slope_nano") * col("_x")).as("_r"),
+        col("_x"))
+    val wR = Window.orderBy(col("_r"), col("_x"))
+    res
+      .withColumn("_rn", row_number().over(wR))
+      .withColumn("_np", count(lit(1)).over(Window.partitionBy()))
+      .where(col("_rn") === expr("(_np + 1) div 2"))
+      .select(col("_np").cast("long").as("n_points"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("slope_nano"), col("_r").as("intercept_nano"))
+  }
 }

@@ -1617,9 +1617,9 @@ object SimilarityOps {
     * standard hybrid-retrieval combiner: each arm contributes
     * 10^9 `div` (kConst + rank) for every (query, candidate) it ranked,
     * candidates sum contributions across arms, the fused list is the
-    * top-`topK` by that sum. All-integer (`div` truncates, `//` floors:
-    * both operands non-negative, identical), so cross-engine parity is
-    * exact and ties break on the neighbour id.
+    * top-`topK` by that sum. All-integer (Spark `div` and DuckDB integer
+    * `//` both truncate toward zero; operands are non-negative anyway),
+    * so cross-engine parity is exact and ties break on the neighbour id.
     *
     * Arms are (query_id, neighbor_id, rank) frames — each already a
     * bounded per-query top-k, so the fusion input is |arms|·k rows per

@@ -733,6 +733,71 @@ object TextOps {
         coalesce(col("_c"), lit(0L)).cast("long").as("val"))
   }
 
+  /** Distributed logistic-regression training over hashed bag-of-words
+    * features (the fastText-style quality/language classifier a curation
+    * pipeline trains in-engine): full-batch gradient descent, `rounds`
+    * fixed iterations, on [[featureHash]] features plus a bias term
+    * (dim −1, x = 1), labels from `labelPred`.
+    *
+    * Pure-integer discipline: weights live in MICRO-units (longs); the
+    * per-doc logit z = Σ w_micro·x is an exact long (micro — not nano —
+    * precisely so the per-dim gradient sum Σ round((y−p)·x·10⁶) holds
+    * ~9·10⁹ docs before a long overflows; at a true 100 TB you
+    * mini-batch per round anyway — documented contract). The sigmoid is
+    * the one float step, per-doc and mirrored; gradient terms are
+    * micro-rounded BEFORE the per-dim sum (tx15 discipline). The update
+    * divides by (10·n_docs) — lr = 0.1 — with plain integer division:
+    * gradients go NEGATIVE, and Spark `div` and DuckDB's integer `//`
+    * both truncate toward zero (verified, not assumed — on floats `//`
+    * floors, on integers it truncates), so the two engines agree on
+    * negative updates too.
+    *
+    * Scale shape per round: one broadcast join of the (dims+1)-row
+    * weight table onto the docs×nonzero-dims feature rows, a per-doc
+    * hash agg (the logit), a per-dim hash agg (the gradient) — all
+    * map-side combinable; the loop state is the weight table only,
+    * materialized and released round to round.
+    *
+    * @return [dim, w_micro] — dims+1 rows, dim −1 = bias
+    */
+  def hashLogReg(df: DataFrame, textCol: String, idCol: String,
+      labelPred: Column, dims: Int = 16, rounds: Int = 3): DataFrame = {
+    require(dims >= 1 && rounds >= 1 && rounds <= 16)
+    val base = df.where(length(trim(col(textCol))) > 0)
+    val labels = Exec.materializeForSelfJoin(
+      base.select(col(idCol).as("doc_id"),
+        labelPred.cast("int").cast("long").as("_y")))
+    val nDocs = labels.count()
+    require(nDocs > 0, "hashLogReg needs at least one labeled document")
+    val feats = Exec.materializeLarge(
+      featureHash(base, textCol, idCol, dims).where(col("val") > 0)
+        .unionByName(labels.select(col("doc_id"), lit(-1L).as("dim"),
+          lit(1L).as("val"))))
+    val spark = df.sparkSession
+    var w = Exec.materializeForSelfJoin(
+      spark.range(-1L, dims.toLong)
+        .select(col("id").as("dim"), lit(0L).as("w_micro")))
+    val d = 10L * nDocs // lr = 0.1: grad / (10 n)
+    for (_ <- 1 to rounds) {
+      val z = feats.join(broadcast(w), "dim")
+        .groupBy("doc_id")
+        .agg(sum(col("w_micro") * col("val")).as("_z"))
+      val g = feats.join(z, "doc_id").join(labels, "doc_id")
+        .select(col("dim"), expr(
+          "cast(round((_y - 1.0 / (1.0 + exp(-(_z / 1000000.0)))) " +
+            "* val * 1000000.0) as bigint)").as("_t"))
+        .groupBy("dim").agg(sum("_t").as("_g"))
+      val prev = w
+      w = Exec.materializeForSelfJoin(
+        prev.join(g, Seq("dim"), "left")
+          .select(col("dim"),
+            (col("w_micro") + expr(s"coalesce(_g div $d, 0)")).as("w_micro")))
+      Exec.releaseMaterialized(prev)
+    }
+    Exec.releaseMaterialized(labels)
+    w
+  }
+
   /** Sliding-window context chunking — the serving op that turns raw
     * documents into fixed-length training/RAG windows: chunks of
     * `chunk` tokens starting every `stride` tokens (overlap =

@@ -8160,8 +8160,9 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   // bigrams: S = c12/c1 if seen else 0.4·(c(w2)+1)/(N+V) (add-one on
   // the backoff arm so OOV stays finite — documented deviation).
   // Per-term nano-rounding before the per-doc sum; output all-integer
-  // (no division: Spark `div` truncates where DuckDB `//` floors, and
-  // these sums are negative).
+  // (no division by design; tx33 later verified Spark `div` and DuckDB
+  // integer `//` both truncate, so negative sums would in fact divide
+  // identically).
   private val tx28 = Q("tx28_stupid_backoff", Some("""
     WITH t AS (
       SELECT doc_id, doc_id >= 400 AS b,
@@ -9597,9 +9598,9 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   /** One HITS mutual-reinforcement round (q101's oracle): raw authority
     * = in-edge sum of hub mass, L1-renormalized by the integer quotient
     * max(1, Σ `//` 10^12); then hubs symmetrically from the fresh
-    * authority scores — mirrored op-for-op by [[GraphOps.hits]] (`//`
-    * floors where Spark `div` truncates; every value here is
-    * non-negative, so they coincide).
+    * authority scores — mirrored op-for-op by [[GraphOps.hits]] (Spark
+    * `div` and DuckDB integer `//` both truncate toward zero; every
+    * value here is non-negative anyway).
     */
   private def hitsRoundCtes(j: Int): String = {
     val hp = if (j == 1) "h0" else s"h${j - 1}"
@@ -9918,6 +9919,223 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         dims = 16)
       .orderBy("doc_id", "dim"))
 
+  // Theil–Sen robust trend over the monthly order-count series
+  // (QuantileOps.theilSen — the monitoring slope one outlier month
+  // cannot drag the way it drags tx18's OLS): median of all pairwise
+  // slopes, then median residual as intercept, both lower-medians under
+  // a total order, every value an exact long after per-pair nano
+  // rounding. The O(M²) pair join runs on the AGGREGATED month series —
+  // bounded by the calendar forever, the operator's documented
+  // contract.
+  private val q104 = Q("q104_theil_sen", Some("""
+    WITH per AS (
+      SELECT year(o_orderdate)*12 + month(o_orderdate) - 1 AS x,
+        count(*) AS y
+      FROM orders GROUP BY 1),
+    pr AS (SELECT a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj
+           FROM per a JOIN per b ON a.x < b.x),
+    sl AS (SELECT xi, xj,
+        cast(round((yj - yi) * 1000000000.0 / (xj - xi)) as bigint) AS s
+      FROM pr),
+    sm AS (SELECT s AS slope_nano, n AS n_pairs FROM (
+        SELECT s, xi, xj, row_number() OVER (ORDER BY s, xi, xj) AS rn,
+          count(*) OVER () AS n FROM sl) t
+      WHERE rn = (n + 1) // 2),
+    res AS (SELECT cast(y * 1000000000 - sm.slope_nano * x as bigint) AS r,
+        x, sm.slope_nano, sm.n_pairs
+      FROM per CROSS JOIN sm)
+    SELECT cast(n as bigint) AS n_points, cast(n_pairs as bigint) AS n_pairs,
+      slope_nano, r AS intercept_nano
+    FROM (SELECT r, x, slope_nano, n_pairs,
+        row_number() OVER (ORDER BY r, x) AS rn, count(*) OVER () AS n
+      FROM res) t
+    WHERE rn = (n + 1) // 2"""),
+    (s, d) => QuantileOps.theilSen(
+      T(s, d, "orders").groupBy(
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("x"))
+        .agg(count(lit(1)).as("y")),
+      "x", "y"))
+
+  /** One full-batch gradient-descent round (tx33's oracle): per-doc
+    * logit from the current integer weight table, sigmoid (the one
+    * float step), per-(doc, dim) gradient terms micro-rounded before
+    * the per-dim sum, truncating-divided update — mirrored op-for-op by
+    * [[TextOps.hashLogReg]] (gradients go negative; Spark `div` and
+    * DuckDB integer `//` BOTH truncate toward zero — verified with
+    * `SELECT -7 // 2` = −3, so no floor correction is needed).
+    */
+  private def lrRoundCtes(k: Int): String = s"""
+    z$k AS (SELECT f.doc_id, cast(sum(w.w * f.val) as bigint) AS z
+            FROM feats f JOIN w${k - 1} w USING (dim) GROUP BY 1),
+    g$k AS (SELECT f.dim,
+        cast(sum(cast(round((l.y - 1.0 / (1.0 + exp(-(z.z / 1000000.0))))
+          * f.val * 1000000.0) as bigint)) as bigint) AS g
+      FROM feats f JOIN z$k z USING (doc_id) JOIN lab l USING (doc_id)
+      GROUP BY 1),
+    w$k AS (SELECT w.dim,
+        cast(w.w + coalesce(g.g // (SELECT d FROM nd), 0) as bigint) AS w
+      FROM w${k - 1} w LEFT JOIN g$k g USING (dim))"""
+
+  // Distributed logistic-regression training on hashed bag-of-words
+  // features (TextOps.hashLogReg — the fastText-style in-engine
+  // quality/language classifier): 3 full-batch GD rounds on tx32's
+  // 16-dim hashed features + bias, label = (lang = 'en'), weights in
+  // exact micro-unit longs, the sigmoid the one mirrored float step.
+  // The oracle replays feature hashing, every logit, every
+  // micro-rounded gradient term, and every floor-divided update
+  // CTE-by-CTE.
+  private val tx33 = Q("tx33_hash_logreg", Some(s"""
+    WITH t AS (SELECT doc_id, lang,
+        regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT doc_id, ('0x' || substr(md5(u), 1, 8))::BIGINT % 16 AS b
+      FROM (SELECT doc_id, unnest(tk) AS u FROM t)),
+    feats AS (
+      SELECT doc_id, b AS dim, cast(count(*) as bigint) AS val
+      FROM tok GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, cast(-1 as bigint) AS dim, cast(1 as bigint) AS val
+      FROM t),
+    lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM t),
+    nd AS (SELECT 10 * count(*) AS d FROM lab),
+    w0 AS (SELECT cast(unnest(generate_series(-1, 15)) as bigint) AS dim,
+           cast(0 as bigint) AS w),
+    ${lrRoundCtes(1)},
+    ${lrRoundCtes(2)},
+    ${lrRoundCtes(3)}
+    SELECT dim, w AS w_micro FROM w3 ORDER BY dim"""),
+    (s, d) => TextOps.hashLogReg(T(s, d, "documents"), "text", "doc_id",
+        col("lang") === "en", dims = 16, rounds = 3)
+      .orderBy("dim"))
+
+  // Measured hybrid-retrieval quality (the ann07/dd17 grading
+  // discipline applied to the fusion family): recall@10 against exact
+  // cosine truth for (a) the lexical shingle-overlap arm, (b) the
+  // LSH-bucketed dense arm (ann02's approximate index — NOT exact
+  // cosine, which would grade itself), and (c) their RRF fusion of the
+  // two top-20 lists. On THIS corpus the numbers are honest and low:
+  // the synthetic documents and embeddings are generated independently,
+  // so the lexical arm carries no signal about cosine truth (recall 0)
+  // and fusion ≈ its dense arm — the measured-grading harness, query
+  // sets, and fusion plumbing are the deliverable, exactly as ann07's
+  // harness is for the quantized arms. All components are the audited
+  // bounded shapes (query broadcast, banded bucket join, integer
+  // fusion).
+  private val ann26 = Q("ann26_fusion_recall", Some("""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    shl AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(t) >= 3 THEN
+          list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks),
+    sh AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM shl),
+    lexsc AS (SELECT q.id AS query_id, c.id AS neighbor_id, count(*) AS ov
+      FROM sh q JOIN sh c ON c.sh = q.sh AND c.id <> q.id
+      WHERE q.id < 5 GROUP BY 1, 2),
+    lex AS (SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY ov DESC, neighbor_id) AS rank
+        FROM lexsc) t WHERE rank <= 20),
+    v AS (SELECT vec_id, cast(embedding as double[]) AS e,
+        concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings),
+    lshsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * c.e[i])))), 6) AS sim
+      FROM v q JOIN v c ON c.bucket = q.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5),
+    lsh AS (SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM lshsc) t WHERE rank <= 20),
+    tsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * q.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * c.e[i])))), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+    truth AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM tsc) t WHERE rank <= 10),
+    arms AS (
+      SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS c FROM lex
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS c FROM lsh),
+    fused AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+        FROM (SELECT query_id, neighbor_id, cast(sum(c) as bigint) AS rrf
+              FROM arms GROUP BY 1, 2) f) t
+      WHERE rank <= 10),
+    nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM truth),
+    h AS (
+      SELECT 'lex' AS method, count(*) AS total_hits
+      FROM (SELECT query_id, neighbor_id FROM lex WHERE rank <= 10) a
+      JOIN truth USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'lsh', count(*)
+      FROM (SELECT query_id, neighbor_id FROM lsh WHERE rank <= 10) a
+      JOIN truth USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'rrf', count(*) FROM fused JOIN truth USING (query_id, neighbor_id))
+    SELECT h.method, cast(nq.n_queries as bigint) AS n_queries,
+      cast(h.total_hits as bigint) AS total_hits,
+      cast(h.total_hits as double) / (nq.n_queries * 10) AS recall
+    FROM h CROSS JOIN nq ORDER BY h.method"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = SharedArtifacts.docShingles3(s, d)
+      val qsh = broadcast(sh.where(col("id") < 5)
+        .select(col("id").as("query_id"), col("sh")))
+      val lexsc = sh.join(qsh, "sh")
+        .where(col("id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("id").as("neighbor_id"))
+        .agg(count(lit(1)).as("_ov"))
+      val lw = Window.partitionBy("query_id")
+        .orderBy(col("_ov").desc, col("neighbor_id").asc)
+      val lex20 = lexsc.withColumn("rank", row_number().over(lw))
+        .where(col("rank") <= 20)
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.where(col("id") < 5)
+      val lsh20 = SimilarityOps.lshTopK(q, emb, k = 20)
+      val truth = Exec.materializeForSelfJoin(
+        SimilarityOps.bruteForceTopK(q, emb, k = 10)
+          .select("query_id", "neighbor_id"))
+      val fused = SimilarityOps.rrfFuse(Seq(
+          lex20.select("query_id", "neighbor_id", "rank"),
+          lsh20.select("query_id", "neighbor_id", "rank")),
+          kConst = 60, topK = 10)
+      def grade(method: String, arm: DataFrame): DataFrame = {
+        val hits = arm.select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        truth.agg(countDistinct("query_id").as("n_queries"))
+          .crossJoin(hits)
+          .select(lit(method).as("method"),
+            col("n_queries").cast("long").as("n_queries"),
+            col("total_hits").cast("long").as("total_hits"),
+            (col("total_hits").cast("double") / (col("n_queries") * lit(10)))
+              .as("recall"))
+      }
+      grade("lex", lex20.where(col("rank") <= 10))
+        .unionByName(grade("lsh", lsh20.where(col("rank") <= 10)))
+        .unionByName(grade("rrf", fused))
+        .orderBy("method")
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -9926,16 +10144,16 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103,
+    q101, q102, q103, q104,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     dd25, dd26, dd27,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
-    ann21, ann22, ann23, ann24, ann25,
+    ann21, ann22, ann23, ann24, ann25, ann26,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
-    tx25, tx26, tx27, tx28, tx29, tx30, tx31, tx32,
+    tx25, tx26, tx27, tx28, tx29, tx30, tx31, tx32, tx33,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

@@ -75,4 +75,35 @@ class QuantileOpsSpec extends AnyFunSuite {
       assert(got == want, s"q=$num/$den")
     }
   }
+
+  test("theilSen: one outlier point cannot drag the slope (hand trace)") {
+    import spark.implicits._
+    // y = 2x everywhere except a wild outlier at x=3
+    val series = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 100L), (4L, 8L))
+      .toDF("x", "y")
+    val got = QuantileOps.theilSen(series, "x", "y").collect()
+    assert(got.length == 1)
+    val r = got.head
+    // 10 pairwise slopes; sorted nano values put the six clean 2.0
+    // slopes at ranks 2-7, the lower median (rank 5) lands on 2e9;
+    // residuals under slope 2 are all 0 except the outlier's 94e9, so
+    // the median residual (intercept) is 0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 10L, 2000000000L, 0L)))
+    // contrast: the OLS slope on the same series is dragged well above 2
+    // (the op's reason to exist) — brute-check here
+    val xs = Seq(0d, 1d, 2d, 3d, 4d); val ys = Seq(0d, 2d, 4d, 100d, 8d)
+    val n = 5d
+    val ols = (n * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum) /
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(ols > 10d)
+  }
+
+  test("theilSen: an exact linear series recovers slope and intercept exactly") {
+    import spark.implicits._
+    val series = (0L to 6L).map(x => (x, 3 * x + 7)).toDF("x", "y")
+    val r = QuantileOps.theilSen(series, "x", "y").collect().head
+    assert(r.getLong(2) == 3000000000L)   // slope 3
+    assert(r.getLong(3) == 7000000000L)   // intercept 7
+  }
 }

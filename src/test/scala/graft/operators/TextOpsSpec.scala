@@ -369,4 +369,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got((2L, bucket("c"))) == 1L)
     assert((0L to 3L).map(d => got((2L, d))).sum == 1L)
   }
+
+  test("hashLogReg: first GD round reproduces the hand trace; training separates") {
+    import spark.implicits._
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 4
+    }
+    val (ba, bb) = (bucket("a"), bucket("b"))
+    assert(ba != bb, "fixture tokens must hash to distinct buckets")
+    val docs = Seq((1L, "en", "a a"), (2L, "fr", "b")).toDF("doc_id", "lang", "text")
+    val w1 = TextOps.hashLogReg(docs, "text", "doc_id",
+        col("lang") === "en", dims = 4, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 from w = 0: every logit 0, p = 0.5, d = 10 * 2 docs = 20
+    //   grad(a-bucket) = (1 - 0.5) * 2 * 1e6 = 1e6   -> +50000
+    //   grad(b-bucket) = (0 - 0.5) * 1 * 1e6 = -5e5  -> floor(-5e5/20) = -25000
+    //   grad(bias)     = 0.5 + (-0.5) = 0            -> 0
+    assert(w1.keys.toSet == (-1L to 3L).toSet)
+    assert(w1(ba) == 50000L)
+    assert(w1(bb) == -25000L)
+    assert(w1(-1L) == 0L)
+    assert((-1L to 3L).filterNot(Set(ba, bb)).forall(d => w1(d) == 0L))
+    // more rounds keep pushing the separating signs outward
+    val w3 = TextOps.hashLogReg(docs, "text", "doc_id",
+        col("lang") === "en", dims = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w3(ba) > w1(ba) && w3(bb) < w1(bb))
+  }
 }

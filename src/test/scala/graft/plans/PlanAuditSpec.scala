@@ -89,9 +89,15 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // (tx14's audited shape)
     "tx30_pmi_collocations",    // two 1-row totals (N_bi, N_uni) cross
                                 // joins (tx14's audited shape)
-    "ann25_rrf_fusion")         // dense arm = ann01's bounded
+    "ann25_rrf_fusion",         // dense arm = ann01's bounded
                                 // query-vector broadcast (the lexical
                                 // arm rides a hash equi-join)
+    "q104_theil_sen",           // bounded-series pairwise self-join +
+                                // 1-row median-slope cross join (the
+                                // operator's documented O(M²) contract)
+    "ann26_fusion_recall")      // ann07's recallOf shape (1-row hit x
+                                // 1-row query counts) + ann01/ann02
+                                // bounded query broadcasts
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -184,8 +190,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q95_chisq_independence",   // 7-row marginal + 1-row N + 1-row
                                 // chi2 total — all bounded
     "tx30_pmi_collocations",    // two 1-row totals (N_bi, N_uni)
-    "ann25_rrf_fusion")         // bounded query-shingle set + ann01's
+    "ann25_rrf_fusion",         // bounded query-shingle set + ann01's
                                 // query-vector broadcast
+    "q104_theil_sen",           // 1-row median-slope broadcast
+    "ann26_fusion_recall")      // bounded query-shingle + query-vector
+                                // broadcasts (ann02/ann01 shapes)
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
