@@ -278,9 +278,12 @@ object GraphOps {
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).distinct())
     val hubs = e.select(col("src").as("node")).distinct()
+    // greatest(1, ...) guards the ANSI divide-by-zero on an empty edge
+    // set (the 1-row aggregate still evaluates; the cross join with the
+    // empty hub side then discards it)
     var h = Exec.materializeForSelfJoin(
       hubs.crossJoin(broadcast(
-          hubs.agg(expr("1000000000000 div count(*)").as("init"))))
+          hubs.agg(expr("1000000000000 div greatest(1, count(*))").as("init"))))
         .select(col("node"), col("init").as("score")))
     var a: DataFrame = null
     for (_ <- 1 to rounds) {

@@ -798,6 +798,71 @@ object TextOps {
     w
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") — the stopword-delimiter
+    * complement to TextRank (tx29): candidate phrases are maximal runs
+    * of non-stopword tokens (the shared 9-word list of
+    * [[stopwordRatio]], lowercase match), each word scores
+    * deg(w)/freq(w) where deg sums the lengths of every phrase
+    * containing the word, and a phrase scores the sum of its words'
+    * scores.
+    *
+    * Pure-integer discipline: per-word scores are exact micro-units via
+    * TWO-STEP Euclidean division — score = (deg div freq)·10⁶ +
+    * ((deg mod freq)·10⁶) div freq — algebraically equal to
+    * (deg·10⁶) div freq but never forming the deg·10⁶ product, so the
+    * long never overflows for any freq below ~9·10¹² (the naive form
+    * dies at deg > 9·10¹²); both engines truncate identically and the
+    * result is an exact long.
+    *
+    * Scale shape: one token explode; the run-splitting `pos −
+    * row_number` trick runs in a PER-DOCUMENT window (a doc fits a task
+    * — the same contract every per-doc window in the engine carries);
+    * word stats are map-side-combined hash aggregations joined back on
+    * the word key; the global top-`topK` is a LIMIT over the
+    * phrase-aggregated table.
+    *
+    * @return [phrase, n_words, n_occur, score_micro, rank]
+    */
+  def rakeKeyphrases(df: DataFrame, textCol: String, idCol: String,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("a", "an", "the", "and", "or", "of", "in", "to", "is")
+    val stopSet = stops.map(s => s"'$s'").mkString(", ")
+    val toks = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("_id"),
+        posexplode(DedupOps.tokens(col(textCol))).as(Seq("_pos", "_w")))
+    val ns = toks.where(not(expr(s"lower(_w) in ($stopSet)")))
+      .withColumn("_grp", col("_pos") - row_number().over(
+        Window.partitionBy("_id").orderBy("_pos")))
+    val nsM = Exec.materializeLarge(ns)
+    val phr = nsM.groupBy("_id", "_grp")
+      .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(_pos, _w))), x -> x._w), ' ')").as("phrase"),
+        count(lit(1)).as("_plen"))
+    val phrM = Exec.materializeLarge(phr)
+    val wfreq = nsM.groupBy("_w").agg(count(lit(1)).as("_freq"))
+    val wdeg = nsM.join(phrM, Seq("_id", "_grp"))
+      .groupBy("_w").agg(sum("_plen").as("_deg"))
+    val wscore = wfreq.join(wdeg, "_w")
+      .select(col("_w"), expr(
+        "(_deg div _freq) * 1000000 + ((_deg % _freq) * 1000000) div _freq")
+        .as("_ws"))
+    val pscore = nsM.join(wscore, "_w")
+      .groupBy("_id", "_grp").agg(sum("_ws").as("_ps"))
+      .join(phrM, Seq("_id", "_grp"))
+      .groupBy("phrase")
+      .agg(max("_plen").cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_occur"),
+        max("_ps").cast("long").as("score_micro"))
+    pscore.orderBy(col("score_micro").desc, col("phrase")).limit(topK)
+      .select(col("phrase"), col("n_words"), col("n_occur"),
+        col("score_micro"),
+        row_number().over(Window
+          .orderBy(col("score_micro").desc, col("phrase"))).as("rank"))
+      .orderBy("rank")
+  }
+
   /** Sliding-window context chunking — the serving op that turns raw
     * documents into fixed-length training/RAG windows: chunks of
     * `chunk` tokens starting every `stride` tokens (overlap =

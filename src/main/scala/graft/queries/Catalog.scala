@@ -10136,6 +10136,105 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         .orderBy("method")
     })
 
+  // Cross-image shared-tile detection (the watermark / logo / template
+  // finder): mm11's ViT-style patch grid, then tiles whose content hash
+  // appears in ≥ 2 DISTINCT images — the multimodal analogue of dd09's
+  // shared-chunk report. One hash aggregation over the patch table
+  // (map-side combinable); the top-50 is a LIMIT under a total order.
+  // On this corpus tile bytes come from the deterministic text payload,
+  // so near-duplicate documents share tiles exactly where dd* finds
+  // them — the plumbing (grid → hash → group → threshold) is the
+  // production shape for image-corpus boilerplate detection.
+  private val mm12 = Q("mm12_shared_tiles", Some("""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS len
+      FROM documents),
+    g AS (
+      SELECT doc_id, len // 64 AS h,
+        unnest(generate_series(0, least(3, (len // 64) // 8 - 1))) AS pr
+      FROM b),
+    g2 AS (
+      SELECT doc_id, h, pr,
+        unnest(generate_series(0, least(3, 64 // 8 - 1))) AS pc
+      FROM g),
+    rws AS (
+      SELECT doc_id, h, pr, pc, unnest(generate_series(0, 7)) AS dy
+      FROM g2),
+    tiles AS (
+      SELECT r.doc_id, r.pr, r.pc,
+        string_agg(substr(b.text, CAST((r.pr * 8 + r.dy) * 64 + r.pc * 8 + 1 AS INT), 8),
+          '' ORDER BY r.dy) AS tile
+      FROM rws r JOIN b USING (doc_id)
+      GROUP BY r.doc_id, r.pr, r.pc),
+    sh AS (
+      SELECT md5(tile) AS tile_md5,
+        cast(count(DISTINCT doc_id) as bigint) AS n_images,
+        cast(count(*) as bigint) AS n_occur
+      FROM tiles GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+    SELECT tile_md5, n_images, n_occur,
+      row_number() OVER (ORDER BY n_images DESC, tile_md5) AS rank
+    FROM sh ORDER BY n_images DESC, tile_md5 LIMIT 50"""),
+    (s, d) => {
+      // FIXED tile geometry (width 64), unlike mm11's payload-derived
+      // width: shared content must land on identical tile boundaries
+      // across images for the hashes to match — with a per-image width,
+      // near-identical images of different lengths never align and the
+      // detector is structurally blind
+      val pl = MultimodalOps.withBinaryPayload(T(s, d, "documents"), "text")
+      val tiles = MultimodalOps.patchGrid(pl, "payload", "doc_id",
+        width = lit(64), patch = 8, maxGrid = 4)
+      val sharedTiles = tiles.groupBy("tile_md5")
+        .agg(countDistinct("doc_id").cast("long").as("n_images"),
+          count(lit(1)).cast("long").as("n_occur"))
+        .where(col("n_images") >= 2)
+      sharedTiles.orderBy(col("n_images").desc, col("tile_md5")).limit(50)
+        .select(col("tile_md5"), col("n_images"), col("n_occur"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_images").desc, col("tile_md5"))).as("rank"))
+        .orderBy("rank")
+    })
+
+  // RAKE keyphrase extraction (Rose et al. 2010 — the stopword-run
+  // complement to tx29's TextRank): phrases are maximal non-stopword
+  // runs (pos − row_number gaps-and-islands inside a per-doc window),
+  // word score = deg/freq in exact micro-units via two-step Euclidean
+  // division (never forming the deg·10⁶ product — TextOps.rakeKeyphrases
+  // scaladoc has the overflow bound), phrase score = Σ word scores.
+  // The oracle replays tokenization, the island trick, both word stats,
+  // the two-step division, and the phrase aggregation CTE-by-CTE.
+  private val tx34 = Q("tx34_rake_keyphrases", Some("""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+               FROM documents WHERE length(trim(text)) > 0),
+    toki AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+             FROM t),
+    tok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS w FROM toki),
+    ns AS (SELECT doc_id, pos, w,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tok
+      WHERE lower(w) NOT IN ('a','an','the','and','or','of','in','to','is')),
+    phr AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+        count(*) AS plen
+      FROM ns GROUP BY 1, 2),
+    wfreq AS (SELECT w, cast(count(*) as bigint) AS freq FROM ns GROUP BY 1),
+    wdeg AS (SELECT n.w, cast(sum(p.plen) as bigint) AS deg
+             FROM ns n JOIN phr p USING (doc_id, grp) GROUP BY 1),
+    ws AS (SELECT w,
+        (deg // freq) * 1000000 + ((deg % freq) * 1000000) // freq AS s
+      FROM wfreq JOIN wdeg USING (w)),
+    ps AS (SELECT n.doc_id, n.grp, cast(sum(ws.s) as bigint) AS ps
+           FROM ns n JOIN ws USING (w) GROUP BY 1, 2),
+    agg AS (SELECT p.phrase, cast(max(p.plen) as bigint) AS n_words,
+        cast(count(*) as bigint) AS n_occur,
+        cast(max(ps.ps) as bigint) AS score_micro
+      FROM ps JOIN phr p USING (doc_id, grp)
+      GROUP BY p.phrase)
+    SELECT phrase, n_words, n_occur, score_micro,
+      row_number() OVER (ORDER BY score_micro DESC, phrase) AS rank
+    FROM agg ORDER BY score_micro DESC, phrase LIMIT 20"""),
+    (s, d) => TextOps.rakeKeyphrases(T(s, d, "documents"), "text", "doc_id",
+        topK = 20)
+      .orderBy("rank"))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -10153,8 +10252,8 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     ann21, ann22, ann23, ann24, ann25, ann26,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
-    tx25, tx26, tx27, tx28, tx29, tx30, tx31, tx32, tx33,
-    mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11,
+    tx25, tx26, tx27, tx28, tx29, tx30, tx31, tx32, tx33, tx34,
+    mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11, mm12,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
     dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28, dp29,

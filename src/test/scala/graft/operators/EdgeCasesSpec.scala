@@ -257,4 +257,68 @@ class EdgeCasesSpec extends AnyFunSuite {
     val widths = Seq(1L, 100L, 10000L, 1000000L).map(scaledAxisCount(_))
     assert(widths == widths.sorted)
   }
+
+  test("shared-tile detection: a planted common prefix shares exactly the aligned tiles") {
+    // two "images" agree on the first 512 bytes and differ after: with
+    // FIXED width 64 / patch 8 / maxGrid 4, the shared prefix fills
+    // patch-row 0 (grid rows 0-7 x cols 0-3) -> exactly 4 shared tiles,
+    // and patch-rows 1-3 (bytes 512+) differ everywhere
+    val prefix = (0 until 512).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq(
+      (1L, prefix + "A" * 1600),
+      (2L, prefix + "B" * 1600),
+      (3L, "C" * 2112)).toDF("doc_id", "text")
+    val pl = MultimodalOps.withBinaryPayload(docs, "text")
+    val tiles = MultimodalOps.patchGrid(pl, "payload", "doc_id",
+      width = lit(64), patch = 8, maxGrid = 4)
+    val shared = tiles.groupBy("tile_md5")
+      .agg(countDistinct("doc_id").as("n_images"))
+      .where(col("n_images") >= 2)
+      .collect()
+    assert(shared.length == 4, s"expected the 4 prefix tiles, got ${shared.length}")
+    assert(shared.forall(_.getLong(1) == 2L))
+  }
+
+  test("round-15 serving ops: empty corpus in, empty (or no-op) out") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.pmiCollocations(noDocs, "text").isEmpty)
+    assert(TextOps.contextChunks(noDocs, "text", "doc_id").isEmpty)
+    assert(TextOps.featureHash(noDocs, "text", "doc_id").isEmpty)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.hits(noEdges, "src", "dst", rounds = 2).isEmpty)
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(SimilarityOps.mmrDiversify(noVecs, "vec_id", "embedding",
+      col("_mid") < 5, poolK = 4, k = 2).isEmpty)
+    val emptyArm = Seq.empty[(Long, Long, Int)]
+      .toDF("query_id", "neighbor_id", "rank")
+    assert(SimilarityOps.rrfFuse(Seq(emptyArm, emptyArm)).isEmpty)
+  }
+
+  test("mmrDiversify with a pool smaller than k returns the whole pool") {
+    // 1 query + 2 candidates but k = 4: picks must stop at the pool
+    val vecs = Seq((0L, Seq(1f, 0f)), (1L, Seq(1f, 1f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.mmrDiversify(vecs, "vec_id", "embedding",
+        col("_mid") === 0, poolK = 8, k = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("theilSen on a single point / two points stays well-defined") {
+    // one point: zero pairs -> no median slope -> empty result
+    assert(QuantileOps.theilSen(Seq((3L, 5L)).toDF("x", "y"), "x", "y").isEmpty)
+    // two points: exactly one pair
+    val two = QuantileOps.theilSen(Seq((0L, 1L), (2L, 5L)).toDF("x", "y"),
+      "x", "y").collect().head
+    assert(two.getLong(1) == 1L && two.getLong(2) == 2000000000L)
+  }
+
+  test("hashLogReg: single-class corpus still trains (no div-by-zero, signs one-way)") {
+    val docs = Seq((1L, "en", "a b"), (2L, "en", "a")).toDF("doc_id", "lang", "text")
+    val w = TextOps.hashLogReg(docs, "text", "doc_id",
+        col("lang") === "en", dims = 4, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == 5)
+    assert(w.values.forall(_ >= 0L), s"all-positive labels push weights up only: $w")
+  }
 }

@@ -398,4 +398,25 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(w3(ba) > w1(ba) && w3(bb) < w1(bb))
   }
+
+  test("rakeKeyphrases: hand-scored phrases, exact two-step division") {
+    import spark.implicits._
+    val docs = Seq(
+      // islands: [deep learning] x2 -> deg(deep)=deg(learning)=4, freq=2
+      (1L, "deep learning of deep learning"),
+      // islands: [alpha beta], [alpha beta gamma] ->
+      //   alpha/beta: freq 2, deg 5 -> (5 div 2)e6 + (1e6 div 2) = 2500000
+      //   gamma: freq 1, deg 3 -> 3000000
+      (2L, "alpha beta and alpha beta gamma"),
+      (3L, "systems")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeyphrases(docs, "text", "doc_id", topK = 10)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(got("alpha beta gamma") == ((3L, 1L, 8000000L, 1)))
+    assert(got("alpha beta") == ((2L, 1L, 5000000L, 2)))
+    assert(got("deep learning") == ((2L, 2L, 4000000L, 3)))
+    assert(got("systems") == ((1L, 1L, 1000000L, 4)))
+    assert(got.size == 4)
+  }
 }
