@@ -49,6 +49,30 @@ object SnapshotOps {
       .drop("_in_old", "_in_new")
   }
 
+  /** Apply a [[snapshotDiff]] back onto the old snapshot — the CDC
+    * MERGE with deletes: `added`/`changed` rows take the diff's NEW
+    * values, `removed` keys drop, everything else keeps its old row.
+    * By construction `applyDiff(old, snapshotDiff(old, new)) == new`,
+    * so an oracle that states the TARGET snapshot directly turns the
+    * hash check into the round-trip proof (the q100/dd23
+    * increment-==-scratch discipline on the relational side).
+    *
+    * Scale shape: one left-anti join of the old snapshot against the
+    * removed/changed key set plus a unionByName of the upserts — the
+    * diff is the delta, so the apply never rescans the new snapshot.
+    */
+  def applyDiff(oldDf: DataFrame, diff: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val upserts = diff.where(col("status").isin("added", "changed"))
+      .select(keys.map(col) ++
+        compareCols.map(c => col(s"_new_$c").as(c)): _*)
+    val untouched = oldDf.select((keys ++ compareCols).map(col): _*)
+      .join(diff.where(col("status").isin("removed", "changed"))
+          .select(keys.map(col): _*),
+        keys, "left_anti")
+    untouched.unionByName(upserts)
+  }
+
   /** SCD Type-2 history build from a change event stream: collapse each
     * key's consecutive repeats of the same attribute value (only CHANGES
     * open a new version), then stitch validity intervals — `valid_from`

@@ -10235,6 +10235,247 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         topK = 20)
       .orderBy("rank"))
 
+  // IVF index-quality diagnostics (FAISS's imbalance factor — the
+  // number an ANN operator watches before trusting probe costs:
+  // k·Σ(cell_size²)/N², 1.0 = perfectly balanced, k = one hot cell):
+  // one full-corpus assignment against the SHARED trained 16-cell
+  // quantizer (the artifact ann07/ann11/ann13/ann22/ann23 already
+  // serve), then a 16-row aggregate. All-integer output; the milli
+  // division forms n² — fine up to ~3·10⁹ vectors, past which the
+  // diagnostic runs per shard anyway (documented).
+  private val ann27 = Q("ann27_ivf_imbalance", Some(s"""
+    WITH v AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+    $km64TrainCtes,
+    cs AS (SELECT cell, cast(count(*) as bigint) AS s FROM kta GROUP BY cell),
+    tot AS (SELECT cast(sum(s) as bigint) AS n,
+        cast(count(*) as bigint) AS used,
+        cast(min(s) as bigint) AS min_cell, cast(max(s) as bigint) AS max_cell,
+        cast(sum(s * s) as bigint) AS ss FROM cs)
+    SELECT n AS n_vectors, used AS n_cells_used, min_cell, max_cell,
+      16 * ss * 1000 // (n * n) AS imbalance_milli
+    FROM tot"""),
+    (s, d) => {
+      val idx = SharedArtifacts.centroids64(s, d)
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cs = SimilarityOps.assignToCentroids(emb, "id", "vec", idx)
+        .groupBy("cell").agg(count(lit(1)).as("s"))
+      cs.agg(sum("s").cast("long").as("n_vectors"),
+          count(lit(1)).cast("long").as("n_cells_used"),
+          min("s").cast("long").as("min_cell"),
+          max("s").cast("long").as("max_cell"),
+          sum(col("s") * col("s")).cast("long").as("_ss"))
+        .select(col("n_vectors"), col("n_cells_used"), col("min_cell"),
+          col("max_cell"),
+          expr("16 * _ss * 1000 div (n_vectors * n_vectors)")
+            .as("imbalance_milli"))
+    })
+
+  // Tokenizer fertility report (the number a tokenizer TRAINING run is
+  // judged by — pieces per word / per kilochar, per language; high
+  // fertility on a language = the vocab underserves it): tx27's encode
+  // stats (each DISTINCT word Viterbi-segmented ONCE under the shared
+  // trained unigram vocab) rolled up per language. At 100 TB the DP
+  // still never sees the corpus — the rollup adds one join to the
+  // doc-lang table and one |langs|-row aggregate.
+  private val tx35 = Q("tx35_tokenizer_fertility", Some(s"""
+    WITH w AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) t
+      WHERE length(w) > 0 AND length(w) <= 16 GROUP BY w),
+    sub0 AS MATERIALIZED (
+      SELECT q.c.sub AS piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(flatten(list_transform(generate_series(1, length(w)), sx ->
+          list_transform(generate_series(sx, least(length(w), sx + 3)), ex ->
+            {'s': sx, 'e': ex, 'sub': substr(w, sx, ex - sx + 1)})))) AS c
+        FROM w) q
+      GROUP BY q.c.sub),
+    seed AS MATERIALIZED (SELECT piece, cnt FROM sub0 WHERE length(piece) = 1 OR cnt >= 2),
+    t0 AS MATERIALIZED (SELECT sum(cnt) AS t, count(*) AS p FROM seed),
+    p0 AS MATERIALIZED (SELECT piece, cnt,
+      CAST(round(ln((CAST(cnt + 1 AS DOUBLE)) / CAST(t + p AS DOUBLE))
+        * 1000000000.0) AS BIGINT) AS lp FROM seed, t0),
+    ${unigramRoundCtes(1)},
+    ${unigramRoundCtes(2)},
+    ${viterbiCtes(3)},
+    np AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces FROM (
+        ${(1 to 16).map(i => s"SELECT w FROM ch3_$i").mkString(" UNION ALL ")}) u
+      GROUP BY w),
+    dt AS MATERIALIZED (SELECT lang, w FROM (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) t
+      WHERE length(w) > 0 AND length(w) <= 16)
+    SELECT dt.lang, CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
+      CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces,
+      CAST(CAST(sum(np.n_pieces) AS BIGINT) * 1000
+        // CAST(count(*) AS BIGINT) AS BIGINT) AS pieces_per_kword,
+      CAST(CAST(sum(np.n_pieces) AS BIGINT) * 1000
+        // CAST(sum(length(dt.w)) AS BIGINT) AS BIGINT) AS pieces_per_kchar
+    FROM dt JOIN np USING (w)
+    GROUP BY dt.lang ORDER BY dt.lang"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val st = graft.operators.UnigramOps.encodeStats(
+        docs, "text", "doc_id",
+        vocab = SharedArtifacts.unigramVocab16(s, d),
+        maxLen = 4, maxWordLen = 16,
+        tokenTable = Some(SharedArtifacts.docTokens(s, d)))
+      st.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_words").cast("long").as("n_words"),
+          sum("n_chars").cast("long").as("n_chars"),
+          sum("n_pieces").cast("long").as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_chars"), col("n_pieces"),
+          expr("n_pieces * 1000 div n_words").as("pieces_per_kword"),
+          expr("n_pieces * 1000 div n_chars").as("pieces_per_kchar"))
+        .orderBy("lang")
+    })
+
+  // Deterministic epoch shuffling (the training-loader contract: every
+  // epoch visits the corpus in a DIFFERENT but perfectly REPRODUCIBLE
+  // order — seeded hash order, never an RNG): order key =
+  // md5('ep<epoch>:<doc_id>') per epoch, the dp02 portable-hash split
+  // discipline applied to ordering. Serving the first k of an epoch is
+  // a salted two-phase top-k (TakeOrderedAndProject-style bounded
+  // heaps), NOT a full sort — the full-epoch writer would instead
+  // sortWithinPartitions on the same key.
+  private val dp31 = Q("dp31_epoch_shuffle", Some("""
+    WITH d AS (SELECT doc_id FROM documents),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+        ('0x' || substr(md5('ep' || cast(e.epoch as varchar) || ':'
+          || cast(d.doc_id as varchar)), 1, 15))::BIGINT AS hk
+      FROM d, (SELECT unnest(generate_series(0, 1)) AS epoch) e)
+    SELECT epoch, doc_id, hk, rank FROM (
+      SELECT epoch, doc_id, hk, row_number() OVER (
+        PARTITION BY epoch ORDER BY hk, doc_id) AS rank
+      FROM keyed) t
+    WHERE rank <= 10 ORDER BY epoch, rank"""),
+    (s, d) => {
+      val keyed = T(s, d, "documents").select(col("doc_id"))
+        .withColumn("epoch", explode(expr("sequence(0, 1)")))
+        .withColumn("hk", expr(
+          "cast(conv(substring(md5(concat('ep', cast(epoch as string), ':', " +
+            "cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+      TopKOps.perGroupTopK(keyed, Seq("epoch"),
+          Seq(col("hk").asc, col("doc_id").asc), k = 10, saltOn = col("doc_id"))
+        .select(col("epoch").cast("int").as("epoch"), col("doc_id"),
+          col("hk"), col("rank"))
+        .orderBy("epoch", "rank")
+    })
+
+  // CDC apply — the MERGE-with-deletes that closes dp04's loop:
+  // added/changed rows take the diff's new values, removed keys drop,
+  // untouched rows survive via one left-anti join against the delta
+  // keys (the apply never rescans the new snapshot). The oracle states
+  // the TARGET snapshot directly, so hash equality IS the round-trip
+  // proof apply(old, diff(old, new)) == new — the q100/dd23
+  // increment-==-scratch discipline on the relational side.
+  private val q105 = Q("q105_cdc_apply", Some("""
+    SELECT c_custkey, c_name,
+      CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2 ELSE c_acctbal END
+        AS c_acctbal
+    FROM customer WHERE c_custkey % 11 <> 0
+    ORDER BY c_custkey"""),
+    (s, d) => {
+      val cust = T(s, d, "customer")
+      val oldSnap = cust.where(col("c_custkey") % 7 =!= 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val newSnap = cust.where(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") * 2)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val diff = SnapshotOps.snapshotDiff(oldSnap, newSnap,
+        keys = Seq("c_custkey"), compareCols = Seq("c_name", "c_acctbal"))
+      SnapshotOps.applyDiff(oldSnap, diff,
+          keys = Seq("c_custkey"), compareCols = Seq("c_name", "c_acctbal"))
+        .orderBy("c_custkey")
+    })
+
+  // Measured semantic-dedup recall (the last approximate arm without a
+  // graded curve: LSH has dd17, winnowing dd27, graph-ANN ann17, IVF
+  // ann07 — this grades dd13's (cell, sub-bucket)-bounded SemDeDup
+  // pairs against EXACT cosine truth in the same 16-dim space at the
+  // same τ = 0.6). Truth is anchor-bounded (pairs whose smaller id
+  // < 50): the exact arm is 50 × corpus — linear, the ann01 broadcast
+  // shape — never the all-pairs quadratic. Detected pairs filter to the
+  // same universe, so recall = hits/truth reads directly as "what the
+  // cell+bucket bounds cost".
+  private val dd28 = Q("dd28_semantic_recall", Some(s"""
+    WITH ${kmeansCtes(
+      """kp AS (SELECT greatest(4, least(4096, (count(*) + 63) // 64)) AS k
+                 FROM embeddings),
+    """,
+      "(SELECT k * 16 FROM kp)",
+      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+             SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM smp) t, kp WHERE t.rn <= kp.k)""")},
+    c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
+    s3 AS (SELECT v.vec_id, c2.cell,
+             ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
+           FROM v CROSS JOIN c2),
+    a3 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+             FROM s3) t WHERE rn = 1),
+    w AS (SELECT a3.cell, a3.vec_id, v.e,
+            array_to_string(list_transform(generate_series(1, 8),
+              i -> CASE WHEN v.e[i] >= 0 THEN '1' ELSE '0' END), '') AS sgn
+          FROM a3 JOIN v USING (vec_id)),
+    ax AS (SELECT cell,
+             CASE WHEN m <= 1 THEN 0 WHEN m <= 2 THEN 1 WHEN m <= 4 THEN 2
+                  WHEN m <= 8 THEN 3 WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5
+                  WHEN m <= 64 THEN 6 WHEN m <= 128 THEN 7 ELSE 8 END AS saxes
+           FROM (SELECT cell, cast(floor((count(*) + 63) / 64.0) as bigint) AS m
+                 FROM w GROUP BY cell)),
+    b AS (SELECT w.cell, w.vec_id, w.e, substring(w.sgn, 1, ax.saxes) AS bkt
+          FROM w JOIN ax USING (cell)),
+    pairs AS (
+      SELECT x.vec_id AS id1, y.vec_id AS id2,
+        round(list_sum(list_transform(generate_series(1, 16), i -> x.e[i] * y.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> x.e[i] * x.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> y.e[i] * y.e[i])))), 6) AS sim
+      FROM b x JOIN b y ON x.cell = y.cell AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+    det AS (SELECT id1, id2 FROM pairs WHERE sim >= 0.6 AND id1 < 50),
+    truth AS (
+      SELECT l.vec_id AS id1, r.vec_id AS id2
+      FROM v l JOIN v r ON l.vec_id < r.vec_id
+      WHERE l.vec_id < 50
+        AND round(list_sum(list_transform(generate_series(1, 16), i -> l.e[i] * r.e[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> l.e[i] * l.e[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, 16), i -> r.e[i] * r.e[i])))), 6) >= 0.6),
+    h AS (SELECT count(*) AS n_hits FROM det JOIN truth USING (id1, id2)),
+    nt AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT cast(nt.n_truth as bigint) AS n_truth,
+      cast(h.n_hits as bigint) AS n_hits,
+      round(cast(h.n_hits as double) / nt.n_truth, 6) AS recall
+    FROM nt CROSS JOIN h WHERE nt.n_truth > 0"""),
+    (s, d) => {
+      val emb16 = T(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      val det = SimilarityOps.semanticNearDupPairs(emb16, "vec_id", "v16",
+          SharedArtifacts.centroids16(s, d),
+          threshold = 0.6, roundSim = 6, targetCell = 64)
+        .where(col("id1") < 50).select("id1", "id2")
+      val l = broadcast(emb16.where(col("vec_id") < 50)
+        .select(col("vec_id").as("id1"),
+          col("v16").cast("array<double>").as("_lv")))
+      val truth = Exec.materializeForSelfJoin(
+        emb16.select(col("vec_id").as("id2"),
+            col("v16").cast("array<double>").as("_rv"))
+          .join(l, col("id1") < col("id2"))
+          .where(round(SimilarityOps.cosine(col("_lv"), col("_rv")), 6) >= 0.6)
+          .select("id1", "id2"))
+      val hits = det.join(truth, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("n_hits"))
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(hits)
+        .where(col("n_truth") > 0)
+        .select(col("n_truth").cast("long").as("n_truth"),
+          col("n_hits").cast("long").as("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -10243,19 +10484,19 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104,
+    q101, q102, q103, q104, q105,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
-    dd25, dd26, dd27,
+    dd25, dd26, dd27, dd28,
     ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
     ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18, ann19, ann20,
-    ann21, ann22, ann23, ann24, ann25, ann26,
+    ann21, ann22, ann23, ann24, ann25, ann26, ann27,
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
-    tx25, tx26, tx27, tx28, tx29, tx30, tx31, tx32, tx33, tx34,
+    tx25, tx26, tx27, tx28, tx29, tx30, tx31, tx32, tx33, tx34, tx35,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11, mm12,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
     dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28, dp29,
-    dp30)
+    dp30, dp31)
 }

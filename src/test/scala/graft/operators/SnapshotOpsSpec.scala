@@ -67,4 +67,26 @@ class SnapshotOpsSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(got.toSeq === Seq((1, "q", 10L, 10L), (2, "p", 10L, -1L)))
   }
+
+  test("applyDiff round-trip: apply(old, diff(old, new)) == new across all four statuses") {
+    import spark.implicits._
+    // key 1 unchanged, key 2 changed, key 3 removed, key 4 added
+    val oldSnap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "bal")
+    val newSnap = Seq((1L, "a", 10L), (2L, "b", 99L), (4L, "d", 40L))
+      .toDF("k", "name", "bal")
+    val diff = SnapshotOps.snapshotDiff(oldSnap, newSnap,
+      keys = Seq("k"), compareCols = Seq("name", "bal"))
+    val applied = SnapshotOps.applyDiff(oldSnap, diff,
+        keys = Seq("k"), compareCols = Seq("name", "bal"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(applied == Set((1L, "a", 10L), (2L, "b", 99L), (4L, "d", 40L)))
+    // and an empty diff is the identity
+    val idDiff = SnapshotOps.snapshotDiff(oldSnap, oldSnap,
+      keys = Seq("k"), compareCols = Seq("name", "bal"))
+    val same = SnapshotOps.applyDiff(oldSnap, idDiff,
+        keys = Seq("k"), compareCols = Seq("name", "bal"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(same == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
 }

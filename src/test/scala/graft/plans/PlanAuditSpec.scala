@@ -95,9 +95,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q104_theil_sen",           // bounded-series pairwise self-join +
                                 // 1-row median-slope cross join (the
                                 // operator's documented O(M²) contract)
-    "ann26_fusion_recall")      // ann07's recallOf shape (1-row hit x
+    "ann26_fusion_recall",      // ann07's recallOf shape (1-row hit x
                                 // 1-row query counts) + ann01/ann02
                                 // bounded query broadcasts
+    "ann27_ivf_imbalance",      // 16-row trained centroid cross join
+                                // (the one full-corpus assignment pass)
+    "dd28_semantic_recall")     // dd13's k-row centroid cross join +
+                                // the 50-anchor truth broadcast
+                                // (ann01's bounded query-side shape)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -193,8 +198,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann25_rrf_fusion",         // bounded query-shingle set + ann01's
                                 // query-vector broadcast
     "q104_theil_sen",           // 1-row median-slope broadcast
-    "ann26_fusion_recall")      // bounded query-shingle + query-vector
+    "ann26_fusion_recall",      // bounded query-shingle + query-vector
                                 // broadcasts (ann02/ann01 shapes)
+    "ann27_ivf_imbalance",      // 16-row trained centroid broadcast
+    "dd28_semantic_recall")     // dd13's centroid set + the bounded
+                                // 50-anchor truth broadcast
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
