@@ -10253,7 +10253,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         cast(sum(s * s) as bigint) AS ss FROM cs)
     SELECT n AS n_vectors, used AS n_cells_used, min_cell, max_cell,
       16 * ss * 1000 // (n * n) AS imbalance_milli
-    FROM tot"""),
+    FROM tot WHERE n > 0"""),
     (s, d) => {
       val idx = SharedArtifacts.centroids64(s, d)
       val emb = T(s, d, "embeddings")
@@ -10265,6 +10265,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
           min("s").cast("long").as("min_cell"),
           max("s").cast("long").as("max_cell"),
           sum(col("s") * col("s")).cast("long").as("_ss"))
+        .where(col("n_vectors") > 0) // empty corpus: no diagnostic row
         .select(col("n_vectors"), col("n_cells_used"), col("min_cell"),
           col("max_cell"),
           expr("16 * _ss * 1000 div (n_vectors * n_vectors)")
@@ -10476,6 +10477,77 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
           round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
     })
 
+  // Piece-denominated token budgeting (dp13 with the budget counted in
+  // TRAINED-TOKENIZER PIECES, not whitespace words — the unit an LLM
+  // training run actually consumes: a 30% "token" budget measured in
+  // words over-funds high-fertility languages by exactly their
+  // fertility ratio, tx35's number): per-doc piece counts come from
+  // tx27's encode stats (each DISTINCT word segmented once under the
+  // shared trained unigram vocab — the corpus never meets the DP), then
+  // dp13's machinery verbatim: deterministic md5 order, per-language
+  // 3/10 piece budgets, the two-phase exclusive prefix sum. Docs with
+  // no segmentable word (empty / all words > 16 chars) are outside the
+  // candidate universe by definition.
+  private val dp32 = Q("dp32_piece_budget", Some(s"""
+    WITH w AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) t
+      WHERE length(w) > 0 AND length(w) <= 16 GROUP BY w),
+    sub0 AS MATERIALIZED (
+      SELECT q.c.sub AS piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(flatten(list_transform(generate_series(1, length(w)), sx ->
+          list_transform(generate_series(sx, least(length(w), sx + 3)), ex ->
+            {'s': sx, 'e': ex, 'sub': substr(w, sx, ex - sx + 1)})))) AS c
+        FROM w) q
+      GROUP BY q.c.sub),
+    seed AS MATERIALIZED (SELECT piece, cnt FROM sub0 WHERE length(piece) = 1 OR cnt >= 2),
+    t0 AS MATERIALIZED (SELECT sum(cnt) AS t, count(*) AS p FROM seed),
+    p0 AS MATERIALIZED (SELECT piece, cnt,
+      CAST(round(ln((CAST(cnt + 1 AS DOUBLE)) / CAST(t + p AS DOUBLE))
+        * 1000000000.0) AS BIGINT) AS lp FROM seed, t0),
+    ${unigramRoundCtes(1)},
+    ${unigramRoundCtes(2)},
+    ${viterbiCtes(3)},
+    np AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces FROM (
+        ${(1 to 16).map(i => s"SELECT w FROM ch3_$i").mkString(" UNION ALL ")}) u
+      GROUP BY w),
+    dt AS MATERIALIZED (SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) t
+      WHERE length(w) > 0 AND length(w) <= 16),
+    dpieces AS (SELECT dt.doc_id, CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces
+                FROM dt JOIN np USING (w) GROUP BY dt.doc_id),
+    h AS (SELECT p.doc_id, d.lang, p.n_pieces,
+        ('0x' || substr(md5('mix:' || cast(p.doc_id as varchar)), 1, 15))::BIGINT AS hk
+      FROM dpieces p JOIN documents d USING (doc_id)),
+    b AS (SELECT lang, (sum(n_pieces) * 3) // 10 AS budget FROM h GROUP BY lang),
+    c AS (
+      SELECT lang, doc_id, n_pieces, hk,
+        sum(n_pieces) OVER (PARTITION BY lang ORDER BY hk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_pieces AS cum_excl
+      FROM h)
+    SELECT c.doc_id, c.lang, cast(c.n_pieces as bigint) AS n_pieces
+    FROM c JOIN b USING (lang)
+    WHERE c.cum_excl < b.budget
+    ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val st = graft.operators.UnigramOps.encodeStats(
+        docs, "text", "doc_id",
+        vocab = SharedArtifacts.unigramVocab16(s, d),
+        maxLen = 4, maxWordLen = 16,
+        tokenTable = Some(SharedArtifacts.docTokens(s, d)))
+      val h = st.select(col("doc_id"), col("n_pieces"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("hk",
+          conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long"))
+      val b = h.groupBy("lang").agg(expr("sum(n_pieces) * 3 div 10").as("budget"))
+      PrefixSumOps.takeUntilBudget(h, Seq("lang"), "hk", "n_pieces", b)
+        .select(col("doc_id"), col("lang"), col("n_pieces").cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -10498,5 +10570,5 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
     dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28, dp29,
-    dp30, dp31)
+    dp30, dp31, dp32)
 }
