@@ -69,6 +69,18 @@ object Bench {
     val heapPools = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    // process CPU time (ns): cpu_share = Δcpu / (Δwall · cores)
+    // distinguishes compute-saturated (≈1000 milli) from I/O-or-
+    // scheduling-bound (≪1000) — the adjudication axis gc/heap can't
+    // cover (this session's 25x in-bench dd20 sf1 reading carried
+    // gc_share 0.01: GC-idle, but WHY slow was only answerable by
+    // isolated re-runs; cpu_share answers it in-artifact)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuNs(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    val nCores = Runtime.getRuntime.availableProcessors()
     val errors = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       heapPools.foreach(_.resetPeakUsage())
@@ -224,7 +236,7 @@ object Bench {
         // place contention actually hit — the late-run sf1 section —
         // had no in-artifact adjudication evidence; now a 20x sf1
         // reading carries its own gc/heap signature).
-        def timed(dir: String): Seq[(String, Option[Double], Long, Long)] = {
+        def timed(dir: String): Seq[(String, Option[Double], Long, Long, Long)] = {
           spark.catalog.clearCache()
           // session artifacts too: without this the sf0.1 pass serves
           // the warmup's trained indexes / edge sets while sf1 builds
@@ -242,6 +254,7 @@ object Bench {
               graft.operators.SimilarityOps.lastSemanticStats = None
             heapPools.foreach(_.resetPeakUsage())
             val g0 = gcMillis()
+            val c0 = procCpuNs()
             val t0 = System.nanoTime()
             val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
                      catch { case _: Throwable => false }
@@ -249,10 +262,15 @@ object Bench {
               ccSnapshot = if (ok) ccJson() else "null"
             if (n == "dd13_semantic_dedup")
               semSnapshot = if (ok) semJson() else "null"
+            val wallNs = System.nanoTime() - t0
             val gcMs = gcMillis() - g0
             val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
-            (n, if (ok) Some((System.nanoTime() - t0) / 1e9) else None,
-              gcMs, peakMb)
+            // milli-units: 1000 = all cores busy the whole probe
+            val cpuShareMilli =
+              if (c0 < 0 || wallNs <= 0) -1L
+              else (procCpuNs() - c0) * 1000L / (wallNs * nCores)
+            (n, if (ok) Some(wallNs / 1e9) else None,
+              gcMs, peakMb, cpuShareMilli)
           }
         }
         // time BOTH scales fresh, back-to-back, in the same warmed state —
@@ -260,15 +278,18 @@ object Bench {
         // first measurement against a warm one (observed ratios < 1)
         val at01 = timed(sf01); val cc01 = ccSnapshot; val sem01 = semSnapshot
         val at1 = timed(sf1Dir); val cc1 = ccSnapshot; val sem1 = semSnapshot
-        def obj(ts: Seq[(String, Option[Double], Long, Long)]) = ts.map {
-          case (k, Some(v), _, _) => s"\"" + k + "\":" + v
-          case (k, None, _, _)    => s"\"" + k + "\":\"error\""
+        def obj(ts: Seq[(String, Option[Double], Long, Long, Long)]) = ts.map {
+          case (k, Some(v), _, _, _) => s"\"" + k + "\":" + v
+          case (k, None, _, _, _)    => s"\"" + k + "\":\"error\""
         }.mkString("{", ",", "}")
-        def gcObj(ts: Seq[(String, Option[Double], Long, Long)]) = ts.map {
-          case (k, _, g, _) => s"\"" + k + "\":" + g
+        def gcObj(ts: Seq[(String, Option[Double], Long, Long, Long)]) = ts.map {
+          case (k, _, g, _, _) => s"\"" + k + "\":" + g
         }.mkString("{", ",", "}")
-        def peakObj(ts: Seq[(String, Option[Double], Long, Long)]) = ts.map {
-          case (k, _, _, p) => s"\"" + k + "\":" + p
+        def peakObj(ts: Seq[(String, Option[Double], Long, Long, Long)]) = ts.map {
+          case (k, _, _, p, _) => s"\"" + k + "\":" + p
+        }.mkString("{", ",", "}")
+        def cpuObj(ts: Seq[(String, Option[Double], Long, Long, Long)]) = ts.map {
+          case (k, _, _, _, c) => s"\"" + k + "\":" + c
         }.mkString("{", ",", "}")
         val m01 = at01.map(t => t._1 -> t._2).toMap
         val m1 = at1.map(t => t._1 -> t._2).toMap
@@ -281,7 +302,7 @@ object Bench {
         // brace inside a string value (ADVICE r11)
         val telemetry =
           s""""ratio_vs_10x_data":$ratios,"dd06_cc":{"sf0.1":$cc01,"sf1":$cc1},"dd13_cells":{"sf0.1":$sem01,"sf1":$sem1}"""
-        (s""","sf1":{"build_sec":$buildSec,"sf0.1":${obj(at01)},"sf1":${obj(at1)},"gc_ms":{"sf0.1":${gcObj(at01)},"sf1":${gcObj(at1)}},"peak_heap_mb":{"sf0.1":${peakObj(at01)},"sf1":${peakObj(at1)}},$telemetry}""",
+        (s""","sf1":{"build_sec":$buildSec,"sf0.1":${obj(at01)},"sf1":${obj(at1)},"gc_ms":{"sf0.1":${gcObj(at01)},"sf1":${gcObj(at1)}},"peak_heap_mb":{"sf0.1":${peakObj(at01)},"sf1":${peakObj(at1)}},"cpu_share_milli":{"sf0.1":${cpuObj(at01)},"sf1":${cpuObj(at1)}},$telemetry}""",
          s""","sf1":{$telemetry}""")
       } else ("", "")
     def r3b(v: Double) = math.round(v * 1000) / 1000.0
