@@ -82,26 +82,38 @@ object Bench {
     }
     val nCores = Runtime.getRuntime.availableProcessors()
     val errors = Seq.newBuilder[String]
+    // main-loop cpu_share too (VERDICT r15 #1): the sf1 section had it,
+    // the main loop didn't — so ann18's 36s main-loop reading had gc/heap
+    // but not the compute-vs-contention axis. A low cpu_share on a slow
+    // reading = the JVM wasn't given the cores (host contention), high =
+    // honest compute.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       heapPools.foreach(_.resetPeakUsage())
       val g0 = gcMillis()
+      val c0 = procCpuNs()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => errors += name; false }
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val wallNs = System.nanoTime() - t0
+      val sec = if (ok) wallNs / 1e9 else -1.0
       val gcMs = gcMillis() - g0
       val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
-      (name, sec, gcMs, peakMb)
+      val cpuMilli =
+        if (c0 < 0 || wallNs <= 0) -1L
+        else (procCpuNs() - c0) * 1000L / (wallNs * nCores)
+      (name, sec, gcMs, peakMb, cpuMilli)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcJson = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+    val gcJson = results.map { case (k, _, g, _, _) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val peakJson = results.map { case (k, _, _, p) => s"\"" + k + "\":" + p }
+    val peakJson = results.map { case (k, _, _, p, _) => s"\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
+    val cpuJson = results.map { case (k, _, _, _, c) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val gcTotalSec = results.map(_._3).sum / 1e3
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     // Artifact-lifetime audit (VERDICT r13 #1): live persisted RDDs after
     // the full catalog loop in ONE JVM. The expected population is the
     // BOUNDED named set — SharedArtifacts' checkpointed artifact handles
@@ -122,7 +134,7 @@ object Bench {
     // subset — constant work, comparable across rounds without
     // interpretation. Names frozen from CORRECTNESS_r11.json.
     val subsetVals = results.collect {
-      case (k, v, _, _) if v >= 0 && R11Subset.names(k) => v
+      case (k, v, _, _, _) if v >= 0 && R11Subset.names(k) => v
     }
     val subsetJson =
       s""""subset_r11":{"n":${subsetVals.size},"total_sec":${math.round(subsetVals.sum * 1000) / 1000.0}}"""
@@ -205,7 +217,13 @@ object Bench {
           // per-doc window min, so the slope tracks dd24's linear-in-
           // characters envelope; the pair join runs on the 2/(w+1)
           // sampled index)
-          "dd25_winnow_fingerprints")
+          "dd25_winnow_fingerprints",
+          // round-16 addition: ann18 (bounded beam search at 3 depths
+          // over the persisted kNN graph vs exact truth — r15's one
+          // weak item: 36.3s in the driver main loop vs 3.68s committed
+          // idle with no isolated probe on record; it joins the list so
+          // every BENCH artifact carries its decade ratio + telemetry)
+          "ann18_graph_depth_curve")
         // dd06 convergence telemetry: rounds + per-round wall millis, so a
         // super-linear sf1 ratio is attributable to iteration growth vs
         // per-round cost vs noise (VERDICT r7 #2). Snapshotted IMMEDIATELY
@@ -236,16 +254,34 @@ object Bench {
         // place contention actually hit — the late-run sf1 section —
         // had no in-artifact adjudication evidence; now a 20x sf1
         // reading carries its own gc/heap signature).
-        def timed(dir: String): Seq[(String, Option[Double], Long, Long, Long)] = {
-          spark.catalog.clearCache()
-          // session artifacts too: without this the sf0.1 pass serves
-          // the warmup's trained indexes / edge sets while sf1 builds
-          // them cold, inflating artifact-consuming probes (q77/q86) —
-          // and the DISK store too, or "cold" measures a /tmp file scan
-          // instead of the build
-          graft.queries.SharedArtifacts.clear()
-          graft.queries.DiskArtifacts.clear()
+        // VERDICT r15 #2 — this section now RUNS THE ISOLATED PROTOCOL
+        // it used to contradict: every probe gets TWO shots per scale,
+        // each preceded by a full cache + artifact clear (both scales
+        // still pay their one-time materializations cold — the DISK
+        // store too, or "cold" measures a /tmp file scan instead of the
+        // build), and the SECOND shot is the measurement. Four rounds
+        // running (dd17 44.6x, dd20 23.1x, q87 14.4x in-bench where the
+        // same-session isolated 3-run protocol read 2.2-9.8x) traced to
+        // the single-shot readings folding per-probe first-touch costs —
+        // fresh codegen paths, page-cache cold sf1 files — into whichever
+        // probe hit them first; run 2-of-2 is exactly what the committed
+        // Sf1Probe envelope keeps. The cold first shot is still published
+        // (cold_sec) so the first-touch cost stays visible, adjudicated
+        // by its own gc/cpu telemetry instead of a per-round essay.
+        def timed(dir: String): Seq[(String, Option[Double], Long, Long, Long, Option[Double])] = {
+          def clearAll(): Unit = {
+            spark.catalog.clearCache()
+            graft.queries.SharedArtifacts.clear()
+            graft.queries.DiskArtifacts.clear()
+          }
           probes.map { n =>
+            clearAll()
+            val tc = System.nanoTime()
+            val okCold = try { SparkEntry.queries(n)(spark, dir).count(); true }
+                         catch { case _: Throwable => false }
+            val coldSec =
+              if (okCold) Some((System.nanoTime() - tc) / 1e9) else None
+            clearAll()
             // dp01 also runs connectedComponents: clear the slot before
             // dd06 so a dd06 failure can't republish an earlier query's
             // telemetry under dd06_cc (ADVICE r8)
@@ -270,7 +306,7 @@ object Bench {
               if (c0 < 0 || wallNs <= 0) -1L
               else (procCpuNs() - c0) * 1000L / (wallNs * nCores)
             (n, if (ok) Some(wallNs / 1e9) else None,
-              gcMs, peakMb, cpuShareMilli)
+              gcMs, peakMb, cpuShareMilli, coldSec)
           }
         }
         // time BOTH scales fresh, back-to-back, in the same warmed state —
@@ -278,18 +314,23 @@ object Bench {
         // first measurement against a warm one (observed ratios < 1)
         val at01 = timed(sf01); val cc01 = ccSnapshot; val sem01 = semSnapshot
         val at1 = timed(sf1Dir); val cc1 = ccSnapshot; val sem1 = semSnapshot
-        def obj(ts: Seq[(String, Option[Double], Long, Long, Long)]) = ts.map {
-          case (k, Some(v), _, _, _) => s"\"" + k + "\":" + v
-          case (k, None, _, _, _)    => s"\"" + k + "\":\"error\""
+        type PT = (String, Option[Double], Long, Long, Long, Option[Double])
+        def obj(ts: Seq[PT]) = ts.map {
+          case (k, Some(v), _, _, _, _) => s"\"" + k + "\":" + v
+          case (k, None, _, _, _, _)    => s"\"" + k + "\":\"error\""
         }.mkString("{", ",", "}")
-        def gcObj(ts: Seq[(String, Option[Double], Long, Long, Long)]) = ts.map {
-          case (k, _, g, _, _) => s"\"" + k + "\":" + g
+        def coldObj(ts: Seq[PT]) = ts.map {
+          case (k, _, _, _, _, Some(v)) => s"\"" + k + "\":" + v
+          case (k, _, _, _, _, None)    => s"\"" + k + "\":\"error\""
         }.mkString("{", ",", "}")
-        def peakObj(ts: Seq[(String, Option[Double], Long, Long, Long)]) = ts.map {
-          case (k, _, _, p, _) => s"\"" + k + "\":" + p
+        def gcObj(ts: Seq[PT]) = ts.map {
+          case (k, _, g, _, _, _) => s"\"" + k + "\":" + g
         }.mkString("{", ",", "}")
-        def cpuObj(ts: Seq[(String, Option[Double], Long, Long, Long)]) = ts.map {
-          case (k, _, _, _, c) => s"\"" + k + "\":" + c
+        def peakObj(ts: Seq[PT]) = ts.map {
+          case (k, _, _, p, _, _) => s"\"" + k + "\":" + p
+        }.mkString("{", ",", "}")
+        def cpuObj(ts: Seq[PT]) = ts.map {
+          case (k, _, _, _, c, _) => s"\"" + k + "\":" + c
         }.mkString("{", ",", "}")
         val m01 = at01.map(t => t._1 -> t._2).toMap
         val m1 = at1.map(t => t._1 -> t._2).toMap
@@ -302,7 +343,7 @@ object Bench {
         // brace inside a string value (ADVICE r11)
         val telemetry =
           s""""ratio_vs_10x_data":$ratios,"dd06_cc":{"sf0.1":$cc01,"sf1":$cc1},"dd13_cells":{"sf0.1":$sem01,"sf1":$sem1}"""
-        (s""","sf1":{"build_sec":$buildSec,"sf0.1":${obj(at01)},"sf1":${obj(at1)},"gc_ms":{"sf0.1":${gcObj(at01)},"sf1":${gcObj(at1)}},"peak_heap_mb":{"sf0.1":${peakObj(at01)},"sf1":${peakObj(at1)}},"cpu_share_milli":{"sf0.1":${cpuObj(at01)},"sf1":${cpuObj(at1)}},$telemetry}""",
+        (s""","sf1":{"build_sec":$buildSec,"protocol":"2-shot-isolated-keep-2nd","sf0.1":${obj(at01)},"sf1":${obj(at1)},"cold_sec":{"sf0.1":${coldObj(at01)},"sf1":${coldObj(at1)}},"gc_ms":{"sf0.1":${gcObj(at01)},"sf1":${gcObj(at1)}},"peak_heap_mb":{"sf0.1":${peakObj(at01)},"sf1":${peakObj(at1)}},"cpu_share_milli":{"sf0.1":${cpuObj(at01)},"sf1":${cpuObj(at1)}},$telemetry}""",
          s""","sf1":{$telemetry}""")
       } else ("", "")
     def r3b(v: Double) = math.round(v * 1000) / 1000.0
@@ -312,10 +353,21 @@ object Bench {
     spark.catalog.clearCache()
     val postClearStorage = storageJson()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","warmup_sec":$warmupSec,"gc_sec":${r3b(gcTotalSec)},"gc_share":${r3b(gcTotalSec / math.max(1e-9, total))},"post_loop_storage":$postLoopStorage,"post_clear_storage":$postClearStorage,$subsetJson,"queries":$qs,"gc_ms":$gcJson,"peak_heap_mb":$peakJson,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // best-effort; stdout is the contract
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","warmup_sec":$warmupSec,"gc_sec":${r3b(gcTotalSec)},"gc_share":${r3b(gcTotalSec / math.max(1e-9, total))},"post_loop_storage":$postLoopStorage,"post_clear_storage":$postClearStorage,$subsetJson,"queries":$qs,"gc_ms":$gcJson,"peak_heap_mb":$peakJson,"cpu_share_milli":$cpuJson,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+    // VERDICT r15 #7 (ninth round of "What's wrong" #4): the driver's
+    // per-round bench run overwrote the builder's committed BENCH_full
+    // shot. The full line now ALSO lands in a timestamped file that no
+    // later run touches; BENCH_full.json stays as the
+    // latest-run convenience pointer (same bytes).
+    val stampedName = "BENCH_full_" + java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now()) + ".json"
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(stampedName),
+        (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort; stdout is the contract
     // The driver's artifact keeps only the LAST ~2 KB of stdout: ten rounds
     // of BENCH_r*.json carry "parsed": null because the full 133-query line
     // overflows that tail and truncates mid-object. Print a line that FITS —
@@ -324,9 +376,9 @@ object Bench {
     // BENCH_full.json (committed each round) for the judge's diffs.
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"warm","warmup_sec":${r3(warmupSec)},"gc_sec":${r3(gcTotalSec)},"gc_share":${r3(gcTotalSec / math.max(1e-9, total))},"post_loop_storage":$postLoopStorage,"post_clear_storage":$postClearStorage,$subsetJson,"queries":$top,"queries_total":${results.size},"full":"BENCH_full.json","errors":$errJson,"sf":"$sfDir"$sf1Compact}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"warm","warmup_sec":${r3(warmupSec)},"gc_sec":${r3(gcTotalSec)},"gc_share":${r3(gcTotalSec / math.max(1e-9, total))},"post_loop_storage":$postLoopStorage,"post_clear_storage":$postClearStorage,$subsetJson,"queries":$top,"queries_total":${results.size},"full":"$stampedName","errors":$errJson,"sf":"$sfDir"$sf1Compact}"""
     println(compact)
     spark.stop()
   }

@@ -1624,13 +1624,26 @@ object SimilarityOps {
     * Arms are (query_id, neighbor_id, rank) frames — each already a
     * bounded per-query top-k, so the fusion input is |arms|·k rows per
     * query regardless of corpus size; the combine is one hash
-    * aggregation on (query, candidate).
+    * aggregation on (query, candidate). CONTRACT (asserted for the
+    * columns, documented for the rows — ADVICE r15): each arm must
+    * carry all three columns, and must hold at most ONE row per
+    * (query_id, neighbor_id) — a per-query ranked top-k by
+    * construction. Duplicate rows would inflate that candidate's
+    * n_arms and rrf_nano; this op does not dedupe (a silent
+    * max-by-rank would hide the producer's bug).
     *
     * @return [query_id, neighbor_id, n_arms, rrf_nano, rank]
     */
   def rrfFuse(arms: Seq[DataFrame], kConst: Int = 60,
       topK: Int = 10): DataFrame = {
     require(arms.nonEmpty && kConst >= 0 && topK >= 1)
+    arms.zipWithIndex.foreach { case (a, i) =>
+      val missing = Seq("query_id", "neighbor_id", "rank")
+        .filterNot(a.columns.contains)
+      require(missing.isEmpty,
+        s"rrfFuse arm $i is missing column(s) ${missing.mkString(", ")}: " +
+          s"arms must be (query_id, neighbor_id, rank) per-query top-k frames")
+    }
     import org.apache.spark.sql.expressions.Window
     val contrib = arms.map(_.select(col("query_id"), col("neighbor_id"),
         expr(s"1000000000 div ($kConst + rank)").as("_c")))

@@ -764,9 +764,12 @@ object TextOps {
       labelPred: Column, dims: Int = 16, rounds: Int = 3): DataFrame = {
     require(dims >= 1 && rounds >= 1 && rounds <= 16)
     val base = df.where(length(trim(col(textCol))) > 0)
+    // null labelPred coerces to 0, matching the oracle's CASE WHEN ...
+    // THEN 1 ELSE 0 (a null _y would null that doc's gradient terms and
+    // silently drop them from the per-dim sum — ADVICE r15)
     val labels = Exec.materializeForSelfJoin(
       base.select(col(idCol).as("doc_id"),
-        labelPred.cast("int").cast("long").as("_y")))
+        coalesce(labelPred.cast("int"), lit(0)).cast("long").as("_y")))
     val nDocs = labels.count()
     require(nDocs > 0, "hashLogReg needs at least one labeled document")
     val feats = Exec.materializeLarge(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.extract.Extractors
-import graft.operators.{CleanOps, DedupOps}
+import graft.operators.{CleanOps, CrawlOps, DedupOps}
 import graft.schema.{Modifier, NdcEntry}
 import graft.sinks.ParquetSink
 
@@ -127,17 +127,50 @@ object ProcedurePipeline {
     }
   }
 
-  /** clean -> fetch -> parse. The fetch is the only side-effecting,
-    * nondeterministic stage; it lives in one mapPartitions with a
-    * per-partition session (E22 semantics). `fetchPartitions` bounds the
-    * number of concurrent sessions (distributed politeness, SURVEY §7.3).
+  /** Crawl frontier for a code batch (VERDICT r15 #5): clean, build each
+    * code's page URL (the reference's BASE_SITE + code,
+    * `procedure_code.py:541`), canonicalize + dedup on the canonical
+    * form ([[CrawlOps.frontierDedup]] — aliasing candidates collapse
+    * BEFORE any fetch is spent on them), and attach the per-host
+    * politeness schedule ([[CrawlOps.politenessSchedule]]) in seeded
+    * hash order (the dp31 deterministic-order convention).
+    *
+    * @return [code, canonical_url, host, seq, fetch_at_ms]
+    */
+  def frontierSchedule(codes: DataFrame, baseSite: String,
+      delayMs: Long = 1000L): DataFrame = {
+    val withUrl = CleanOps.cleanCodes(codes).select(col("code"))
+      .withColumn("url", concat(lit(baseSite), col("code")))
+    val deduped = CrawlOps.frontierDedup(withUrl, "url", "code")
+      .withColumnRenamed("first_key", "code")
+      // numeric within-host order key for the two-phase rank (the
+      // prefix sum buckets on div): seeded hash of the canonical URL
+      .withColumn("_ord", expr("xxhash64(canonical_url) & 9223372036854775807"))
+    CrawlOps.politenessSchedule(deduped, "host", "_ord", delayMs)
+      .select(col("code"), col("canonical_url"), col("host"),
+        col("seq"), col("fetch_at_ms"))
+  }
+
+  /** clean -> frontier (canonical dedup + politeness order) -> fetch ->
+    * parse. The fetch is the only side-effecting, nondeterministic
+    * stage; it lives in one mapPartitions with a per-partition session
+    * (E22 semantics). `fetchPartitions` bounds the number of concurrent
+    * sessions, and the frontier's host rides the repartition key with
+    * codes sorted by schedule slot within each partition — one
+    * partition's session visits a host serially, in schedule order
+    * (distributed politeness, SURVEY §7.3; the reference's
+    * between-request sleeps, `procedure_code.py:256-263`, become the
+    * schedule's fetch_at_ms column).
     */
   def extract(spark: SparkSession, codes: DataFrame, fetcher: PageFetcher,
-      fetchPartitions: Int = 8): Dataset[ParsedPage] = {
+      fetchPartitions: Int = 8,
+      baseSite: String = "https://codes.example/"): Dataset[ParsedPage] = {
     import spark.implicits._
-    val cleaned = CleanOps.cleanCodes(codes).select("code").as[String]
-    cleaned
-      .repartition(fetchPartitions)
+    val ordered = frontierSchedule(codes, baseSite)
+      .repartition(fetchPartitions, col("host"))
+      .sortWithinPartitions(col("host"), col("seq"))
+      .select("code").as[String]
+    ordered
       .mapPartitions { it =>
         fetcher.open()
         val out = it.map(code => (code, fetcher.fetch(code)))

@@ -5461,7 +5461,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
       SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
     nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-    meta AS (SELECT 1000000000000 // count(*) AS init FROM nodes),
+    meta AS (SELECT 1000000000000 // greatest(1, count(*)) AS init FROM nodes),
     deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
     r0 AS (SELECT node, (SELECT init FROM meta) AS pr FROM nodes),
     r1 AS (${pagerankIterSql("r0")}),
@@ -5481,7 +5481,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct())
       val meta = Exec.materializeForSelfJoin(
-        nodes.agg(expr("1000000000000 div count(*)").as("init")))
+        nodes.agg(expr("1000000000000 div greatest(1, count(*))").as("init")))
       // out-degree is joined onto the edge list ONCE, outside the loop —
       // each iteration then needs a single equi-join + one aggregation
       // instead of re-joining deg every round
@@ -8257,7 +8257,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     tedges AS (SELECT e.u, e.v, e.w, d.wdeg
                FROM tedges0 e JOIN twdeg d USING (u)),
     tnodes AS (SELECT u AS node FROM twdeg),
-    tmeta AS (SELECT 1000000000000 // count(*) AS init FROM tnodes),
+    tmeta AS (SELECT 1000000000000 // greatest(1, count(*)) AS init FROM tnodes),
     tr0 AS (SELECT node, (SELECT init FROM tmeta) AS pr FROM tnodes),
     tr1 AS (${textrankIterSql("tr0")}),
     tr2 AS (${textrankIterSql("tr1")}),
@@ -8438,7 +8438,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     nodes AS (SELECT DISTINCT src AS node FROM eu),
     degu AS (SELECT src, count(*) AS deg FROM eu GROUP BY src),
     seeds AS (SELECT node FROM nodes WHERE node < 10000000 AND node % 50 = 0),
-    smeta AS (SELECT 1000000000000 // count(*) AS sinit FROM seeds),
+    smeta AS (SELECT 1000000000000 // greatest(1, count(*)) AS sinit FROM seeds),
     p0 AS (SELECT n.node,
         CASE WHEN s.node IS NOT NULL THEN (SELECT sinit FROM smeta)
              ELSE 0 END AS pr
@@ -8466,7 +8466,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         nodes.where(col("node") < 10000000L && col("node") % 50 === 0)
           .withColumn("_seed", lit(1)))
       val smeta = Exec.materializeForSelfJoin(
-        seeds.agg(expr("1000000000000 div count(*)").as("sinit")))
+        seeds.agg(expr("1000000000000 div greatest(1, count(*))").as("sinit")))
       // degrees ride the edge rows (q68's one-join-per-round move)
       val euDeg = Exec.materializeForSelfJoin(
         eu.join(eu.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
@@ -9633,7 +9633,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
       SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
     hubs AS (SELECT DISTINCT src AS node FROM e),
-    meta AS (SELECT 1000000000000 // count(*) AS init FROM hubs),
+    meta AS (SELECT 1000000000000 // greatest(1, count(*)) AS init FROM hubs),
     h0 AS (SELECT node, (SELECT init FROM meta) AS score FROM hubs),
     ${hitsRoundCtes(1)},
     ${hitsRoundCtes(2)},
@@ -10145,6 +10145,13 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   // so near-duplicate documents share tiles exactly where dd* finds
   // them — the plumbing (grid → hash → group → threshold) is the
   // production shape for image-corpus boilerplate detection.
+  // ASCII-corpus contract (ADVICE r15, mm11's pinned convention): the
+  // oracle sizes the grid from octet_length(encode(text)) BYTES but
+  // slices tiles with character substr, while the Spark side slices the
+  // binary payload by bytes — the two agree because the driver corpus is
+  // ASCII-only (verified: 0 docs at all 3 SFs where octet_length ≠
+  // length), making byte == char. A non-ASCII corpus would need the
+  // oracle to slice encode(text) instead.
   private val mm12 = Q("mm12_shared_tiles", Some("""
     WITH b AS (
       SELECT doc_id, text, octet_length(encode(text)) AS len
@@ -10548,6 +10555,143 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         .orderBy("doc_id")
     })
 
+  /** The CrawlOps.canonicalizeUrl mirror as a DuckDB SQL fragment over a
+    * column named `url` in CTE `raw` — RFC 3986 §6 syntax normalization:
+    * fragment strip, scheme/host lowercase, default-port strip,
+    * query-key sort, empty path → "/". Each regexp is verbatim the
+    * Spark side's; both engines return '' for a non-matching
+    * regexp_extract group.
+    */
+  private val urlCanonCtes: String = """
+    n1 AS (SELECT p_partkey, url, regexp_replace(url, '#.*$', '') AS nofrag
+           FROM raw),
+    n2 AS (SELECT p_partkey, url, nofrag,
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(nofrag, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+        regexp_extract(nofrag, '^[^:/?#]+://[^/?#]*(.*)$', 1) AS pathq
+      FROM n1),
+    n3 AS (SELECT p_partkey, url,
+        scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END AS host,
+        regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        regexp_extract(pathq, '\?(.*)$', 1) AS query,
+        hostport
+      FROM n2),
+    c AS (SELECT p_partkey, url, host,
+        CASE WHEN scheme = '' OR hostport = '' THEN NULL
+             ELSE scheme || '://' || host
+               || CASE WHEN path = '' THEN '/' ELSE path END
+               || CASE WHEN query = '' THEN ''
+                  ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+        END AS canonical_url
+      FROM n3)"""
+
+  /** Deterministic messy-URL corpus for the frontier queries: four raw
+    * spellings per part row — uppercase scheme/host + default port,
+    * fragment-bearing, permuted query keys — built so spellings 0/1
+    * collapse pairwise and 2/3 collapse pairwise after canonicalization
+    * (the ref01 derive-the-fixture discipline: the oracle can state the
+    * collapse relationally because the aliasing is constructed).
+    */
+  private val urlRawSql: String = """
+    raw AS (
+      SELECT p_partkey,
+        CASE p_partkey % 4
+          WHEN 0 THEN 'HTTP://EXAMPLE' || cast(p_partkey % 7 as varchar)
+            || '.COM:80/codes/' || cast(p_partkey % 100 as varchar)
+          WHEN 1 THEN 'http://example' || cast(p_partkey % 7 as varchar)
+            || '.com/codes/' || cast(p_partkey % 100 as varchar)
+            || '#frag' || cast(p_size as varchar)
+          WHEN 2 THEN 'HTTPS://Example' || cast(p_partkey % 7 as varchar)
+            || '.COM:443/search?q=' || cast(p_partkey % 100 as varchar)
+            || '&lang=en&ref=' || cast(p_size as varchar)
+          ELSE 'https://example' || cast(p_partkey % 7 as varchar)
+            || '.com/search?ref=' || cast(p_size as varchar)
+            || '&lang=en&q=' || cast(p_partkey % 100 as varchar)
+        END AS url
+      FROM part)"""
+
+  private def urlRawSpark(s: SparkSession, d: String): DataFrame =
+    T(s, d, "part").select(col("p_partkey"),
+      when(col("p_partkey") % 4 === 0, concat(
+          lit("HTTP://EXAMPLE"), (col("p_partkey") % 7).cast("string"),
+          lit(".COM:80/codes/"), (col("p_partkey") % 100).cast("string")))
+        .when(col("p_partkey") % 4 === 1, concat(
+          lit("http://example"), (col("p_partkey") % 7).cast("string"),
+          lit(".com/codes/"), (col("p_partkey") % 100).cast("string"),
+          lit("#frag"), col("p_size").cast("string")))
+        .when(col("p_partkey") % 4 === 2, concat(
+          lit("HTTPS://Example"), (col("p_partkey") % 7).cast("string"),
+          lit(".COM:443/search?q="), (col("p_partkey") % 100).cast("string"),
+          lit("&lang=en&ref="), col("p_size").cast("string")))
+        .otherwise(concat(
+          lit("https://example"), (col("p_partkey") % 7).cast("string"),
+          lit(".com/search?ref="), col("p_size").cast("string"),
+          lit("&lang=en&q="), (col("p_partkey") % 100).cast("string")))
+        .as("url"))
+
+  // Crawl-frontier canonicalization + dedup (CrawlOps — VERDICT r15 #5,
+  // the reference-thematic gap: the reference's frontier is BASE_SITE +
+  // code fetched one at a time, `procedure_code.py:541`; a fleet-scale
+  // frontier must collapse syntactic URL aliases BEFORE spending a
+  // fetch). RFC 3986 §6 normalization as pure column algebra —
+  // lowercase scheme/host, strip default port + fragment, sort query
+  // keys, '/' for empty paths — then one hash aggregation on the
+  // canonical key. The oracle mirrors every regexp verbatim; the messy
+  // corpus is CONSTRUCTED so each canonical absorbs the uppercase-port
+  // spelling with its fragment twin (0/1) or the permuted-query pair
+  // (2/3).
+  private val q106 = Q("q106_url_frontier_dedup", Some(s"""
+    WITH $urlRawSql,
+    $urlCanonCtes
+    SELECT canonical_url, host,
+      cast(count(*) as bigint) AS n_variants,
+      cast(count(DISTINCT url) as bigint) AS n_distinct_raw,
+      cast(min(p_partkey) as bigint) AS first_key
+    FROM c WHERE canonical_url IS NOT NULL
+    GROUP BY canonical_url, host
+    ORDER BY canonical_url"""),
+    (s, d) => CrawlOps.frontierDedup(urlRawSpark(s, d), "url", "p_partkey")
+      .select(col("canonical_url"), col("host"),
+        col("n_variants").cast("long").as("n_variants"),
+        col("n_distinct_raw").cast("long").as("n_distinct_raw"),
+        col("first_key").cast("long").as("first_key"))
+      .orderBy("canonical_url"))
+
+  // Per-host politeness schedule (CrawlOps.politenessSchedule — the
+  // reference's between-request sleeps, `procedure_code.py:256-263`,
+  // restated as a computed fetch-slot column): the deduped frontier
+  // gets a 1-based per-host rank in first_key order and
+  // fetch_at_ms = (seq−1)·1000. The rank is the TWO-PHASE
+  // value-range-bucketed prefix sum (PrefixSumOps), not a bare per-host
+  // window — hosts are low-cardinality on a focused crawl, and the
+  // single-window form would sort one mega-host's whole frontier in a
+  // task at 100 TB; the oracle keeps the window form (same semantics,
+  // which is the point of the rewrite — the dp03 discipline).
+  private val dp33 = Q("dp33_politeness_schedule", Some(s"""
+    WITH $urlRawSql,
+    $urlCanonCtes,
+    d AS (SELECT canonical_url, host, min(p_partkey) AS first_key
+          FROM c WHERE canonical_url IS NOT NULL GROUP BY 1, 2),
+    sch AS (SELECT host, canonical_url, first_key,
+        row_number() OVER (PARTITION BY host ORDER BY first_key) AS seq
+      FROM d)
+    SELECT host, canonical_url, cast(first_key as bigint) AS first_key,
+      cast(seq as bigint) AS seq,
+      cast((seq - 1) * 1000 as bigint) AS fetch_at_ms
+    FROM sch ORDER BY host, seq"""),
+    (s, d) => {
+      val deduped = CrawlOps.frontierDedup(urlRawSpark(s, d), "url", "p_partkey")
+        .select("canonical_url", "host", "first_key")
+      CrawlOps.politenessSchedule(deduped, "host", "first_key", delayMs = 1000L)
+        .select(col("host"), col("canonical_url"),
+          col("first_key").cast("long").as("first_key"),
+          col("seq"), col("fetch_at_ms"))
+        .orderBy("host", "seq")
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -10556,7 +10700,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105,
+    q101, q102, q103, q104, q105, q106,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     dd25, dd26, dd27, dd28,
@@ -10570,5 +10714,5 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
     dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28, dp29,
-    dp30, dp31, dp32)
+    dp30, dp31, dp32, dp33)
 }

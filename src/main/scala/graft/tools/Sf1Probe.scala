@@ -45,7 +45,12 @@ object Sf1Probe {
     // graft.tools.Sf1Probe 3` leaves a contention-controlled decade
     // ratio on record (tx14 had none at all when it was flagged weak)
     "tx14_bigram_lm", "dd17_lsh_recall", "dd20_jaccard_join",
-    "dd23_incremental_clusters")
+    "dd23_incremental_clusters",
+    // VERDICT r15 #1: ann18 read 36.26s in the r15 driver main loop vs
+    // 3.68s committed idle with NO isolated full-query probe on record —
+    // it joins the default list so every `runMain graft.tools.Sf1Probe 3`
+    // leaves a contention-controlled decade ratio for it
+    "ann18_graph_depth_curve")
 
   /** Also called by graft.Bench's optional sf1 section. Idempotent: the
     * `_DONE` marker caches the built corpus across runs/rounds.
