@@ -217,6 +217,54 @@ object SimilarityOps {
       .select(col("_ka_id").as(idCol), col("cell"))
   }
 
+  /** Multi-probe centroid assignment: each vector's `nProbe` NEAREST
+    * cells (the ann15/ivfTopK query-side probe applied to the WHOLE
+    * corpus — what SemDeDup-style dedup needs to stop losing pairs that
+    * straddle a cell boundary). The obvious form — `row_number()` over
+    * the n×k scored table — ships k scored copies of every vector
+    * through one shuffle; at 100 TB with k up to 4096 that exchange IS
+    * the job. Instead this runs `nProbe` successive [[nearestCell]]-style
+    * max-aggregations, each map-side-combinable (one partially-reduced
+    * row per vector per map partition crosses the wire): probe p
+    * re-scores the corpus against the broadcast centroids and takes the
+    * max ordering key STRICTLY BELOW probe p−1's key. Cost is nProbe
+    * map passes of n×k cosines (recomputed, never materialized — the
+    * n×k table must not exist) plus nProbe − 1 O(n) joins; shuffles
+    * stay O(n) throughout.
+    *
+    * Ordering key = struct(rounded sim, −cell): max = highest sim,
+    * smallest cell on ties — exactly `row_number() OVER (ORDER BY sim
+    * DESC, cell ASC)`, which the oracle states directly with `rn <=
+    * nProbe`. Keys are unique per (vector, cell), so "strictly below"
+    * loses nothing. Vectors are assigned min(nProbe, k) cells.
+    *
+    * @return (idCol, cell, probe) — probe 1 = nearest
+    */
+  def assignTopCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nProbe: Int = 2, roundSim: Int = 6): DataFrame = {
+    require(nProbe >= 1 && nProbe <= 8, "nProbe is a small probing constant")
+    val base = df.select(col(idCol).as("_mp_id"),
+      col(vecCol).cast("array<double>").as("_mp_vec"))
+    def scored(b: DataFrame): DataFrame = b
+      .crossJoin(broadcast(centroids))
+      .withColumn("_mp_key", struct(
+        round(cosine(col("_mp_vec"), col("cvec")), roundSim).as("s"),
+        (-col("cell")).as("nc")))
+    var out: DataFrame = null
+    var bound: DataFrame = null // (_mp_id, _mp_bk) = previous probe's key
+    for (p <- 1 to nProbe) {
+      val sc =
+        if (bound == null) scored(base)
+        else scored(base.join(bound, "_mp_id")).where(col("_mp_key") < col("_mp_bk"))
+      val top = sc.groupBy("_mp_id").agg(max(col("_mp_key")).as("_mp_bk"))
+      val picked = top.select(col("_mp_id"), (-col("_mp_bk.nc")).as("cell"),
+        lit(p).as("probe"))
+      out = if (out == null) picked else out.unionByName(picked)
+      bound = top
+    }
+    out.select(col("_mp_id").as(idCol), col("cell"), col("probe"))
+  }
+
   /** IVF top-k retrieval against a TRAINED centroid table (`cell`,
     * `cvec array<double>` — [[kmeansFit]] output rebuilt to arrays): the
     * deployable form of ann04's seed-centroid demo. The corpus assigns
@@ -960,14 +1008,36 @@ object SimilarityOps {
 
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double, roundSim: Int = 6,
-      targetCell: Int = 64, maxSignAxes: Int = 8): DataFrame = {
-    val assigned = assignToCentroids(df, idCol, vecCol, centroids, roundSim)
+      targetCell: Int = 64, maxSignAxes: Int = 8, probes: Int = 1): DataFrame = {
+    // probes > 1 = multi-probe assignment (dd28's measured finding: the
+    // single-cell bound loses boundary-straddling pairs — probing each
+    // vector's 2 nearest cells recovers them for a ~2x candidate-pair
+    // cost, both sides of the trade published by dd28). Pairs found in
+    // two shared cells dedup below.
+    val assigned =
+      if (probes <= 1) assignToCentroids(df, idCol, vecCol, centroids, roundSim)
+        .withColumn("probe", lit(1))
+      else assignTopCells(df, idCol, vecCol, centroids, probes, roundSim)
     val withVec = Exec.materializeLarge(
       assigned.join(df.select(col(idCol), col(vecCol)), idCol)
-        .select(col("cell"), col(idCol).as("_sd_id"),
+        .select(col("cell"), col("probe").as("_sd_probe"),
+          col(idCol).as("_sd_id"),
           col(vecCol).cast("array<double>").as("_sd_vec"))
         .withColumn("_sd_sign", signBucket(col("_sd_vec"), 0 until maxSignAxes)))
-    val cellSizes = withVec.groupBy("cell").agg(count(lit(1)).as("_sd_cn"))
+    // Sub-bucket geometry derives from the PRIMARY assignment's cell
+    // sizes, not the probe-inflated ones (the FAISS IVF discipline: more
+    // probes widen candidate generation, they never re-split the lists).
+    // This keeps probes = 2 a strict superset of probes = 1 — a pair
+    // detected under the single-probe geometry shares a cell where both
+    // members are primary, and that cell's axes are unchanged. Cells
+    // with NO primary members (possible only under multi-probe) size
+    // their ladder from their own multi-probe population, so a dense
+    // secondary-only cell still cannot go quadratic.
+    val cellSizes = withVec.groupBy("cell").agg(
+        count(lit(1)).as("_sd_all"),
+        sum(when(col("_sd_probe") === 1, 1L).otherwise(0L)).as("_sd_prim"))
+      .withColumn("_sd_cn",
+        when(col("_sd_prim") > 0, col("_sd_prim")).otherwise(col("_sd_all")))
       .withColumn("_sd_axes", subBucketAxisCount(col("_sd_cn"), targetCell, maxSignAxes))
       .select(col("cell"), col("_sd_axes"))
     // k rows — bounded by scaledCellCount's cap, safe to broadcast
@@ -987,10 +1057,14 @@ object SimilarityOps {
       col("_sd_id").as("id1"), col("_sd_vec").as("_sd_v1"))
     val r = keyed.select(col("cell"), col("_sd_bucket"),
       col("_sd_id").as("id2"), col("_sd_vec").as("_sd_v2"))
-    l.join(r, Seq("cell", "_sd_bucket"))
+    val pairs = l.join(r, Seq("cell", "_sd_bucket"))
       .where(col("id1") < col("id2"))
       .withColumn("sim", round(cosine(col("_sd_v1"), col("_sd_v2")), roundSim))
       .where(col("sim") >= threshold)
+      .select(col("cell"), col("id1"), col("id2"), col("sim"))
+    if (probes <= 1) pairs
+    else pairs.groupBy("id1", "id2") // a pair can share 2 probed cells
+      .agg(min("cell").as("cell"), max("sim").as("sim"))
       .select(col("cell"), col("id1"), col("id2"), col("sim"))
   }
 

@@ -801,6 +801,33 @@ object TextOps {
     w
   }
 
+  /** Score documents under a TRAINED [[hashLogReg]] weight table — the
+    * serving half of the in-engine classifier (what a curation gate
+    * actually runs at 100 TB): one [[featureHash]] pass over the batch,
+    * one broadcast join of the (dims+1)-row weight table, one per-doc
+    * map-side-combinable hash agg for the logit. Pure-integer
+    * discipline: z_micro = Σ w_micro·x is an exact long, and the
+    * decision boundary is the INTEGER comparison z_micro > 0 (sigmoid
+    * is monotone, so p > 0.5 ⇔ z > 0 — the one place the float can be
+    * skipped entirely), so predictions are bit-identical cross-engine.
+    *
+    * @param weights [dim, w_micro] — dims+1 rows, dim −1 = bias
+    * @return [doc_id, z_micro, pred] — pred ∈ {0, 1}
+    */
+  def logRegScore(df: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame, dims: Int = 16): DataFrame = {
+    require(dims >= 1)
+    val base = df.where(length(trim(col(textCol))) > 0)
+    val feats = featureHash(base, textCol, idCol, dims).where(col("val") > 0)
+      .unionByName(base.select(col(idCol).as("doc_id"), lit(-1L).as("dim"),
+        lit(1L).as("val")))
+    feats.join(broadcast(weights), "dim")
+      .groupBy("doc_id")
+      .agg(sum(col("w_micro") * col("val")).as("z_micro"))
+      .select(col("doc_id"), col("z_micro"),
+        when(col("z_micro") > 0, 1L).otherwise(0L).as("pred"))
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
     * Extraction from Individual Documents") — the stopword-delimiter
     * complement to TextRank (tx29): candidate phrases are maximal runs

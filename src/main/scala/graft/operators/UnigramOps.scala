@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — Kudo 2018
@@ -218,6 +218,82 @@ object UnigramOps {
     *              [[unigramFit]]'s output, or the
     *              `SharedArtifacts.unigramVocab16` trained artifact)
     */
+  /** ENCODE → DECODE round trip with SentencePiece-style BYTE FALLBACK —
+    * the serving identity a tokenizer consumer relies on
+    * (decode(encode(s)) == s), proven per distinct word (VERDICT r15
+    * next-round #4). Characters with no surviving single-char piece
+    * (an OOV script at serving time; modeled by `dropPiecePred`, which
+    * filters the trained vocabulary the way a domain-restricted vocab
+    * misses chars) enter the Viterbi DP as synthetic fallback pieces
+    * priced `fallbackLpPerByte` per UTF-8 byte — far below any real
+    * piece's log-prob, so fallback fires only where nothing else covers.
+    * A chosen fallback char renders as its byte pieces (`<0xE4><0xB8>
+    * <0xAD>` for one 3-byte char — counted as 3 pieces, the
+    * SentencePiece byte-piece accounting that also bounds dp32's budget
+    * error on OOV-heavy text); decode inverts markers via
+    * unhex → UTF-8. Byte pieces are distinguished by token identity
+    * (the `_fb` flag here; distinct token ids in a real serving stack),
+    * not by surface form, so a corpus word that literally contains
+    * `<0x..>` cannot confuse the decoder.
+    *
+    * Scale shape: identical to [[encodeStats]] — the DP and the
+    * round-trip both run once per DISTINCT word (vocabulary-scale); the
+    * corpus is never touched past the one word-frequency pass. The
+    * fallback char table is alphabet-sized (distinct chars anti-joined
+    * against surviving singles — never collected to the driver).
+    *
+    * Determinism: fallback log-probs are exact integer nano-units, so
+    * path sums stay exact BIGINTs under the same longest-piece
+    * tie-break; rendering and decoding are byte-exact.
+    *
+    * @return [word, n_pieces, n_fallback_bytes, roundtrip] — the oracle
+    *         states `word AS roundtrip` directly, so a hash match IS the
+    *         identity proof (the q105 trick)
+    */
+  def encodeRoundTrip(df: DataFrame, textCol: String, vocab: DataFrame,
+      maxLen: Int = 4, maxWordLen: Int = 16,
+      dropPiecePred: Column = lit(false),
+      fallbackLpPerByte: Long = -25000000000L,
+      tokenTable: Option[DataFrame] = None): DataFrame = {
+    require(maxLen >= 2 && maxWordLen >= maxLen && fallbackLpPerByte < 0)
+    val words = Exec.materializeForSelfJoin(
+      wordFreqs(df, textCol, tokenTable).where(length(col("w")) <= maxWordLen))
+    val kept = vocab.where(!dropPiecePred)
+      .select(col("piece"), col("lp_nano").as("lp"))
+    val chars = words
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"))
+      .distinct()
+    val fb = Exec.materializeForSelfJoin(
+      chars.join(kept.where(length(col("piece")) === 1), Seq("piece"), "left_anti")
+        .select(col("piece"),
+          (octet_length(col("piece")).cast("long") * lit(fallbackLpPerByte)).as("lp")))
+    val seg = viterbiBoundaries(words, kept.unionByName(fb), maxLen)
+    val pcs = seg.select(col("w"), posexplode(expr(
+        """transform(sequence(1, size(bt) - 1), i ->
+             substring(w, cast(element_at(bt, i) + 1 as int),
+               cast(element_at(bt, i + 1) - element_at(bt, i) as int)))"""))
+      .as(Seq("i", "piece")))
+    val flagged = pcs
+      .join(fb.select(col("piece"), lit(1).as("_fb")), Seq("piece"), "left")
+      .withColumn("_nb", octet_length(col("piece")).cast("long"))
+      .withColumn("_r", when(col("_fb") === 1,
+          regexp_replace(hex(encode(col("piece"), "UTF-8")),
+            "(..)", "<0x$1>"))
+        .otherwise(col("piece")))
+      .withColumn("_isfb", coalesce(col("_fb"), lit(0)))
+    flagged.groupBy("w")
+      .agg(sum(when(col("_isfb") === 1, col("_nb")).otherwise(1L)).as("n_pieces"),
+        sum(when(col("_isfb") === 1, col("_nb")).otherwise(0L)).as("n_fallback_bytes"),
+        expr("""array_join(transform(array_sort(collect_list(struct(i, _r, _isfb))),
+          x -> CASE WHEN x._isfb = 1
+            THEN decode(unhex(regexp_replace(x._r, '<0x([0-9A-Fa-f]{2})>', '$1')), 'UTF-8')
+            ELSE x._r END), '')""").as("roundtrip"))
+      .select(col("w").as("word"), col("n_pieces").cast("long").as("n_pieces"),
+        col("n_fallback_bytes").cast("long").as("n_fallback_bytes"),
+        col("roundtrip"))
+  }
+
   def encodeStats(df: DataFrame, textCol: String, idCol: String,
       vocab: DataFrame, maxLen: Int = 4, maxWordLen: Int = 16,
       tokenTable: Option[DataFrame] = None): DataFrame = {

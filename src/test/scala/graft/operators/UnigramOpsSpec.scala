@@ -78,4 +78,52 @@ class UnigramOpsSpec extends AnyFunSuite {
       .orderBy("piece").collect().map(_.getString(0))
     assert(out.toSeq == Seq("w", "x", "y", "z"))
   }
+
+  // ---- encodeRoundTrip: decode(encode(w)) == w with byte fallback ----
+
+  private def trainedVocab() = UnigramOps.unigramFit(
+    Seq((1L, "abab ab abab"), (2L, "ab cd")).toDF("doc_id", "text"),
+    "text", maxLen = 4, minCount = 2, rounds = 2)
+
+  test("encodeRoundTrip: covered words round-trip with zero fallback") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "abab ab cd")).toDF("doc_id", "text")
+    val got = UnigramOps.encodeRoundTrip(docs, "text", trainedVocab())
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("ab", 1L, 0L, "ab"), ("abab", 1L, 0L, "abab"), ("cd", 2L, 0L, "cd")))
+  }
+
+  test("encodeRoundTrip: emoji / CJK / control chars fall back per UTF-8 byte and decode back") {
+    import org.apache.spark.sql.functions._
+    // vocab trained on ASCII only; these words carry chars no piece covers.
+    // UTF-8 widths: 中 = 3 bytes, 😀 = 4 bytes, BEL (\u0007) = 1 byte.
+    val words = Seq("ab中ab", "a😀b", "a\u0007b", "中中")
+      .map(w => (0L, w)).toDF("doc_id", "tok")
+    val got = UnigramOps.encodeRoundTrip(
+        words.sparkSession.emptyDataFrame.withColumn("text", lit("")), "text",
+        trainedVocab(), tokenTable = Some(words))
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byWord = got.map(t => t._1 -> t).toMap
+    // identity holds for every word
+    got.foreach { case (w, _, _, rt) => assert(rt == w, s"round-trip broke: $w -> $rt") }
+    assert(byWord("ab中ab")._3 == 3L)   // one CJK char = 3 fallback bytes
+    assert(byWord("a😀b")._3 == 4L) // one emoji = 4 fallback bytes
+    assert(byWord("a\u0007b")._3 == 1L)     // control char = 1 byte
+    assert(byWord("中中")._2 == 6L) // byte pieces count per byte
+  }
+
+  test("encodeRoundTrip: dropPiecePred induces OOV and fallback covers it") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "abab ab cd")).toDF("doc_id", "text")
+    val got = UnigramOps.encodeRoundTrip(docs, "text", trainedVocab(),
+        dropPiecePred = col("piece").contains("c"))
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // 'cd' loses its 'c' piece → c is a 1-byte fallback, d a normal piece
+    assert(got.toSeq == Seq(
+      ("ab", 1L, 0L, "ab"), ("abab", 1L, 0L, "abab"), ("cd", 2L, 1L, "cd")))
+  }
 }

@@ -100,9 +100,11 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // bounded query broadcasts
     "ann27_ivf_imbalance",      // 16-row trained centroid cross join
                                 // (the one full-corpus assignment pass)
-    "dd28_semantic_recall")     // dd13's k-row centroid cross join +
+    "dd28_semantic_recall",     // dd13's k-row centroid cross join +
                                 // the 50-anchor truth broadcast
                                 // (ann01's bounded query-side shape)
+    "tx36_classifier_eval")     // 1-row n_train x 1-row confusion
+                                // matrix cross join (scalar metrics)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -201,8 +203,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann26_fusion_recall",      // bounded query-shingle + query-vector
                                 // broadcasts (ann02/ann01 shapes)
     "ann27_ivf_imbalance",      // 16-row trained centroid broadcast
-    "dd28_semantic_recall")     // dd13's centroid set + the bounded
+    "dd28_semantic_recall",     // dd13's centroid set + the bounded
                                 // 50-anchor truth broadcast
+    "tx36_classifier_eval")     // hashLogReg/logRegScore's (dims+1)-row
+                                // weight-table broadcasts
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
