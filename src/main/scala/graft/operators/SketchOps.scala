@@ -93,4 +93,52 @@ object SketchOps {
       .select(col("day"), col("n_days").cast("long").as("n_days"),
         kmvEstimate(col("sk"), 64).as("est_7d"))
   }
+
+  /** Count-min sketch hash: row `d`'s bucket for `key`, over the
+    * repo-standard portable md5 hash (salt `d || ':' || key`) — identical
+    * text in both engines, so sketches are cross-engine comparable.
+    */
+  private def cmsBucket(d: Column, key: Column, width: Int): Column =
+    conv(substring(md5(concat(d.cast("string"), lit(":"), key.cast("string"))),
+      1, 8), 16, 10).cast("long") % lit(width.toLong)
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) counter matrix:
+    * `depth` × `width` counters over a key stream — THE mergeable
+    * frequency sketch for the streaming/100 TB regime (counters add
+    * across partitions, days, and engines; q89's Misra–Gries summaries
+    * merge too but need the per-merge threshold dance). One pass: each
+    * key increments one bucket per depth row, a map-side-combinable
+    * hash agg on (d, b) — depth × width cells of state total,
+    * independent of key cardinality.
+    *
+    * @return [d, b, c] — only touched cells (absent cell = 0)
+    */
+  def cmsCounters(keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2)
+    keys.select(col(keyCol).as("_cms_k"))
+      .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
+      .withColumn("b", cmsBucket(col("d"), col("_cms_k"), width))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates for `queryKeys` against a [[cmsCounters]]
+    * matrix: est(key) = min over depth rows of counter(d, h_d(key)) —
+    * never below the true count (every bucket OVER-counts by its
+    * collisions; the min picks the least-polluted row). The probe side
+    * is bounded (a top-k key list), so the counter join is a broadcast-
+    * scale equi-join on (d, b).
+    *
+    * @return queryKeys' columns + [est]
+    */
+  def cmsEstimate(counters: DataFrame, queryKeys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2)
+    val probes = queryKeys
+      .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
+      .withColumn("b", cmsBucket(col("d"), col(keyCol), width))
+    probes.join(counters, Seq("d", "b"), "left")
+      .groupBy(queryKeys.columns.map(col).toSeq: _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
 }

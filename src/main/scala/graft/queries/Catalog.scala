@@ -10174,6 +10174,46 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         tokenTable = Some(SharedArtifacts.docTokens(s, d)))
       .orderBy("word"))
 
+  // BPE round-trip through the SYMBOL-ID vocabulary
+  // (BpeOps.encodeRoundTrip — tx37's serving identity for the
+  // merge-based tokenizer, completing VERDICT r15 #4's "decode for BPE
+  // and unigram"): every distinct word encodes to integer symbol ids
+  // (id = binary-string rank of the post-merge symbol — the tx19
+  // tie-break order), the symbol strings are DISCARDED, and decode
+  // reconstructs the word from ids alone via the vocab join. The
+  // oracle replays tx19's 3 merge rounds, the rank-ordered vocab, and
+  // the id encoding — id_sum pins the exact id assignment (a permuted
+  // vocab cannot hash-match) — and states `word AS roundtrip` directly:
+  // hash equality IS the identity proof. Char-seeded BPE needs no byte
+  // fallback for in-corpus words (every char is a seed symbol); the
+  // vocab is bounded by |alphabet| + rounds, so its rank window is
+  // alphabet-scale, never corpus-scale.
+  private val tx38 = Q("tx38_bpe_roundtrip", Some(s"""
+    WITH w AS (SELECT w, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) t
+      WHERE length(w) > 0 GROUP BY w),
+    s0 AS (SELECT w, freq,
+        array_to_string(list_transform(generate_series(1, length(w)),
+          i -> substr(w, i, 1)), chr(31)) AS seq
+      FROM w),
+    ${bpeRoundCtes(1, withMerge = true)},
+    ${bpeRoundCtes(2, withMerge = true)},
+    ${bpeRoundCtes(3, withMerge = true)},
+    sy AS (SELECT w, unnest(generate_series(1, len(syms))) AS i, syms
+           FROM (SELECT w, string_split(seq, chr(31)) AS syms FROM s3) t),
+    sy2 AS (SELECT w, i, syms[i] AS sym FROM sy),
+    vocab AS (SELECT sym,
+        CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS sym_id
+      FROM (SELECT DISTINCT sym FROM sy2)),
+    e AS (SELECT sy2.w, v.sym_id FROM sy2 JOIN vocab v USING (sym))
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS n_symbols,
+      CAST(sum(sym_id) AS BIGINT) AS id_sum, w AS roundtrip
+    FROM e GROUP BY w ORDER BY w"""),
+    (s, d) => graft.operators.BpeOps.encodeRoundTrip(
+        T(s, d, "documents"), "text", rounds = 3)
+      .orderBy("word"))
+
   // Measured hybrid-retrieval quality (the ann07/dd17 grading
   // discipline applied to the fusion family): recall@10 against exact
   // cosine truth for (a) the lexical shingle-overlap arm, (b) the
@@ -10855,6 +10895,71 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         col("first_key").cast("long").as("first_key"))
       .orderBy("canonical_url"))
 
+  // Count-min sketch frequency estimation with measured error
+  // (SketchOps.cmsCounters/cmsEstimate — Cormode & Muthukrishnan 2005;
+  // the MERGEABLE frequency sketch next to q89's Misra–Gries: CMS
+  // counters ADD across partitions/days/streams with no threshold
+  // dance, the property a 100 TB monitoring plane needs). A 4×256
+  // counter matrix over lineitem's part keys — one map-side-combinable
+  // pass, state independent of key cardinality — then the exact top-10
+  // keys are point-queried: est = min over rows of the hashed-bucket
+  // counter, NEVER below the true count, and the published
+  // overcount = est − exact is the measured error (the ann07/dd17
+  // grading discipline applied to the sketch). Two widths (256, 4096)
+  // publish the e·N/W error scaling side by side — TPC-H part keys are
+  // near-uniform (the sketch's WORST case: no heavy hitter rises above
+  // the collision mass), so the curve shows exactly what an undersized
+  // sketch costs and how width buys it back, the dd28 trade-curve
+  // pattern. The oracle replays both matrices' 4 hash rows, counter
+  // aggregations, and min-probes.
+  private val q107 = Q("q107_cms_heavy_hitters", Some(s"""
+    WITH keys AS (SELECT l_partkey AS pk FROM lineitem),
+    ex AS (SELECT pk, count(*) AS exact FROM keys GROUP BY pk),
+    top AS (SELECT pk, exact, rn AS rank FROM (
+        SELECT pk, exact, row_number() OVER (ORDER BY exact DESC, pk) AS rn
+        FROM ex) t WHERE rn <= 10),
+    ${Seq(256, 4096).map { w =>
+      s"""cms$w AS (
+      SELECT dd.d,
+        ('0x' || substr(md5(cast(dd.d as varchar) || ':' || cast(pk as varchar)),
+          1, 8))::BIGINT % $w AS b,
+        count(*) AS c
+      FROM keys, (SELECT unnest(generate_series(0, 3)) AS d) dd
+      GROUP BY 1, 2),
+    pr$w AS (
+      SELECT top.pk, top.exact, top.rank, dd.d,
+        ('0x' || substr(md5(cast(dd.d as varchar) || ':' || cast(top.pk as varchar)),
+          1, 8))::BIGINT % $w AS b
+      FROM top, (SELECT unnest(generate_series(0, 3)) AS d) dd),
+    est$w AS (
+      SELECT $w AS width, pr$w.pk, pr$w.exact, pr$w.rank,
+        min(coalesce(cms$w.c, 0)) AS est
+      FROM pr$w LEFT JOIN cms$w USING (d, b)
+      GROUP BY 1, 2, 3, 4)"""
+    }.mkString(",\n    ")}
+    SELECT cast(width as bigint) AS width, cast(rank as bigint) AS rank,
+      cast(pk as bigint) AS pk, cast(exact as bigint) AS exact,
+      cast(est as bigint) AS est, cast(est - exact as bigint) AS overcount
+    FROM (SELECT * FROM est256 UNION ALL SELECT * FROM est4096) u
+    ORDER BY width, rank"""),
+    (s, d) => {
+      val keys = T(s, d, "lineitem").select(col("l_partkey").as("pk"))
+      // exact top-10: TakeOrderedAndProject (bounded heaps), ranked after
+      val top = keys.groupBy("pk").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("pk").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("exact").desc, col("pk").asc)).cast("long"))
+      Seq(256, 4096).map { w =>
+        val counters = SketchOps.cmsCounters(keys, "pk", depth = 4, width = w)
+        SketchOps.cmsEstimate(counters, top, "pk", depth = 4, width = w)
+          .select(lit(w.toLong).as("width"), col("rank"),
+            col("pk").cast("long").as("pk"),
+            col("exact").cast("long").as("exact"),
+            col("est").cast("long").as("est"),
+            (col("est") - col("exact")).cast("long").as("overcount"))
+      }.reduce(_ unionByName _).orderBy("width", "rank")
+    })
+
   // Per-host politeness schedule (CrawlOps.politenessSchedule — the
   // reference's between-request sleeps, `procedure_code.py:256-263`,
   // restated as a computed fetch-slot column): the deduped frontier
@@ -10895,7 +11000,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106,
+    q101, q102, q103, q104, q105, q106, q107,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     dd25, dd26, dd27, dd28,
@@ -10905,7 +11010,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12,
     tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21, tx22, tx23, tx24,
     tx25, tx26, tx27, tx28, tx29, tx30, tx31, tx32, tx33, tx34, tx35,
-    tx36, tx37,
+    tx36, tx37, tx38,
     mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11, mm12,
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,

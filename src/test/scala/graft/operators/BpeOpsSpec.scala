@@ -70,4 +70,29 @@ class BpeOpsSpec extends AnyFunSuite {
       .as[(Int, String, String, Long)].collect()
     assert(out.head == ((1, "a", "b", 2L)))
   }
+
+  test("encodeRoundTrip: ids-only decode reconstructs every word (tx38 identity)") {
+    // 'aab' x3, 'ab' x2 after 2 merges: merge1 (a,b)->ab, merge2 (a,ab).
+    // Final symbols: 'aab' = [aab], 'ab' = [ab]. Vocab (binary order):
+    // aab=1, ab=2.
+    val df = Seq("aab aab aab ab ab").toDF("text")
+    val got = BpeOps.encodeRoundTrip(df, "text", rounds = 2)
+      .orderBy("word")
+      .as[(String, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      ("aab", 1L, 1L, "aab"),
+      ("ab", 1L, 2L, "ab")))
+  }
+
+  test("encodeRoundTrip: multi-symbol words concatenate in position order") {
+    // one merge on 'ab ab cba': merge (a,b) -> 'cba' = [c, b, a]
+    // vocab binary order: a=1, ab=2, b=3, c=4 -> cba id_sum = 4+3+1 = 8
+    val df = Seq("ab ab cba").toDF("text")
+    val got = BpeOps.encodeRoundTrip(df, "text", rounds = 1)
+      .orderBy("word")
+      .as[(String, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      ("ab", 1L, 2L, "ab"),
+      ("cba", 3L, 8L, "cba")))
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Count-min sketch contracts (q107): the one-sided error guarantee
+  * (est ≥ exact, always — the property a monitoring consumer relies
+  * on), bounded state, and exactness in the collision-free regime.
+  */
+class CmsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // skewed deterministic stream: key k appears ~(64 - k) times
+  private def stream(nKeys: Int) =
+    (0 until nKeys).flatMap(k => Seq.fill(64 - (k % 60))(k.toLong))
+      .toDF("pk")
+
+  test("cmsEstimate never under-counts (one-sided error, every key)") {
+    val keys = stream(200)
+    val counters = SketchOps.cmsCounters(keys, "pk", depth = 4, width = 32)
+    val exact = keys.groupBy("pk").agg(count(lit(1)).as("exact"))
+    val under = SketchOps.cmsEstimate(counters, exact, "pk",
+        depth = 4, width = 32)
+      .where(col("est") < col("exact")).count()
+    assert(under == 0, "CMS under-counted — the min over rows is broken")
+  }
+
+  test("cms state is bounded by depth × width, independent of key cardinality") {
+    val counters = SketchOps.cmsCounters(stream(5000), "pk",
+      depth = 4, width = 64)
+    assert(counters.count() <= 4L * 64)
+  }
+
+  test("collision-free regime is exact; totals are preserved per row") {
+    val keys = stream(8) // 8 keys into 256 buckets: collisions ~0
+    val counters = SketchOps.cmsCounters(keys, "pk", depth = 4, width = 256)
+    val exact = keys.groupBy("pk").agg(count(lit(1)).as("exact"))
+    val est = SketchOps.cmsEstimate(counters, exact, "pk",
+      depth = 4, width = 256)
+    assert(est.where(col("est") =!= col("exact")).count() == 0)
+    // each depth row's counters sum to the stream length (mass conservation)
+    val n = keys.count()
+    val rows = counters.groupBy("d").agg(sum("c").as("s"))
+      .where(col("s") =!= n).count()
+    assert(rows == 0)
+  }
+}
