@@ -141,4 +141,31 @@ object SketchOps {
       .groupBy(queryKeys.columns.map(col).toSeq: _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
+
+  /** Sketch-space JOIN-CARDINALITY estimate (the AMS-style inner
+    * product over two [[cmsCounters]] matrices built with the SAME
+    * depth/width/hash): est = min over depth rows of Σ_b cA[d,b]·cB[d,b]
+    * ≥ Σ_k fA(k)·fB(k) — NEVER below the true equi-join size (collision
+    * cross-terms only add), the one-sided bound a query optimizer can
+    * budget against without touching either table again. Two sketches
+    * of a few KB stand in for a join over any two 100 TB inputs; the
+    * estimate itself is one (d, b) equi-join over ≤ depth × width rows.
+    *
+    * Long-exact to ~3·10⁹ rows per input at these widths (Σ c² ~ N²/W);
+    * past that, shard the sketches or widen — the ann27/hashLogReg
+    * documented-bound convention.
+    *
+    * @return 1 row, [est]
+    */
+  def cmsInnerProduct(cA: DataFrame, cB: DataFrame): DataFrame = {
+    // full depth spine: a row whose buckets never overlap cB's has inner
+    // product 0 (est = 0), which the bare inner-join + min would skip
+    val ip = cA.join(cB.select(col("d"), col("b"), col("c").as("_cms_cb")),
+        Seq("d", "b"))
+      .groupBy("d").agg(sum(col("c") * col("_cms_cb")).as("_cms_ip"))
+    cA.select("d").distinct()
+      .join(ip, Seq("d"), "left")
+      .agg(coalesce(min(coalesce(col("_cms_ip"), lit(0L))), lit(0L))
+        .cast("long").as("est"))
+  }
 }

@@ -5851,7 +5851,11 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     * quotes — `\\s` stays a single backslash; interpolating callers
     * splice it verbatim.
     */
-  private val exactClusterCtes = """toks AS (
+  /** dd20's exact-Jaccard τ=1/2 verified-pair chain (prefix filter +
+    * intersection verify), through CTE `epairs` [id1, id2] — shared by
+    * the cluster oracles (dd21 et al.) and dp34's leakage audit.
+    */
+  private val jaccPairCtes = """toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
     shl AS (
       SELECT doc_id,
@@ -5877,7 +5881,9 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
               JOIN sh x ON x.id = c.id1
               JOIN sh y ON y.id = c.id2 AND y.sh = x.sh
               GROUP BY c.id1, c.id2, c.n1, c.n2),
-    epairs AS (SELECT id1, id2 FROM inter WHERE i * 2 >= 1 * (n1 + n2 - i)),
+    epairs AS (SELECT id1, id2 FROM inter WHERE i * 2 >= 1 * (n1 + n2 - i))"""
+
+  private val exactClusterCtes = jaccPairCtes + """,
     edges AS (SELECT id1 AS src, id2 AS dst FROM epairs
               UNION ALL SELECT id2, id1 FROM epairs),
     reach(id, lab) AS (
@@ -10960,6 +10966,84 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
       }.reduce(_ unionByName _).orderBy("width", "rank")
     })
 
+  // Sketch-space join-cardinality estimation (SketchOps.cmsInnerProduct
+  // — the AMS-style inner product over two CMS matrices, the classic
+  // query-optimizer move: estimate |A ⋈ B| from two few-KB sketches
+  // without touching either table again). Two statistics, each at
+  // widths 256 and 4096: the self-join size (second frequency moment
+  // F2 = Σ f²) of lineitem's part keys, and the lineitem ⋈ orders
+  // equi-join size on the order key. est = min over depth rows of
+  // Σ_b cA·cB — never below truth (collision cross-terms only add);
+  // near-uniform TPC-H keys are the estimator's WORST case and the
+  // published overcount scales as N_A·N_B/W, shown side by side at
+  // both widths (the q107/dd28 trade-curve discipline). The oracle
+  // replays all three counter matrices per width and both min-probes.
+  private val q108 = Q("q108_cms_join_size", Some(s"""
+    WITH lp AS (SELECT l_partkey AS k FROM lineitem),
+    lo AS (SELECT l_orderkey AS k FROM lineitem),
+    oo AS (SELECT o_orderkey AS k FROM orders),
+    exf2 AS (SELECT cast(sum(c * c) as bigint) AS exact
+             FROM (SELECT count(*) AS c FROM lp GROUP BY k)),
+    exj AS (SELECT cast(sum(a.c * b.c) as bigint) AS exact
+            FROM (SELECT k, count(*) AS c FROM lo GROUP BY k) a
+            JOIN (SELECT k, count(*) AS c FROM oo GROUP BY k) b USING (k)),
+    ${Seq(256, 4096).map { w =>
+      def cms(name: String, src: String) = s"""$name AS (
+      SELECT dd.d,
+        ('0x' || substr(md5(cast(dd.d as varchar) || ':' || cast(k as varchar)),
+          1, 8))::BIGINT % $w AS b,
+        count(*) AS c
+      FROM $src, (SELECT unnest(generate_series(0, 3)) AS d) dd
+      GROUP BY 1, 2)"""
+      s"""${cms(s"clp$w", "lp")},
+    ${cms(s"clo$w", "lo")},
+    ${cms(s"coo$w", "oo")},
+    f2e$w AS (SELECT cast(min(s) as bigint) AS est FROM (
+        SELECT d, sum(c * c) AS s FROM clp$w GROUP BY d)),
+    je$w AS (SELECT cast(min(s) as bigint) AS est FROM (
+        SELECT a.d, sum(a.c * b.c) AS s
+        FROM clo$w a JOIN coo$w b USING (d, b) GROUP BY a.d))"""
+    }.mkString(",\n    ")}
+    SELECT stat, cast(width as bigint) AS width, exact, est,
+      cast(est - exact as bigint) AS overcount
+    FROM (
+      SELECT 'f2_l_partkey' AS stat, 256 AS width, exf2.exact, f2e256.est
+        FROM exf2 CROSS JOIN f2e256
+      UNION ALL
+      SELECT 'f2_l_partkey', 4096, exf2.exact, f2e4096.est
+        FROM exf2 CROSS JOIN f2e4096
+      UNION ALL
+      SELECT 'join_l_o_orderkey', 256, exj.exact, je256.est
+        FROM exj CROSS JOIN je256
+      UNION ALL
+      SELECT 'join_l_o_orderkey', 4096, exj.exact, je4096.est
+        FROM exj CROSS JOIN je4096) u
+    ORDER BY stat, width"""),
+    (s, d) => {
+      val lp = T(s, d, "lineitem").select(col("l_partkey").as("k"))
+      val lo = T(s, d, "lineitem").select(col("l_orderkey").as("k"))
+      val oo = T(s, d, "orders").select(col("o_orderkey").as("k"))
+      val exF2 = lp.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).cast("long").as("exact"))
+      val exJ = lo.groupBy("k").agg(count(lit(1)).as("c"))
+        .join(oo.groupBy("k").agg(count(lit(1)).as("_c2")), "k")
+        .agg(sum(col("c") * col("_c2")).cast("long").as("exact"))
+      Seq(256, 4096).map { w =>
+        val cLp = SketchOps.cmsCounters(lp, "k", depth = 4, width = w)
+        val cLo = SketchOps.cmsCounters(lo, "k", depth = 4, width = w)
+        val cOo = SketchOps.cmsCounters(oo, "k", depth = 4, width = w)
+        val f2 = exF2.crossJoin(SketchOps.cmsInnerProduct(cLp, cLp))
+          .select(lit("f2_l_partkey").as("stat"), lit(w.toLong).as("width"),
+            col("exact"), col("est"))
+        val js = exJ.crossJoin(SketchOps.cmsInnerProduct(cLo, cOo))
+          .select(lit("join_l_o_orderkey").as("stat"), lit(w.toLong).as("width"),
+            col("exact"), col("est"))
+        f2.unionByName(js)
+      }.reduce(_ unionByName _)
+        .withColumn("overcount", (col("est") - col("exact")).cast("long"))
+        .orderBy("stat", "width")
+    })
+
   // Per-host politeness schedule (CrawlOps.politenessSchedule — the
   // reference's between-request sleeps, `procedure_code.py:256-263`,
   // restated as a computed fetch-slot column): the deduped frontier
@@ -10992,6 +11076,73 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         .orderBy("host", "seq")
     })
 
+  // Split-leakage audit (the eval-contamination check a curation
+  // pipeline runs BEFORE publishing a train/val/test split: a near-dup
+  // pair straddling the split boundary leaks training signal into
+  // eval). Duplicate evidence from two dedup families — exact content
+  // hashes (each dup linked to its group's min-id representative, the
+  // dd01 star shape: O(group) pairs, never O(group²)) and dd20's
+  // verified exact-Jaccard τ=1/2 edges (served from the persisted
+  // SharedArtifacts.jaccardEdges12 — this query costs two O(n) joins,
+  // not the join build) — classified by the dp02 salted-md5 split of
+  // each endpoint. Cross-split rows ARE the leak report; within-split
+  // rows are the denominator context. The oracle replays the hash
+  // groups, dd20's full prefix-filter + verify chain, the split
+  // assignment, and the classification.
+  private val dp34 = Q("dp34_split_leakage", Some(s"""
+    WITH $jaccPairCtes,
+    sp AS (SELECT doc_id,
+        CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+          ('0x' || substr(md5('split:' || cast(doc_id as varchar)), 1, 15))::BIGINT
+            / 1152921504606846976.0 AS frac
+        FROM documents)),
+    chh AS (SELECT doc_id, md5(trim(text)) AS h FROM documents
+            WHERE length(trim(text)) > 0),
+    rep AS (SELECT h, min(doc_id) AS id1 FROM chh GROUP BY h),
+    xp AS (SELECT 'exact' AS kind, rep.id1, chh.doc_id AS id2
+           FROM chh JOIN rep USING (h) WHERE chh.doc_id <> rep.id1),
+    allp AS (SELECT kind, id1, id2 FROM xp
+             UNION ALL SELECT 'jaccard12', id1, id2 FROM epairs),
+    cls AS (SELECT p.kind,
+        least(s1.split, s2.split) || '-' || greatest(s1.split, s2.split)
+          AS split_pair,
+        CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END AS lk
+      FROM allp p
+      JOIN sp s1 ON s1.doc_id = p.id1
+      JOIN sp s2 ON s2.doc_id = p.id2)
+    SELECT kind, split_pair, cast(count(*) as bigint) AS n_pairs,
+      cast(max(lk) as bigint) AS leaked
+    FROM cls GROUP BY kind, split_pair ORDER BY kind, split_pair"""),
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val sp = docs.select(col("doc_id"),
+          (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long").cast("double")
+            / 1.152921504606846976e18).as("frac"))
+        .withColumn("split", when(col("frac") < 0.8, "train")
+          .when(col("frac") < 0.9, "val").otherwise("test"))
+        .select("doc_id", "split")
+      val chh = docs.where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), md5(trim(col("text"))).as("h"))
+      val xp = chh.join(chh.groupBy("h").agg(min("doc_id").as("id1")), "h")
+        .where(col("doc_id") =!= col("id1"))
+        .select(lit("exact").as("kind"), col("id1"), col("doc_id").as("id2"))
+      val jp = SharedArtifacts.jaccardEdges12(s, d)
+        .select(lit("jaccard12").as("kind"), col("id1"), col("id2"))
+      xp.unionByName(jp)
+        .join(sp.select(col("doc_id").as("id1"), col("split").as("_s1")), "id1")
+        .join(sp.select(col("doc_id").as("id2"), col("split").as("_s2")), "id2")
+        .withColumn("split_pair", concat(least(col("_s1"), col("_s2")),
+          lit("-"), greatest(col("_s1"), col("_s2"))))
+        .withColumn("lk", when(col("_s1") =!= col("_s2"), 1L).otherwise(0L))
+        .groupBy("kind", "split_pair")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          max("lk").cast("long").as("leaked"))
+        .orderBy("kind", "split_pair")
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -11000,7 +11151,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106, q107,
+    q101, q102, q103, q104, q105, q106, q107, q108,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     dd25, dd26, dd27, dd28,
@@ -11015,5 +11166,5 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     ref01, ref02, ref03, ref04, dp01, dp02, dp03, dp03b, dp04, dp05, dp06,
     dp07, dp08, dp09, dp10, dp11, dp12, dp13, dp14, dp15, dp16, dp17, dp18,
     dp19, dp20, dp21, dp22, dp23, dp24, dp25, dp26, dp27, dp28, dp29,
-    dp30, dp31, dp32, dp33)
+    dp30, dp31, dp32, dp33, dp34)
 }

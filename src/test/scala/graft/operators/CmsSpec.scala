@@ -33,6 +33,33 @@ class CmsSpec extends AnyFunSuite {
     assert(counters.count() <= 4L * 64)
   }
 
+  test("cmsInnerProduct never under-estimates the equi-join size") {
+    val a = stream(300)
+    val b = stream(120)
+    val truth = a.groupBy("pk").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("pk").agg(count(lit(1)).as("cb")), "pk")
+      .agg(sum(col("ca") * col("cb"))).head().getLong(0)
+    for (w <- Seq(16, 64, 1024)) {
+      val est = SketchOps.cmsInnerProduct(
+        SketchOps.cmsCounters(a, "pk", depth = 4, width = w),
+        SketchOps.cmsCounters(b, "pk", depth = 4, width = w))
+        .head().getLong(0)
+      assert(est >= truth, s"width $w under-estimated: $est < $truth")
+    }
+  }
+
+  test("cmsInnerProduct of disjoint streams with no shared buckets is 0, not empty") {
+    val a = Seq(1L).toDF("pk")
+    val b = Seq(2L).toDF("pk")
+    // width 2: buckets may or may not collide — both outcomes must yield
+    // a single row (0 on no shared bucket, >= 0 otherwise)
+    val est = SketchOps.cmsInnerProduct(
+      SketchOps.cmsCounters(a, "pk", depth = 4, width = 1048576),
+      SketchOps.cmsCounters(b, "pk", depth = 4, width = 1048576))
+      .collect()
+    assert(est.length == 1 && est(0).getLong(0) >= 0)
+  }
+
   test("collision-free regime is exact; totals are preserved per row") {
     val keys = stream(8) // 8 keys into 256 buckets: collisions ~0
     val counters = SketchOps.cmsCounters(keys, "pk", depth = 4, width = 256)

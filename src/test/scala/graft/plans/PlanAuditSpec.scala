@@ -103,8 +103,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd28_semantic_recall",     // dd13's k-row centroid cross join +
                                 // the 50-anchor truth broadcast
                                 // (ann01's bounded query-side shape)
-    "tx36_classifier_eval")     // 1-row n_train x 1-row confusion
+    "tx36_classifier_eval",     // 1-row n_train x 1-row confusion
                                 // matrix cross join (scalar metrics)
+    "q108_cms_join_size")       // 1-row exact x 1-row sketch-estimate
+                                // cross joins (scalar stat rows)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
