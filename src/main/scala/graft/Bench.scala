@@ -170,6 +170,13 @@ object Bench {
         // tokens; the prefix-sum rank runs over the vocabulary, which
         // grows sublinearly)
         val probes = Seq("dd06_dup_clusters", "dp01_curation_pipeline",
+          // round-16 additions: tx36 (3 sequential GD rounds — broadcast
+          // weight join + two map-side-combinable hash aggs per round,
+          // expect ~linear), dd28 (the probes=2 multi-probe pair scan +
+          // the 50-anchor exact truth arm — candidate pairs are bounded
+          // by the primary-size sub-bucket geometry, expect ~linear with
+          // the semantic-stats snapshot as evidence)
+          "tx36_classifier_eval", "dd28_semantic_recall",
           "tx06_tfidf", "q51_stream_join", "q66_stream_upsert",
           "dp03_seq_packing", "q68_pagerank", "ann07_recall",
           "dp09_decontam", "tx08_commonness", "dd12_substring_spans",

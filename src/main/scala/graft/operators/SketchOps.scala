@@ -98,7 +98,7 @@ object SketchOps {
     * repo-standard portable md5 hash (salt `d || ':' || key`) — identical
     * text in both engines, so sketches are cross-engine comparable.
     */
-  private def cmsBucket(d: Column, key: Column, width: Int): Column =
+  private[graft] def cmsBucket(d: Column, key: Column, width: Int): Column =
     conv(substring(md5(concat(d.cast("string"), lit(":"), key.cast("string"))),
       1, 8), 16, 10).cast("long") % lit(width.toLong)
 

@@ -11044,6 +11044,48 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         .orderBy("stat", "width")
     })
 
+  // Streaming count-min monitor (StreamingOps.streamCmsMonitor — q107's
+  // sketch run CONTINUOUSLY as a native streaming aggregation, the 12th
+  // streaming topology): micro-batches increment the 4×256 hashed
+  // counter matrix — state is depth × width rows, never per-key — and
+  // the closed counters equal the batch cmsCounters because counter
+  // addition is order-independent (the q76/q85 discipline), so the
+  // oracle is the batch SQL verbatim. At close, the exact top-10 user
+  // ids (the offline grading arm) probe the STREAMED counters; 150
+  // distinct users into 256 buckets reads near-exact, the collision
+  // regime q107's width curve covers.
+  private val q109 = Q("q109_stream_cms_monitor", Some("""
+    WITH keys AS (SELECT user_id AS pk FROM events),
+    cms AS (
+      SELECT dd.d,
+        ('0x' || substr(md5(cast(dd.d as varchar) || ':' || cast(pk as varchar)),
+          1, 8))::BIGINT % 256 AS b,
+        count(*) AS c
+      FROM keys, (SELECT unnest(generate_series(0, 3)) AS d) dd
+      GROUP BY 1, 2),
+    ex AS (SELECT pk, count(*) AS exact FROM keys GROUP BY pk),
+    top AS (SELECT pk, exact, rn AS rank FROM (
+        SELECT pk, exact, row_number() OVER (ORDER BY exact DESC, pk) AS rn
+        FROM ex) t WHERE rn <= 10),
+    pr AS (
+      SELECT top.pk, top.exact, top.rank, dd.d,
+        ('0x' || substr(md5(cast(dd.d as varchar) || ':' || cast(top.pk as varchar)),
+          1, 8))::BIGINT % 256 AS b
+      FROM top, (SELECT unnest(generate_series(0, 3)) AS d) dd),
+    est AS (
+      SELECT pr.pk, pr.exact, pr.rank, min(coalesce(cms.c, 0)) AS est
+      FROM pr LEFT JOIN cms USING (d, b)
+      GROUP BY 1, 2, 3)
+    SELECT cast(rank as bigint) AS rank, cast(pk as bigint) AS pk,
+      cast(exact as bigint) AS exact, cast(est as bigint) AS est,
+      cast(est - exact as bigint) AS overcount
+    FROM est ORDER BY rank"""),
+    (s, d) => graft.streaming.StreamingOps.streamCmsMonitor(s,
+        s"$d/events.parquet",
+        queryName = "graft_stream_cms_" + math.abs(d.hashCode),
+        statePartitions = streamStatePartitions)
+      .orderBy("rank"))
+
   // Per-host politeness schedule (CrawlOps.politenessSchedule — the
   // reference's between-request sleeps, `procedure_code.py:256-263`,
   // restated as a computed fetch-slot column): the deduped frontier
@@ -11151,7 +11193,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106, q107, q108,
+    q101, q102, q103, q104, q105, q106, q107, q108, q109,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     dd25, dd26, dd27, dd28,

@@ -69,7 +69,8 @@ object StreamingOps {
     */
   private[streaming] def runViaFileSink(df: DataFrame, mode: String,
       queryName: String, updateKeys: Seq[String] = Nil,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      diagnostics: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
     val spark = df.sparkSession
     val base = java.nio.file.Files.createTempDirectory(s"graft_sink_$queryName")
     val out = base.resolve("out").toString
@@ -80,8 +81,9 @@ object StreamingOps {
           .option("path", out)
       case "complete" =>
         df.writeStream.outputMode("complete")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, id: Long) =>
             batch.write.mode("overwrite").parquet(out)
+            diagnostics.foreach(_ += id)
           }
       case "update" =>
         require(updateKeys.nonEmpty, "update mode needs updateKeys")
@@ -514,6 +516,71 @@ object StreamingOps {
       .select(col("c").as("col_name"), col("n_rows").cast("long").as("n_rows"),
         col("n_null").cast("long").as("n_null"), col("min_val"),
         col("max_val"), SketchOps.kmvEstimate(col("ks"), 64).as("ndv_kmv"))
+  }
+
+  /** Streaming count-min frequency monitor (q107's CMS run CONTINUOUSLY
+    * — the monitoring plane a 100 TB ingest deploys: per-key exact
+    * counts are unbounded streaming state, the depth × width counter
+    * matrix is the bounded thing a stream CAN carry forever): events
+    * arrive in micro-batches and increment hashed counters through a
+    * NATIVE streaming aggregation — groupBy (d, b) count, state =
+    * depth × width rows, no per-key state anywhere — snapshotted in
+    * complete mode at close. Counter addition is commutative and
+    * associative, so the closed counters are identical under ANY
+    * micro-batch arrival order and equal the batch
+    * [[graft.operators.SketchOps.cmsCounters]] — which is why the
+    * oracle is the batch SQL verbatim (the q76/q85 order-independence
+    * discipline). At close the monitor grades itself: the exact top-10
+    * keys (batch-side — the OFFLINE grading arm; a deployment would
+    * sample or window this) are point-probed against the STREAMED
+    * counters, publishing overcount = est − exact, never negative.
+    *
+    * @return [rank, pk, exact, est, overcount] for the exact top-10
+    */
+  def streamCmsMonitor(spark: SparkSession, eventsPath: String,
+      splits: Int = 4, depth: Int = 4, width: Int = 256,
+      queryName: String = "graft_stream_cms",
+      statePartitions: Option[Int] = None,
+      diagnostics: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.SketchOps
+    import org.apache.spark.sql.expressions.Window
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    val base = Files.createTempDirectory(s"graft_cms_$queryName")
+    val src = base.resolve("src")
+    try {
+      graft.sources.Tables.normalizeTs(
+          spark.read.parquet(asSourceDir(eventsPath)))
+        .select(col("user_id")).repartition(splits)
+        .write.parquet(src.toString)
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
+    }
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val cnt = stream
+      .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
+      .withColumn("b", SketchOps.cmsBucket(col("d"), col("user_id"), width))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val counters = runViaFileSink(cnt, "complete", queryName,
+      statePartitions = statePartitions, diagnostics = diagnostics)
+    // grading tail — the q107 expression tree over the closed counters;
+    // src stays on disk: the returned (lazy) frame reads it for the
+    // exact arm
+    val keys = spark.read.parquet(src.toString).select(col("user_id").as("pk"))
+    val top = keys.groupBy("pk").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("pk").asc).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("exact").desc, col("pk").asc)).cast("long"))
+    SketchOps.cmsEstimate(counters, top, "pk", depth, width)
+      .select(col("rank"), col("pk").cast("long").as("pk"),
+        col("exact").cast("long").as("exact"),
+        col("est").cast("long").as("est"),
+        (col("est") - col("exact")).cast("long").as("overcount"))
   }
 
   def streamSlidingDistinct(spark: SparkSession, eventsPath: String,

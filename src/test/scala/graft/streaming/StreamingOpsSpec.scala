@@ -287,6 +287,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streamCmsMonitor: streamed counters equal the batch sketch (order-independent)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val batches = scala.collection.mutable.Buffer.empty[Long]
+    val got = StreamingOps.streamCmsMonitor(spark, s"$dir/events.parquet",
+        splits = 4, queryName = "graft_test_cms",
+        diagnostics = Some(batches))
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("pk"),
+        r.getAs[Long]("exact"), r.getAs[Long]("est"))).toSet
+    assert(batches.length >= 2,
+      s"re-split source must yield several micro-batches, got $batches")
+    // counter addition is order-independent: the stream must land on the
+    // batch cmsCounters + cmsEstimate answer exactly
+    import org.apache.spark.sql.expressions.Window
+    val keys = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id").as("pk"))
+    val counters = graft.operators.SketchOps.cmsCounters(keys, "pk")
+    val top = keys.groupBy("pk").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("pk").asc).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("exact").desc, col("pk").asc)).cast("long"))
+    val want = graft.operators.SketchOps.cmsEstimate(counters, top, "pk")
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("pk"),
+        r.getAs[Long]("exact"), r.getAs[Long]("est"))).toSet
+    assert(got == want && got.size == 10)
+    // one-sided error survives the streaming path
+    got.foreach { case (_, pk, exact, est) =>
+      assert(est >= exact, s"stream CMS under-counted key $pk") }
+  }
+
   test("streamShardExport composes bucket-local cumsums to the batch cut") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
