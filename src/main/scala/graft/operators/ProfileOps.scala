@@ -74,4 +74,37 @@ object ProfileOps {
         col("max_val"), col("top_val"),
         coalesce(col("top_cnt"), lit(0L)).cast("long").as("top_cnt"))
   }
+
+  /** Equi-width integer histogram — the ANALYZE-side artifact a
+    * cost-based optimizer ranges over ([[profile]] gives NDV/min/max/
+    * mode; this adds the value DISTRIBUTION): values bucket by
+    * `least(buckets−1, (v − min)·buckets div (max − min + 1))` — pure
+    * integer arithmetic, mirrored verbatim by any engine — and each
+    * bucket reports its OBSERVED value range and count (observed, not
+    * theoretical, so selectivity interpolation divides by a width the
+    * data actually spans and empty buckets simply don't exist).
+    *
+    * Scale shape: one narrow map + one `buckets`-row hash aggregate;
+    * the global min/max pair is a 2-scalar driver collect (the
+    * bounded-literal convention of the unigram M-step).
+    *
+    * @return [bucket, lo, hi, cnt] — only non-empty buckets
+    */
+  def equiWidthHistogram(df: DataFrame, valueCol: Column,
+      buckets: Int = 8): DataFrame = {
+    require(buckets >= 2 && buckets <= 4096)
+    val v = df.select(valueCol.cast("long").as("_hw_v"))
+      .where(col("_hw_v").isNotNull)
+    val mm = v.agg(min("_hw_v"), max("_hw_v")).head()
+    if (mm.isNullAt(0)) // empty input: empty histogram, not a crash
+      return v.select(lit(0L).as("bucket"), lit(0L).as("lo"),
+        lit(0L).as("hi"), lit(0L).as("cnt")).limit(0)
+    val lo = mm.getLong(0)
+    val w = mm.getLong(1) - lo + 1
+    v.withColumn("bucket", expr(
+        s"least(${buckets - 1}L, ((_hw_v - ${lo}L) * ${buckets}L) div ${w}L)"))
+      .groupBy("bucket")
+      .agg(min("_hw_v").as("lo"), max("_hw_v").as("hi"),
+        count(lit(1)).as("cnt"))
+  }
 }

@@ -11086,6 +11086,67 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         statePartitions = streamStatePartitions)
       .orderBy("rank"))
 
+  // Histogram range-selectivity estimation (ProfileOps.equiWidthHistogram
+  // — the ANALYZE-side complement to q108's sketch join estimate: the
+  // two numbers a cost-based optimizer wants before picking a plan).
+  // An 8-bucket equi-width histogram over l_quantity (one narrow map +
+  // an 8-row aggregate), then three range predicates estimated by
+  // uniform-within-bucket interpolation — contribution = cnt · overlap
+  // div observed-bucket-width, all integer arithmetic (truncating
+  // division mirrored cross-engine) — published against exact counts
+  // with the SIGNED error (interpolation can under- or over-shoot,
+  // unlike the sketches' one-sided bounds; the grading shows which).
+  private val q110 = Q("q110_histogram_selectivity", Some("""
+    WITH v AS (SELECT cast(l_quantity as bigint) AS q FROM lineitem
+               WHERE l_quantity IS NOT NULL),
+    mm AS (SELECT min(q) AS lo, max(q) AS hi FROM v),
+    hb AS (SELECT least(7, (q - mm.lo) * 8 // (mm.hi - mm.lo + 1)) AS bucket, q
+           FROM v, mm),
+    h AS (SELECT bucket, min(q) AS lo, max(q) AS hi, count(*) AS cnt
+          FROM hb GROUP BY bucket),
+    p AS (SELECT * FROM (VALUES ('q_11_30', 11, 30), ('q_gt_45', 46, 50),
+                                ('q_le_15', 1, 15)) AS t(pred, a, c)),
+    co AS (SELECT p.pred,
+        cast(sum(h.cnt * greatest(0, least(h.hi, p.c) - greatest(h.lo, p.a) + 1)
+          // (h.hi - h.lo + 1)) as bigint) AS est
+      FROM h CROSS JOIN p GROUP BY p.pred),
+    ex AS (SELECT
+        cast(sum(CASE WHEN q BETWEEN 11 AND 30 THEN 1 ELSE 0 END) as bigint) AS e1,
+        cast(sum(CASE WHEN q BETWEEN 46 AND 50 THEN 1 ELSE 0 END) as bigint) AS e2,
+        cast(sum(CASE WHEN q BETWEEN 1 AND 15 THEN 1 ELSE 0 END) as bigint) AS e3
+      FROM v),
+    exr AS (SELECT 'q_11_30' AS pred, e1 AS exact FROM ex
+            UNION ALL SELECT 'q_gt_45', e2 FROM ex
+            UNION ALL SELECT 'q_le_15', e3 FROM ex)
+    SELECT exr.pred, exr.exact, co.est,
+      cast(co.est - exr.exact as bigint) AS err
+    FROM exr JOIN co USING (pred) ORDER BY pred"""),
+    (s, d) => {
+      val v = T(s, d, "lineitem")
+        .select(col("l_quantity").cast("long").as("_q"))
+        .where(col("_q").isNotNull)
+      val hist = ProfileOps.equiWidthHistogram(v, col("_q"), buckets = 8)
+      val preds = Seq(("q_11_30", 11L, 30L), ("q_gt_45", 46L, 50L),
+        ("q_le_15", 1L, 15L))
+      import s.implicits._
+      val pdf = preds.toDF("pred", "a", "c")
+      val est = hist.crossJoin(broadcast(pdf))
+        .withColumn("_ov", greatest(lit(0L),
+          least(col("hi"), col("c")) - greatest(col("lo"), col("a")) + 1))
+        .groupBy("pred")
+        .agg(sum(expr("cnt * _ov div (hi - lo + 1)")).cast("long").as("est"))
+      val ex = v.agg(
+        sum(when(col("_q").between(11, 30), 1L).otherwise(0L)).as("q_11_30"),
+        sum(when(col("_q").between(46, 50), 1L).otherwise(0L)).as("q_gt_45"),
+        sum(when(col("_q").between(1, 15), 1L).otherwise(0L)).as("q_le_15"))
+        .select(expr("stack(3, 'q_11_30', q_11_30, 'q_gt_45', q_gt_45, " +
+          "'q_le_15', q_le_15) as (pred, exact)"))
+      ex.join(est, "pred")
+        .select(col("pred"), col("exact").cast("long").as("exact"),
+          col("est"), (col("est") - col("exact")).cast("long").as("err"))
+        .orderBy("pred")
+    })
+
   // Per-host politeness schedule (CrawlOps.politenessSchedule — the
   // reference's between-request sleeps, `procedure_code.py:256-263`,
   // restated as a computed fetch-slot column): the deduped frontier
@@ -11193,7 +11254,7 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106, q107, q108, q109,
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12,
     dd13, dd14, dd15, dd16, dd17, dd18, dd19, dd20, dd21, dd22, dd23, dd24,
     dd25, dd26, dd27, dd28,

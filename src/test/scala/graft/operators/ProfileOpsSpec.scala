@@ -37,4 +37,26 @@ class ProfileOpsSpec extends AnyFunSuite {
     val est = big.getLong(4)
     assert(est > 2500 && est < 10000, s"KMV(64) estimate $est for ndv=5000")
   }
+
+  test("equiWidthHistogram: buckets partition the range, counts conserve mass") {
+    val df = (1 to 100).map(_.toLong).toDF("x")
+    val h = ProfileOps.equiWidthHistogram(df, col("x"), buckets = 8)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(h.map(_._4).sum == 100L)              // mass conserved
+    assert(h.map(_._1).toSeq == (0L to 7L))      // all 8 buckets hit
+    // observed ranges tile [1, 100] without overlap, in order
+    h.sliding(2).foreach { case Array(a, b) => assert(a._3 < b._2) case _ => }
+    // uniform data: bucket(v) = least(7, (v-1)*8 div 100) — 13 values in
+    // bucket 0 (1..13), 12 or 13 thereafter
+    assert(h.head._4 == 13L && h.head._2 == 1L && h.last._3 == 100L)
+  }
+
+  test("equiWidthHistogram: constant column lands in one bucket; empty input is empty") {
+    val one = ProfileOps.equiWidthHistogram(
+      Seq(7L, 7L, 7L).toDF("x"), col("x"), buckets = 8).collect()
+    assert(one.length == 1 && one(0).getLong(0) == 0L && one(0).getLong(3) == 3L)
+    assert(ProfileOps.equiWidthHistogram(
+      Seq.empty[Long].toDF("x"), col("x"), buckets = 8).count() == 0)
+  }
 }

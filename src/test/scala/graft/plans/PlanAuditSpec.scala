@@ -105,8 +105,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                 // (ann01's bounded query-side shape)
     "tx36_classifier_eval",     // 1-row n_train x 1-row confusion
                                 // matrix cross join (scalar metrics)
-    "q108_cms_join_size")       // 1-row exact x 1-row sketch-estimate
+    "q108_cms_join_size",       // 1-row exact x 1-row sketch-estimate
                                 // cross joins (scalar stat rows)
+    "q110_histogram_selectivity") // 8-row histogram x 3-row predicate
+                                // table cross join (bounded both sides)
 
   private lazy val executions: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     graft.queries.Catalog.all
@@ -207,8 +209,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann27_ivf_imbalance",      // 16-row trained centroid broadcast
     "dd28_semantic_recall",     // dd13's centroid set + the bounded
                                 // 50-anchor truth broadcast
-    "tx36_classifier_eval")     // hashLogReg/logRegScore's (dims+1)-row
+    "tx36_classifier_eval",     // hashLogReg/logRegScore's (dims+1)-row
                                 // weight-table broadcasts
+    "q110_histogram_selectivity") // 3-row predicate-table broadcast
 
   test("broadcast hints appear exactly where designed (tx08 carries none)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
