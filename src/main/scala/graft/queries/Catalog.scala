@@ -8457,16 +8457,24 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     SELECT node, pr FROM p4 WHERE pr > 0
     ORDER BY pr DESC, node LIMIT 100"""),
     (s, d) => {
-      val e = Exec.materializeForSelfJoin(
+      // the edge-scale intermediates (e, eu, euDeg — O(distinct
+      // custkey×suppkey)×2 rows) ride DISK_ONLY (materializeLarge), not
+      // localCheckpoint's MEMORY_AND_DISK: the r15 sf1 probe measured
+      // 51 GB peak heap / 19% GC with the PPR working set (edges + loop
+      // state + shuffle) crowding executor memory (VERDICT r15 #3) —
+      // DISK_ONLY keeps the edge copies off-heap and keeps lineage, so
+      // a lost block recomputes instead of failing. Loop state (ranks,
+      // O(nodes) ≪ O(edges)) stays on the checkpoint discipline.
+      val e = Exec.materializeLarge(
         T(s, d, "orders").join(T(s, d, "lineitem"),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + 10000000L).as("dst"))
           .distinct())
-      val eu = Exec.materializeForSelfJoin(
+      val eu = Exec.materializeLarge(
         e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
           .distinct())
-      Exec.releaseMaterialized(e)
+      e.unpersist(false)
       val nodes = Exec.materializeForSelfJoin(
         eu.select(col("src").as("node")).distinct())
       val seeds = Exec.materializeForSelfJoin(
@@ -8475,9 +8483,9 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
       val smeta = Exec.materializeForSelfJoin(
         seeds.agg(expr("1000000000000 div greatest(1, count(*))").as("sinit")))
       // degrees ride the edge rows (q68's one-join-per-round move)
-      val euDeg = Exec.materializeForSelfJoin(
+      val euDeg = Exec.materializeLarge(
         eu.join(eu.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
-      Exec.releaseMaterialized(eu)
+      eu.unpersist(false)
       def teleport(c: Column): Column =
         when(col("_seed") === 1, c).otherwise(lit(0L))
       var ranks = nodes.join(seeds.select("node", "_seed"), Seq("node"), "left")
