@@ -247,15 +247,26 @@ object Extractors {
   /** E12: (summary, lay_term) from `#fullLayterm`: summary is the first
     * `<p>`; lay_term is the pane text with the "Read Less" node removed
     * and a trailing "read less" suffix stripped (`:269-289`).
+    *
+    * JS-degradation contract (VERDICT r16 #7, see [[graft.pipeline.HttpPageFetcher]]):
+    * the reference CLICKS "Read More" in a browser before capture
+    * (`procedure_code.py:247-293`); a plain-HTTP capture can arrive
+    * still collapsed. Both "Read More" and "Read Less" anchors are
+    * therefore stripped — a collapsed pane degrades to its truncated
+    * text (no UI artifact leaks into the data), and an empty JS-shell
+    * pane falls through to the absent branch (None), never a
+    * mis-extraction.
     */
   def getLayTerm(html: String): (Option[String], Option[String]) = {
     val pane = byId(html, "fullLayterm").orElse(byId(html, "hcpcs_layterm"))
     val summary = pane.flatMap(p => find(p, "(?s)<p[^>]*>(.*?)</p>")).map(textOf).filter(_.nonEmpty)
     val lay = pane.map { p =>
-      val noReadLess = p.replaceAll("""(?s)<a[^>]*>[^<]*[Rr]ead [Ll]ess[^<]*</a>""", "")
-      val t = textOf(noReadLess)
+      val noReadToggle = p.replaceAll("""(?s)<a[^>]*>[^<]*[Rr]ead [LlMm](?:ess|ore)[^<]*</a>""", "")
+      val t = textOf(noReadToggle)
       val lower = t.toLowerCase
-      if (lower.endsWith("read less")) t.substring(0, t.length - "read less".length).trim else t
+      if (lower.endsWith("read less")) t.substring(0, t.length - "read less".length).trim
+      else if (lower.endsWith("read more")) t.substring(0, t.length - "read more".length).trim
+      else t
     }.filter(_.nonEmpty)
     (summary, lay)
   }

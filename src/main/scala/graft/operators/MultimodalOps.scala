@@ -16,6 +16,17 @@ import org.apache.spark.sql.types._
   * At 100 TB: binary payloads ride in Parquet binary columns; decode is a
   * narrow per-partition map (no shuffle); only the extracted small
   * metadata/features ever enter a wide stage.
+  *
+  * Byte-vs-char contract (VERDICT r16 #3): every operator here works in
+  * BYTES of the binary payload — positions, lengths, strides, digests.
+  * Non-ASCII text therefore diverges from any character-based mirror
+  * (one char can be 2–4 payload bytes). Catalog oracles honour this by
+  * slicing the payload's hex encoding (2 hex chars = 1 byte, byte-exact
+  * for arbitrary UTF-8 in both engines) and comparing sliced content as
+  * uppercase hex; whole-payload md5s stay portable as-is because
+  * DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes — exactly this
+  * payload. MultimodalOpsSpec pins the byte semantics on a non-ASCII
+  * fixture.
   */
 object MultimodalOps {
 
@@ -112,7 +123,7 @@ object MultimodalOps {
               (acc, dy) -> concat(acc, substring(_pl,
                 (g.pr * $patch + dy) * _w + g.pc * $patch + 1, $patch)))"""))
       .select(col(idCol), col("_w").as("width"), col("_h").as("height"),
-        col("g.pr").as("pr"), col("g.pc").as("pc"),
+        col("g.pr").as("pr"), col("g.pc").as("pc"), col("tile"),
         length(col("tile")).as("tile_len"), md5(col("tile")).as("tile_md5"))
 
   /** Average-hash perceptual signature (aHash — the classic

@@ -100,9 +100,24 @@ object ProfileOps {
       return v.select(lit(0L).as("bucket"), lit(0L).as("lo"),
         lit(0L).as("hi"), lit(0L).as("cnt")).limit(0)
     val lo = mm.getLong(0)
-    val w = mm.getLong(1) - lo + 1
-    v.withColumn("bucket", expr(
-        s"least(${buckets - 1}L, ((_hw_v - ${lo}L) * ${buckets}L) div ${w}L)"))
+    // width + bucket math overflow long when the value range nears 2^63
+    // (or range > Long.Max/buckets) — negative bucket ids (ADVICE r16
+    // #1). Compute the range exactly in BigInt and keep the codegen'd
+    // long fast path only when (range−1)·buckets provably fits; the
+    // wide-range tail falls back to DECIMAL(38,0) arithmetic (max
+    // operand ≈ 2^64·4096 < 10^24 ≪ 10^38, so the decimal path is
+    // itself exact).
+    val w = BigInt(mm.getLong(1)) - BigInt(lo) + 1
+    val bucketExpr =
+      if ((w - 1) * buckets <= BigInt(Long.MaxValue) && lo > Long.MinValue)
+        s"least(${buckets - 1}L, ((_hw_v - ${lo}L) * ${buckets}L) div ${w.toLong}L)"
+      else
+        // `div` (IntegralDivide) truncates decimals exactly; `/` would
+        // round to scale 6 first and misplace boundary values
+        s"""least(cast(${buckets - 1} as bigint),
+           |  (cast(_hw_v as decimal(38,0)) - cast('$lo' as decimal(38,0)))
+           |  * $buckets div cast('$w' as decimal(38,0)))""".stripMargin
+    v.withColumn("bucket", expr(bucketExpr))
       .groupBy("bucket")
       .agg(min("_hw_v").as("lo"), max("_hw_v").as("hi"),
         count(lit(1)).as("cnt"))

@@ -1008,7 +1008,22 @@ object SimilarityOps {
 
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double, roundSim: Int = 6,
-      targetCell: Int = 64, maxSignAxes: Int = 8, probes: Int = 1): DataFrame = {
+      targetCell: Int = 64, maxSignAxes: Int = 8, probes: Int = 1): DataFrame =
+    semanticNearDupPairsWithStats(df, idCol, vecCol, centroids, threshold,
+      roundSim, targetCell, maxSignAxes, probes)._1
+
+  /** [[semanticNearDupPairs]] plus the pair-scan stats as a RETURN VALUE
+    * — the caller-safe channel (ADVICE r16 #3: dd28 baked the
+    * [[lastSemanticStats]] global into its plan as a literal, so any
+    * interleaved call between its probes=1 and probes=2 invocations
+    * would silently publish the wrong n_cand_pairs). The global is
+    * still written (the bench's dd13 telemetry snapshot reads it), but
+    * a caller that needs ITS OWN call's stats takes them from here.
+    */
+  def semanticNearDupPairsWithStats(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, threshold: Double,
+      roundSim: Int = 6, targetCell: Int = 64, maxSignAxes: Int = 8,
+      probes: Int = 1): (DataFrame, SemStats) = {
     // probes > 1 = multi-probe assignment (dd28's measured finding: the
     // single-cell bound loses boundary-straddling pairs — probing each
     // vector's 2 nearest cells recovers them for a ~2x candidate-pair
@@ -1051,8 +1066,9 @@ object SimilarityOps {
         coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L)).as("pairs"),
         coalesce(max(col("c")), lit(0L)).as("maxPart"))
       .collect()(0)
-    lastSemanticStats = Some(SemStats(statsRow.getLong(0), statsRow.getLong(1),
-      statsRow.getLong(2)))
+    val stats = SemStats(statsRow.getLong(0), statsRow.getLong(1),
+      statsRow.getLong(2))
+    lastSemanticStats = Some(stats)
     val l = keyed.select(col("cell"), col("_sd_bucket"),
       col("_sd_id").as("id1"), col("_sd_vec").as("_sd_v1"))
     val r = keyed.select(col("cell"), col("_sd_bucket"),
@@ -1062,10 +1078,12 @@ object SimilarityOps {
       .withColumn("sim", round(cosine(col("_sd_v1"), col("_sd_v2")), roundSim))
       .where(col("sim") >= threshold)
       .select(col("cell"), col("id1"), col("id2"), col("sim"))
-    if (probes <= 1) pairs
-    else pairs.groupBy("id1", "id2") // a pair can share 2 probed cells
-      .agg(min("cell").as("cell"), max("sim").as("sim"))
-      .select(col("cell"), col("id1"), col("id2"), col("sim"))
+    val out =
+      if (probes <= 1) pairs
+      else pairs.groupBy("id1", "id2") // a pair can share 2 probed cells
+        .agg(min("cell").as("cell"), max("sim").as("sim"))
+        .select(col("cell"), col("id1"), col("id2"), col("sim"))
+    (out, stats)
   }
 
   /** Incremental semantic near-dup: a NEW batch of vectors deduped
@@ -1698,13 +1716,16 @@ object SimilarityOps {
     * Arms are (query_id, neighbor_id, rank) frames — each already a
     * bounded per-query top-k, so the fusion input is |arms|·k rows per
     * query regardless of corpus size; the combine is one hash
-    * aggregation on (query, candidate). CONTRACT (asserted for the
-    * columns, documented for the rows — ADVICE r15): each arm must
-    * carry all three columns, and must hold at most ONE row per
-    * (query_id, neighbor_id) — a per-query ranked top-k by
-    * construction. Duplicate rows would inflate that candidate's
-    * n_arms and rrf_nano; this op does not dedupe (a silent
-    * max-by-rank would hide the producer's bug).
+    * aggregation on (query, candidate). CONTRACT (columns asserted —
+    * ADVICE r15): each arm must carry all three columns. Duplicate
+    * (query_id, neighbor_id) rows WITHIN one arm are collapsed to that
+    * candidate's best (smallest) rank before fusing (VERDICT r16 #6) —
+    * exactly the row a correctly-deduped producer would have emitted —
+    * so n_arms counts arms (never duplicate emissions) and rrf_nano is
+    * insensitive to a producer accidentally emitting a candidate twice.
+    * The collapse is one extra hash aggregation over the already
+    * per-query-bounded arm frames (|arms|·k rows per query), not a
+    * corpus-scale pass.
     *
     * @return [query_id, neighbor_id, n_arms, rrf_nano, rank]
     */
@@ -1719,8 +1740,10 @@ object SimilarityOps {
           s"arms must be (query_id, neighbor_id, rank) per-query top-k frames")
     }
     import org.apache.spark.sql.expressions.Window
-    val contrib = arms.map(_.select(col("query_id"), col("neighbor_id"),
-        expr(s"1000000000 div ($kConst + rank)").as("_c")))
+    val contrib = arms.map(_.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(min(col("rank")).as("_r"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr(s"1000000000 div ($kConst + _r)").as("_c")))
       .reduce(_ unionByName _)
     val fused = contrib.groupBy("query_id", "neighbor_id")
       .agg(count(lit(1)).cast("long").as("n_arms"),

@@ -134,12 +134,20 @@ object SketchOps {
   def cmsEstimate(counters: DataFrame, queryKeys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && depth <= 8 && width >= 2)
+    // working columns use the _cms_ prefix so a queryKeys frame that
+    // already carries d/b/c is never clobbered or made ambiguous
+    // (ADVICE r16 #2); `est` stays the output-contract name, so a
+    // pre-existing `est` is rejected loudly instead of duplicated
+    require(!queryKeys.columns.contains("est"),
+      "cmsEstimate: queryKeys must not already carry an `est` column")
     val probes = queryKeys
-      .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
-      .withColumn("b", cmsBucket(col("d"), col(keyCol), width))
-    probes.join(counters, Seq("d", "b"), "left")
+      .withColumn("_cms_d", explode(expr(s"sequence(0, ${depth - 1})")))
+      .withColumn("_cms_b", cmsBucket(col("_cms_d"), col(keyCol), width))
+    val cts = counters.select(col("d").as("_cms_d"), col("b").as("_cms_b"),
+      col("c").as("_cms_c"))
+    probes.join(cts, Seq("_cms_d", "_cms_b"), "left")
       .groupBy(queryKeys.columns.map(col).toSeq: _*)
-      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .agg(min(coalesce(col("_cms_c"), lit(0L))).as("est"))
   }
 
   /** Sketch-space JOIN-CARDINALITY estimate (the AMS-style inner

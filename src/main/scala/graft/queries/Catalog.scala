@@ -1263,6 +1263,10 @@ object Catalog {
         max("sw").as("max_subwords"))
       .orderBy("lang"))
 
+  // Byte-correct for ANY UTF-8 text as-is (VERDICT r16 #3 audit):
+  // lengths/dims derive from octet_length(encode(text)) = payload bytes,
+  // and DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes — exactly
+  // the payload Spark hashes. No ASCII assumption.
   private val mm01 = Q("mm01_binary_meta", Some("""
     SELECT doc_id,
       octet_length(encode(text)) AS byte_len,
@@ -1282,26 +1286,31 @@ object Catalog {
     })
 
   // Binary frame sampling (video-frame/audio-window access pattern) over
-  // utf8 payloads; oracle mirrors the byte slices via text substr (the
-  // corpus is ASCII, so byte frames == char frames, md5s included).
+  // utf8 payloads. BYTE contract (VERDICT r16 #3): positions, strides
+  // and lengths are payload BYTES; the oracle slices the hex encoding
+  // (2 hex chars = 1 byte) and frames compare as uppercase hex content
+  // — byte-exact in both engines for arbitrary UTF-8, not just ASCII.
   private val mm02 = Q("mm02_frame_sample", Some("""
-    WITH f AS (
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS blen
+      FROM documents WHERE doc_id < 200),
+    f AS (
       SELECT doc_id,
-        list_transform(generate_series(1, greatest(length(text) - 63, 1), 48),
-          p -> md5(substr(text, p, 64))) AS md5s,
-        list_transform(generate_series(1, greatest(length(text) - 63, 1), 48),
-          p -> length(substr(text, p, 64))) AS lens
-      FROM documents WHERE doc_id < 200)
+        list_transform(generate_series(1, greatest(blen - 63, 1), 48),
+          p -> substr(hx, CAST((p - 1) * 2 + 1 AS INT), 128)) AS fhx
+      FROM b)
     SELECT doc_id,
-      unnest(generate_series(0, len(md5s) - 1)) AS frame_idx,
-      unnest(lens) AS frame_len,
-      unnest(md5s) AS frame_md5
+      unnest(generate_series(0, len(fhx) - 1)) AS frame_idx,
+      unnest(list_transform(fhx, x -> CAST(length(x) // 2 AS INT))) AS frame_len,
+      unnest(fhx) AS frame_hex
     FROM f ORDER BY doc_id, frame_idx"""),
     (s, d) => MultimodalOps.frameSample(
         MultimodalOps.withBinaryPayload(
           T(s, d, "documents").where(col("doc_id") < 200), "text"),
         "payload", "doc_id", frameLen = 64, stride = 48)
-      .select("doc_id", "frame_idx", "frame_len", "frame_md5")
+      .select(col("doc_id"), col("frame_idx"), col("frame_len"),
+        hex(col("frame")).as("frame_hex"))
       .orderBy("doc_id", "frame_idx"))
 
   // TF-IDF: term frequencies per doc, document frequencies, top-3 terms
@@ -2089,14 +2098,22 @@ object Catalog {
   // Byte-histogram feature extraction over binary payloads (the "feature
   // extract" stage of a multimodal pipeline): 16-bucket histogram of
   // payload bytes per document — one narrow explode + hash aggregation,
-  // the shape that scales to arbitrary corpus size. ASCII corpus ->
-  // oracle mirrors bytes via character codes.
+  // the shape that scales to arbitrary corpus size.
+  // True BYTE histogram over the binary payload (VERDICT r16 #3): both
+  // sides bucket payload BYTES (not characters — é is 2 bytes), the
+  // oracle reading byte values from hex digit pairs, Spark from
+  // hex+conv over 1-byte binary slices (the perceptualHash64 idiom).
   private val mm03 = Q("mm03_byte_histogram", Some("""
-    WITH chars AS (
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS blen
+      FROM documents WHERE doc_id < 100),
+    chars AS (
       SELECT doc_id,
-        unnest(list_transform(generate_series(1, length(text)),
-          i -> ascii(substr(text, i, 1)) % 16)) AS bucket
-      FROM documents WHERE doc_id < 100)
+        unnest(list_transform(generate_series(1, blen),
+          i -> CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
+                   + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17) % 16 AS INT))) AS bucket
+      FROM b)
     SELECT doc_id, bucket, count(*) AS n
     FROM chars GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""),
     (s, d) => {
@@ -2105,35 +2122,39 @@ object Catalog {
       payloads
         // empty payloads emit no rows (mirrors generate_series(1,0) = []);
         // without this, Spark's sequence(1,0) would step -1 and yield [1,0]
-        .where(length(col("text")) > 0)
+        .where(length(col("payload")) > 0)
         .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), length(col("text"))),
-            i => ascii(col("text").substr(i, lit(1))) % 16))
+          explode(expr("transform(sequence(1, length(payload)), " +
+            "i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) as int) % 16)"))
             .as("bucket"))
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
         .orderBy("doc_id", "bucket")
     })
 
   // Resize/downsample over binary payloads (thumbnail pattern): 32 evenly
-  // strided bytes per payload. ASCII corpus -> the oracle mirrors byte
-  // picks as char picks, md5s included (same equivalence mm02 uses).
+  // strided BYTES per payload (VERDICT r16 #3 byte contract) — the
+  // oracle picks hex digit pairs at the byte stride and the thumb
+  // compares as uppercase hex content, byte-exact for non-ASCII too.
   private val mm04 = Q("mm04_resample", Some("""
-    WITH t AS (
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS blen
+      FROM documents WHERE doc_id < 300),
+    t AS (
       SELECT doc_id,
         array_to_string(list_transform(
-          generate_series(1, length(text),
-            greatest((length(text) + 31) // 32, 1)),
-          i -> substr(text, i, 1)), '') AS thumb
-      FROM documents WHERE doc_id < 300)
-    SELECT doc_id, length(thumb) AS thumb_len, md5(thumb) AS thumb_md5
+          generate_series(1, greatest(blen, 1),
+            greatest((blen + 31) // 32, 1)),
+          i -> substr(hx, CAST(2*i-1 AS INT), 2)), '') AS thumb_hex
+      FROM b)
+    SELECT doc_id, length(thumb_hex) // 2 AS thumb_len, thumb_hex
     FROM t ORDER BY doc_id"""),
     (s, d) => MultimodalOps.resampleBytes(
         MultimodalOps.withBinaryPayload(
           T(s, d, "documents").where(col("doc_id") < 300), "text"),
         "payload", "doc_id", target = 32)
       .select(col("doc_id"), col("thumb_len").cast("long").as("thumb_len"),
-        col("thumb_md5"))
+        hex(col("thumb")).as("thumb_hex"))
       .orderBy("doc_id"))
 
   // The capstone LLM-training-data curation pipeline as ONE declarative
@@ -9142,17 +9163,22 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   // Batched "model inference" over binary payloads: partition-parallel
   // scoring with per-partition model init and fixed-size micro-batches
   // (MultimodalOps.batchScore — the serving shape; batching/model-load
-  // behavior is spec-asserted with an accumulator). The stub model's
-  // integer dot is mirrored byte-for-byte by the oracle over character
-  // codes (ASCII corpus, same discipline as mm03).
+  // behavior is spec-asserted with an accumulator).
+  // scoreStub runs over payload BYTES with byte-position weights
+  // (VERDICT r16 #3): the oracle reads byte values from hex digit pairs
+  // so weight alignment and values match for non-ASCII payloads too.
   private val mm05 = Q("mm05_batch_infer", Some("""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS blen
+      FROM documents WHERE doc_id < 200 AND length(text) > 0)
     SELECT doc_id,
-      cast(list_sum(list_transform(generate_series(1, length(text)),
-        i -> ascii(substr(text, i, 1)) * ([3, 1, 4, 1])[(i - 1) % 4 + 1]))
+      cast(list_sum(list_transform(generate_series(1, blen),
+        i -> (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
+            + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17)
+          * ([3, 1, 4, 1])[(i - 1) % 4 + 1]))
         as bigint) AS score
-    FROM documents
-    WHERE doc_id < 200 AND length(text) > 0
-    ORDER BY doc_id"""),
+    FROM b ORDER BY doc_id"""),
     (s, d) => MultimodalOps.batchScore(
         MultimodalOps.withBinaryPayload(
           T(s, d, "documents")
@@ -9169,13 +9195,17 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   // O(partitions), no state store. The oracle is mm05's batch SQL:
   // scoring is per-row, so any micro-batching appends the same rows.
   private val mm07 = Q("mm07_stream_infer", Some("""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS blen
+      FROM documents WHERE doc_id < 200 AND length(text) > 0)
     SELECT doc_id,
-      cast(list_sum(list_transform(generate_series(1, length(text)),
-        i -> ascii(substr(text, i, 1)) * ([3, 1, 4, 1])[(i - 1) % 4 + 1]))
+      cast(list_sum(list_transform(generate_series(1, blen),
+        i -> (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
+            + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17)
+          * ([3, 1, 4, 1])[(i - 1) % 4 + 1]))
         as bigint) AS score
-    FROM documents
-    WHERE doc_id < 200 AND length(text) > 0
-    ORDER BY doc_id"""),
+    FROM b ORDER BY doc_id"""),
     (s, d) => graft.streaming.StreamingOps.streamBatchScore(s,
         s"$d/documents.parquet",
         col("doc_id") < 200 && length(col("text")) > 0,
@@ -9190,17 +9220,23 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   // 4x16-bit blocks, candidates share ANY block (the dd02 banding
   // applied to the dd03 Hamming key), exact Hamming <= 8 verifies.
   // Never an all-pairs scan: candidate pairs are a fixed-width band
-  // equi-join. The oracle mirrors byte picks as char picks (ASCII
-  // corpus — the mm02/mm04 equivalence), the bit pack, the band split
+  // equi-join. The oracle mirrors the BYTE picks via hex digit pairs
+  // (VERDICT r16 #3 — byte-exact for non-ASCII, not the old ASCII
+  // char==byte equivalence), the bit pack, the band split
   // ((h >> 16k) & 0xFFFF reads identically under arithmetic and logical
   // shift for k <= 3), and the Hamming filter.
   private val mm06 = Q("mm06_phash_neardup", Some("""
-    WITH p AS (
-      SELECT doc_id,
-        list_transform(generate_series(1, length(text),
-          greatest((length(text) + 63) // 64, 1)),
-          i -> ascii(substr(text, i, 1))) AS picks
+    WITH b0 AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS blen
       FROM documents WHERE length(text) > 0),
+    p AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, blen,
+          greatest((blen + 63) // 64, 1)),
+          i -> strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17) AS picks
+      FROM b0),
     s AS (
       SELECT doc_id, picks, len(picks) AS n, list_sum(picks) AS sm FROM p),
     h AS (
@@ -9259,12 +9295,17 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
       FROM bands l JOIN bands r
         ON l.band_id = r.band_id AND l.band_key = r.band_key
       WHERE l.doc_id < r.doc_id),
+    pb0 AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS blen
+      FROM documents WHERE length(text) > 0),
     pp AS (
       SELECT doc_id,
-        list_transform(generate_series(1, length(text),
-          greatest((length(text) + 63) // 64, 1)),
-          i -> ascii(substr(text, i, 1))) AS picks
-      FROM documents WHERE length(text) > 0),
+        list_transform(generate_series(1, blen,
+          greatest((blen + 63) // 64, 1)),
+          i -> strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17) AS picks
+      FROM pb0),
     ps AS (
       SELECT doc_id, picks, len(picks) AS n, list_sum(picks) AS sm FROM pp),
     ph AS (
@@ -9342,22 +9383,28 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   // dedups/captions one keyframe per SEGMENT, not per frame. Same
   // doc_id < 200 payload bound as mm02.
   private val mm09 = Q("mm09_scene_cuts", Some("""
-    WITH fr0 AS (
-      SELECT doc_id,
-        list_transform(generate_series(1, greatest(length(text) - 63, 1), 48),
-          p -> substr(text, p, 64)) AS frames
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS blen
       FROM documents WHERE doc_id < 200),
+    fr0 AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(blen - 63, 1), 48),
+          p -> substr(hx, CAST((p - 1) * 2 + 1 AS INT), 128)) AS frames
+      FROM b),
     fr AS (
       SELECT doc_id,
         unnest(generate_series(0, len(frames) - 1)) AS frame_idx,
         unnest(frames) AS frame
       FROM fr0),
-    fnz AS (SELECT * FROM fr WHERE length(frame) > 0),
+    fnz AS (SELECT doc_id, frame_idx, frame, length(frame) // 2 AS fn
+            FROM fr WHERE length(frame) > 0),
     p AS (
       SELECT doc_id, frame_idx,
-        list_transform(generate_series(1, length(frame),
-          greatest((length(frame) + 63) // 64, 1)),
-          i -> ascii(substr(frame, i, 1))) AS picks
+        list_transform(generate_series(1, fn,
+          greatest((fn + 63) // 64, 1)),
+          i -> strpos('0123456789ABCDEF', substr(frame, CAST(2*i-1 AS INT), 1)) * 16
+             + strpos('0123456789ABCDEF', substr(frame, CAST(2*i AS INT), 1)) - 17) AS picks
       FROM fnz),
     s AS (SELECT doc_id, frame_idx, picks, len(picks) AS n,
         list_sum(picks) AS sm FROM p),
@@ -9408,11 +9455,15 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   // count. Same doc_id < 200 payload bound as mm02/mm09; all-integer
   // energies (byte sums, cross-multiplied threshold).
   private val mm10 = Q("mm10_vad_segments", Some("""
-    WITH fr0 AS (
-      SELECT doc_id,
-        list_transform(generate_series(1, greatest(length(text) - 31, 1), 32),
-          p -> substr(text, p, 32)) AS frames
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS blen
       FROM documents WHERE doc_id < 200),
+    fr0 AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(blen - 31, 1), 32),
+          p -> substr(hx, CAST((p - 1) * 2 + 1 AS INT), 64)) AS frames
+      FROM b),
     fr AS (
       SELECT doc_id,
         unnest(generate_series(0, len(frames) - 1)) AS frame_idx,
@@ -9421,9 +9472,10 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
     fnz AS (SELECT * FROM fr WHERE length(frame) > 0),
     e AS (
       SELECT doc_id, frame_idx,
-        list_sum(list_transform(generate_series(1, length(frame)),
-          i -> ascii(substr(frame, i, 1)))) AS sm,
-        length(frame) AS n
+        list_sum(list_transform(generate_series(1, length(frame) // 2),
+          i -> strpos('0123456789ABCDEF', substr(frame, CAST(2*i-1 AS INT), 1)) * 16
+             + strpos('0123456789ABCDEF', substr(frame, CAST(2*i AS INT), 1)) - 17)) AS sm,
+        length(frame) // 2 AS n
       FROM fnz),
     v AS (SELECT doc_id, frame_idx, sm FROM e WHERE sm > n * 94),
     i AS (
@@ -9461,12 +9513,16 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   // concatenation of 8 NON-CONTIGUOUS row slices (genuinely 2-D access
   // — mm02's frames are 1-D windows), grid capped 4×4 per doc (bounded
   // probe). Oracle rebuilds each tile via ordered string_agg over the
-  // same row slices (the corpus is ASCII: byte == char, md5s match);
-  // DuckDB's empty-when-negative generate_series and Spark's fixed
-  // sequence + filter express the same truncated grids.
+  // same BYTE row slices taken from the payload's hex encoding (2 hex
+  // chars = 1 byte — VERDICT r16 #3: byte-exact for non-ASCII, unlike
+  // the old ASCII char==byte equivalence), and tiles compare as
+  // uppercase hex content; DuckDB's empty-when-negative generate_series
+  // and Spark's fixed sequence + filter express the same truncated
+  // grids.
   private val mm11 = Q("mm11_patch_grid", Some("""
     WITH b AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS len,
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS len,
         32 + octet_length(encode(text)) % 97 AS w
       FROM documents WHERE doc_id < 200),
     g AS (
@@ -9482,13 +9538,13 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
       FROM g2),
     tiles AS (
       SELECT r.doc_id, r.w, r.h, r.pr, r.pc,
-        string_agg(substr(b.text, CAST((r.pr * 8 + r.dy) * r.w + r.pc * 8 + 1 AS INT), 8),
-          '' ORDER BY r.dy) AS tile
+        string_agg(substr(b.hx, CAST(((r.pr * 8 + r.dy) * r.w + r.pc * 8) * 2 + 1 AS INT), 16),
+          '' ORDER BY r.dy) AS tile_hex
       FROM rws r JOIN b USING (doc_id)
       GROUP BY r.doc_id, r.w, r.h, r.pr, r.pc)
     SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
       CAST(pr AS INT) AS pr, CAST(pc AS INT) AS pc,
-      CAST(length(tile) AS INT) AS tile_len, md5(tile) AS tile_md5
+      CAST(length(tile_hex) // 2 AS INT) AS tile_len, tile_hex
     FROM tiles ORDER BY doc_id, pr, pc"""),
     (s, d) => {
       val pl = MultimodalOps.withBinaryPayload(
@@ -9498,7 +9554,8 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
         .select(col("doc_id"), col("width").cast("int").as("width"),
           col("height").cast("int").as("height"),
           col("pr").cast("int").as("pr"), col("pc").cast("int").as("pc"),
-          col("tile_len").cast("int").as("tile_len"), col("tile_md5"))
+          col("tile_len").cast("int").as("tile_len"),
+          hex(col("tile")).as("tile_hex"))
         .orderBy("doc_id", "pr", "pc")
     })
 
@@ -10364,16 +10421,16 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
   // so near-duplicate documents share tiles exactly where dd* finds
   // them — the plumbing (grid → hash → group → threshold) is the
   // production shape for image-corpus boilerplate detection.
-  // ASCII-corpus contract (ADVICE r15, mm11's pinned convention): the
-  // oracle sizes the grid from octet_length(encode(text)) BYTES but
-  // slices tiles with character substr, while the Spark side slices the
-  // binary payload by bytes — the two agree because the driver corpus is
-  // ASCII-only (verified: 0 docs at all 3 SFs where octet_length ≠
-  // length), making byte == char. A non-ASCII corpus would need the
-  // oracle to slice encode(text) instead.
+  // BYTE contract (VERDICT r16 #3, closing ADVICE r16 #4): the oracle
+  // now sizes the grid AND slices the tiles from the same quantity —
+  // payload bytes, sliced as hex digit pairs — so the r16-flagged
+  // bytes-for-sizing/chars-for-slicing divergence is gone and the query
+  // is byte-exact on non-ASCII corpora; tiles key and compare as
+  // uppercase hex content.
   private val mm12 = Q("mm12_shared_tiles", Some("""
     WITH b AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS len
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS len
       FROM documents),
     g AS (
       SELECT doc_id, len // 64 AS h,
@@ -10388,18 +10445,18 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
       FROM g2),
     tiles AS (
       SELECT r.doc_id, r.pr, r.pc,
-        string_agg(substr(b.text, CAST((r.pr * 8 + r.dy) * 64 + r.pc * 8 + 1 AS INT), 8),
-          '' ORDER BY r.dy) AS tile
+        string_agg(substr(b.hx, CAST(((r.pr * 8 + r.dy) * 64 + r.pc * 8) * 2 + 1 AS INT), 16),
+          '' ORDER BY r.dy) AS tile_hex
       FROM rws r JOIN b USING (doc_id)
       GROUP BY r.doc_id, r.pr, r.pc),
     sh AS (
-      SELECT md5(tile) AS tile_md5,
+      SELECT tile_hex,
         cast(count(DISTINCT doc_id) as bigint) AS n_images,
         cast(count(*) as bigint) AS n_occur
       FROM tiles GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
-    SELECT tile_md5, n_images, n_occur,
-      row_number() OVER (ORDER BY n_images DESC, tile_md5) AS rank
-    FROM sh ORDER BY n_images DESC, tile_md5 LIMIT 50"""),
+    SELECT tile_hex, n_images, n_occur,
+      row_number() OVER (ORDER BY n_images DESC, tile_hex) AS rank
+    FROM sh ORDER BY n_images DESC, tile_hex LIMIT 50"""),
     (s, d) => {
       // FIXED tile geometry (width 64), unlike mm11's payload-derived
       // width: shared content must land on identical tile boundaries
@@ -10408,15 +10465,16 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
       // detector is structurally blind
       val pl = MultimodalOps.withBinaryPayload(T(s, d, "documents"), "text")
       val tiles = MultimodalOps.patchGrid(pl, "payload", "doc_id",
-        width = lit(64), patch = 8, maxGrid = 4)
-      val sharedTiles = tiles.groupBy("tile_md5")
+          width = lit(64), patch = 8, maxGrid = 4)
+        .withColumn("tile_hex", hex(col("tile")))
+      val sharedTiles = tiles.groupBy("tile_hex")
         .agg(countDistinct("doc_id").cast("long").as("n_images"),
           count(lit(1)).cast("long").as("n_occur"))
         .where(col("n_images") >= 2)
-      sharedTiles.orderBy(col("n_images").desc, col("tile_md5")).limit(50)
-        .select(col("tile_md5"), col("n_images"), col("n_occur"),
+      sharedTiles.orderBy(col("n_images").desc, col("tile_hex")).limit(50)
+        .select(col("tile_hex"), col("n_images"), col("n_occur"),
           row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("n_images").desc, col("tile_md5"))).as("rank"))
+            .orderBy(col("n_images").desc, col("tile_hex"))).as("rank"))
         .orderBy("rank")
     })
 
@@ -10712,13 +10770,14 @@ private val ann22 = Q("ann22_hard_negatives", Some(s"""
           .where(round(SimilarityOps.cosine(col("_lv"), col("_rv")), 6) >= 0.6)
           .select("id1", "id2"))
       val perProbe = Seq(1, 2).map { pr =>
-        val det = SimilarityOps.semanticNearDupPairs(emb16, "vec_id", "v16",
-            SharedArtifacts.centroids16(s, d),
-            threshold = 0.6, roundSim = 6, targetCell = 64, probes = pr)
-          .where(col("id1") < 50).select("id1", "id2")
-        // candidate-pair telemetry is collected eagerly inside the call,
-        // so capture it per probe setting before the next call overwrites
-        val cand = SimilarityOps.lastSemanticStats.map(_.candidatePairs).getOrElse(0L)
+        // stats come back as a VALUE from this call (ADVICE r16 #3) —
+        // never from the shared lastSemanticStats global, which an
+        // interleaved call elsewhere in the JVM could overwrite
+        val (detAll, stats) = SimilarityOps.semanticNearDupPairsWithStats(
+          emb16, "vec_id", "v16", SharedArtifacts.centroids16(s, d),
+          threshold = 0.6, roundSim = 6, targetCell = 64, probes = pr)
+        val det = detAll.where(col("id1") < 50).select("id1", "id2")
+        val cand = stats.candidatePairs
         det.join(truth, Seq("id1", "id2"))
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(pr).cast("long").as("probes"),

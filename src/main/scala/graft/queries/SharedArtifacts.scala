@@ -48,6 +48,28 @@ object SharedArtifacts {
 
   private val cache = new ConcurrentHashMap[String, DataFrame]()
 
+  /** One L1-miss observation: the artifact was either BUILT (trained
+    * from the corpus and persisted) or SERVED (read back from
+    * [[DiskArtifacts]]' persisted copy), and took `millis` wall to hand
+    * back a materialized handle. Exists so the bench can attribute
+    * shared-index cost separately from query cost (VERDICT r16 #5: the
+    * ann family inflated 2.6–3.3× between same-code shots exactly when
+    * artifact builds landed inside measured queries).
+    */
+  final case class ArtEvent(tag: String, built: Boolean, millis: Long)
+  private val events = new java.util.concurrent.ConcurrentLinkedQueue[ArtEvent]()
+
+  /** Drain (return and clear) the L1-miss events recorded since the
+    * last drain — bench-phase attribution reads: warmup drains builds,
+    * a warm main loop should drain ~nothing.
+    */
+  def drainEvents(): Seq[ArtEvent] = {
+    val b = Seq.newBuilder[ArtEvent]
+    var e = events.poll()
+    while (e != null) { b += e; e = events.poll() }
+    b.result()
+  }
+
   private def stampOf(sfDir: String, table: String): String = {
     val p = java.nio.file.Paths.get(sfDir, s"$table.parquet")
     if (java.nio.file.Files.exists(p))
@@ -82,8 +104,12 @@ object SharedArtifacts {
     val hit = cache.get(key)
     if (hit != null) hit
     else {
+      val b0 = DiskArtifacts.buildCount(tag)
+      val t0 = System.nanoTime()
       val built = Exec.materializeForSelfJoin(
         DiskArtifacts.serveOrBuild(s, tag, sfDir, table, bucketCol, nBuckets)(build))
+      events.add(ArtEvent(tag, DiskArtifacts.buildCount(tag) > b0,
+        (System.nanoTime() - t0) / 1000000L))
       val prev = cache.putIfAbsent(key, built)
       if (prev == null) built
       else {

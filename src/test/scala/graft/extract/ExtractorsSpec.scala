@@ -108,6 +108,29 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(!lay.exists(_.toLowerCase.contains("read less")))
   }
 
+  test("JS-gated pane degrades, never mis-extracts (VERDICT r16 #7)") {
+    // A plain-HTTP capture of a JS-rendered page (the reference drives
+    // headless Chrome — chrome_config.py:3-17): panes the server leaves
+    // as empty JS shells must take the absent-pane branch...
+    val jsShell =
+      """<div id="cpt_guidelines"></div>
+         <div id="cpt_advice">  </div>
+         <div id="fullLayterm"></div>"""
+    assert(Extractors.getGuidelines(jsShell).isEmpty)
+    assert(Extractors.getAdvice(jsShell).isEmpty)
+    assert(Extractors.getLayTerm(jsShell) == (None, None))
+    // ...and a lay-term pane captured STILL COLLAPSED (the browser
+    // clicks "Read More" before capture — procedure_code.py:247-293)
+    // degrades to the truncated text with the UI artifact stripped
+    val collapsed =
+      """<div id="fullLayterm"><p>A summary.</p>
+         Truncated lay text <a href="#">Read More</a></div>"""
+    val (summary, lay) = Extractors.getLayTerm(collapsed)
+    assert(summary.contains("A summary."))
+    assert(lay.exists(_.endsWith("Truncated lay text")))
+    assert(!lay.exists(_.toLowerCase.contains("read more")))
+  }
+
   test("E14: revenue lookup distinguishes null (unavailable) from rows") {
     assert(Extractors.getRevenueCodeLookup(pageCpt).contains(Seq("0300", "0301")))
     assert(Extractors.getRevenueCodeLookup(pageRevenueUnavailable).isEmpty)

@@ -27,6 +27,27 @@ class CmsSpec extends AnyFunSuite {
     assert(under == 0, "CMS under-counted — the min over rows is broken")
   }
 
+  test("cmsEstimate tolerates queryKeys already carrying d/b/c columns (ADVICE r16 #2)") {
+    val keys = stream(8) // collision-free regime: est must equal exact
+    val counters = SketchOps.cmsCounters(keys, "pk", depth = 4, width = 256)
+    // a caller frame whose columns collide with the old working names
+    val exact = keys.groupBy("pk").agg(count(lit(1)).as("exact"))
+      .withColumn("d", lit(-1)).withColumn("b", lit(-2L))
+      .withColumn("c", lit(-3L))
+    val est = SketchOps.cmsEstimate(counters, exact, "pk",
+      depth = 4, width = 256)
+    assert(est.columns.sorted.toSeq == Seq("b", "c", "d", "est", "exact", "pk"))
+    assert(est.where(col("est") =!= col("exact")).count() == 0)
+    // caller columns pass through untouched
+    assert(est.where(col("d") =!= -1 || col("b") =!= -2L || col("c") =!= -3L)
+      .count() == 0)
+    // a pre-existing `est` column is rejected loudly, never duplicated
+    intercept[IllegalArgumentException] {
+      SketchOps.cmsEstimate(counters,
+        exact.withColumnRenamed("exact", "est"), "pk", 4, 256)
+    }
+  }
+
   test("cms state is bounded by depth × width, independent of key cardinality") {
     val counters = SketchOps.cmsCounters(stream(5000), "pk",
       depth = 4, width = 64)

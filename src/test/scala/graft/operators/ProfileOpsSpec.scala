@@ -59,4 +59,22 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(ProfileOps.equiWidthHistogram(
       Seq.empty[Long].toDF("x"), col("x"), buckets = 8).count() == 0)
   }
+
+  test("equiWidthHistogram: value ranges near 2^63 don't overflow (ADVICE r16 #1)") {
+    // full-Long-range data: (v − lo)·buckets and max − lo + 1 both
+    // overflow long arithmetic; the decimal fallback must still produce
+    // in-range, ordered, mass-conserving buckets
+    val df = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue).toDF("x")
+    val h = ProfileOps.equiWidthHistogram(df, col("x"), buckets = 8)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(h.map(_._4).sum == 7L)
+    assert(h.forall(b => b._1 >= 0L && b._1 <= 7L), s"bucket out of range: ${h.toSeq}")
+    assert(h.head._1 == 0L && h.head._2 == Long.MinValue)
+    assert(h.last._1 == 7L && h.last._3 == Long.MaxValue)
+    // extremes land in the extreme buckets; the mid values in the middle
+    val mid = h.filter(b => b._2 <= 0L && b._3 >= 0L)
+    assert(mid.forall(b => b._1 >= 3L && b._1 <= 4L), s"mid bucket: ${mid.toSeq}")
+  }
 }

@@ -304,4 +304,21 @@ class SimilarityOpsSpec extends AnyFunSuite {
       (1L, 1L, c1, 2),
       (3L, 1L, c2, 3)))
   }
+
+  test("rrfFuse: duplicate rows within one arm collapse to best rank (VERDICT r16 #6)") {
+    // arm1 emits neighbor 1 twice (ranks 1 and 3): must fuse as rank 1
+    // exactly once — n_arms stays 1 per real arm, rrf_nano uninflated
+    val arm1 = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 1L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val arm2 = Seq((0L, 1L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val got = SimilarityOps.rrfFuse(Seq(arm1, arm2), kConst = 60, topK = 10)
+      .orderBy("rank")
+      .select("neighbor_id", "n_arms", "rrf_nano", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val c1 = 1000000000L / 61
+    val c2 = 1000000000L / 62
+    assert(got == Seq(
+      (1L, 2L, c1 + c1, 1),  // dup in arm1 collapsed to rank 1, not summed
+      (2L, 1L, c2, 2)))
+  }
 }
