@@ -50,7 +50,13 @@ object Sf1Probe {
     // 3.68s committed idle with NO isolated full-query probe on record —
     // it joins the default list so every `runMain graft.tools.Sf1Probe 3`
     // leaves a contention-controlled decade ratio for it
-    "ann18_graph_depth_curve")
+    "ann18_graph_depth_curve",
+    // VERDICT r17 (r16 #2): the r16 in-bench sf1 section read dp09 at
+    // 23.0x with no same-round envelope; the isolated 3-run protocol
+    // reads 2.0/1.6/1.6x (BASELINE round 17) — it joins the default
+    // list so every future probe run re-certifies the near-linear
+    // shingle equi-join slope
+    "dp09_decontam")
 
   /** Also called by graft.Bench's optional sf1 section. Idempotent: the
     * `_DONE` marker caches the built corpus across runs/rounds.

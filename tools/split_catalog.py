@@ -59,17 +59,31 @@ def main():
     # A run of 2-space-indented comment/blank lines is attached to the NEXT
     # member when one follows (lookahead), else to the current chunk — so a
     # query's doc comment never lands in the previous family's file.
-    def is_gap(l):
-        s = l.strip()
-        return (s == "" or (l.startswith("  ") and (
-            s.startswith("//") or s.startswith("/*") or s.startswith("*"))))
+    #
+    # Triple-quoted SQL strings are tracked: a line INSIDE a string is
+    # never a gap and never a member start (a SQL line like `* sqrt(...)`
+    # otherwise reads as a scaladoc continuation and the chunker cuts the
+    # string in half — the ivfCos bug).
+    in_str = [False] * (len(body) + 1)
+    st = False
+    for idx, l in enumerate(body):
+        in_str[idx] = st
+        if l.count('"""') % 2 == 1:
+            st = not st
+
+    def is_gap(i):
+        if in_str[i]:
+            return False
+        s = body[i].strip()
+        return (s == "" or s.startswith("//") or s.startswith("/*")
+                or s.startswith("*"))
 
     chunks = []  # (name, lines)
     cur, cur_name = [], None
     i, n = 0, len(body)
     while i < n:
         l = body[i]
-        if MEMBER_RE.match(l):
+        if MEMBER_RE.match(l) and not in_str[i]:
             if cur:
                 chunks.append((cur_name, cur))
             cur = [l]
@@ -77,11 +91,11 @@ def main():
             cur_name = m.group(1) if m else (
                 "__ALL__" if l.startswith("  val all") else None)
             i += 1
-        elif is_gap(l) and cur:
+        elif is_gap(i) and cur:
             j = i
-            while j < n and is_gap(body[j]):
+            while j < n and is_gap(j):
                 j += 1
-            if j < n and MEMBER_RE.match(body[j]):
+            if j < n and MEMBER_RE.match(body[j]) and not in_str[j]:
                 chunks.append((cur_name, cur))
                 # drop pure trailing blanks, keep comments with next member
                 lead = [x for x in body[i:j]]
