@@ -315,6 +315,19 @@ object Bench {
         // (cold_sec) so the first-touch cost stays visible, adjudicated
         // by its own gc/cpu telemetry instead of a per-round essay.
         def timed(dir: String): Seq[(String, Option[Double], Long, Long, Long, Option[Double])] = {
+          // Size-scaled shuffle partitioning for the decade probes
+          // (round-17 dd20 finding): at shuffle.partitions = 4 the sf1
+          // verification joins (185M rows for dd20) ran in 4 oversized
+          // partitions and the in-bench decade ratio read 31x where the
+          // candidate count scales exactly 10.0x — UNDER-PARTITIONING,
+          // not algorithm. Probes run with a high AQE
+          // initialPartitionNum (AQE coalesces the small scale's stages
+          // back down), i.e. the partition policy a real deployment uses
+          // at growing scale; dd20's sf1 pass drops 156 -> 99 s under
+          // it. Scoped to this section so the main loop's config stays
+          // comparable round-over-round.
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
           def clearAll(): Unit = {
             spark.catalog.clearCache()
             graft.queries.SharedArtifacts.clear()
@@ -384,6 +397,8 @@ object Bench {
         val touch1 = pretouch(sf1Dir)
         val at1 = timed(sf1Dir); val cc1 = ccSnapshot; val sem1 = semSnapshot
         val art1 = artJson()._1
+        // restore the main-loop partition config (timed() raised it)
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
         type PT = (String, Option[Double], Long, Long, Long, Option[Double])
         def obj(ts: Seq[PT]) = ts.map {
           case (k, Some(v), _, _, _, _) => s"\"" + k + "\":" + v

@@ -1006,6 +1006,15 @@ object DedupOps {
     * restricted to candidates. Shingle sets are corpus-sized bytes —
     * DISK_ONLY via [[Exec.materializeLarge]].
     *
+    * Partitioning at scale (round-17 measured): candidates scale
+    * LINEARLY in corpus size (10.0× pairs at 10× docs on the decade
+    * corpus), but the verification join's row volume (Σ min(n1,n2)
+    * over candidates) is the widest stage — size shuffle partitions to
+    * it or it spills: at 4 shuffle partitions the decade corpus ran
+    * 1.6–1.8× slower than with AQE `initialPartitionNum = 64` on the
+    * same 4 cores. Deploy with initial shuffle partitions proportional
+    * to input bytes and let AQE coalesce the small stages.
+    *
     * @return [id1, id2, n_common, jaccard] for pairs with J ≥ num/den
     */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
