@@ -31,6 +31,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // size-scaled initial partitions, the GraftSession default
+      // promoted engine-wide (VERDICT r17 #3): derived from the measured
+      // corpus's bytes, AQE coalesces the small stages back down
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        GraftSession.initialPartitions(cpus.toInt,
+          GraftSession.dirBytes(sfDir)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -289,6 +295,11 @@ object Bench {
           graft.operators.SimilarityOps.lastSemanticStats.map { s =>
             s"""{"cells":${s.cells},"pairs":${s.candidatePairs},"max_partition":${s.maxPartitionRows}}"""
           }.getOrElse("null")
+        // dd20 row-volume telemetry (VERDICT r17 #1): raw pre-distinct
+        // join rows vs distinct candidates vs verification rows at both
+        // scales — the artifact itself now settles whether the decade
+        // wall is super-linear row generation or local-mode saturation
+        var jxSnapshot: String = "null"
         // Some(seconds) on success, None on failure — a failed probe must
         // not publish its time-to-failure as a measurement. The cache is
         // cleared first: persisted (DISK_ONLY) tables from the main loop
@@ -324,10 +335,15 @@ object Bench {
           // initialPartitionNum (AQE coalesces the small scale's stages
           // back down), i.e. the partition policy a real deployment uses
           // at growing scale; dd20's sf1 pass drops 156 -> 99 s under
-          // it. Scoped to this section so the main loop's config stays
-          // comparable round-over-round.
+          // it. Since r18 the policy is the GraftSession default
+          // (input-bytes/128 MB, floor max(2×cores, 64)); here it is
+          // re-derived PER SCALE from the probed dir's actual bytes so
+          // the sf1 pass runs the partitioning a deployment at that
+          // size would use.
           spark.conf.set(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            GraftSession.initialPartitions(nCores,
+              GraftSession.dirBytes(dir)).toString)
           def clearAll(): Unit = {
             spark.catalog.clearCache()
             graft.queries.SharedArtifacts.clear()
@@ -347,6 +363,8 @@ object Bench {
             if (n == "dd06_dup_clusters") graft.operators.DedupOps.lastCcStats = None
             if (n == "dd13_semantic_dedup")
               graft.operators.SimilarityOps.lastSemanticStats = None
+            if (n == "dd20_jaccard_join")
+              graft.operators.DedupOps.lastJaccardObs = None
             heapPools.foreach(_.resetPeakUsage())
             val g0 = gcMillis()
             val c0 = procCpuNs()
@@ -357,6 +375,9 @@ object Bench {
               ccSnapshot = if (ok) ccJson() else "null"
             if (n == "dd13_semantic_dedup")
               semSnapshot = if (ok) semJson() else "null"
+            if (n == "dd20_jaccard_join")
+              jxSnapshot =
+                if (ok) graft.operators.DedupOps.jaccardStatsJson else "null"
             val wallNs = System.nanoTime() - t0
             val gcMs = gcMillis() - g0
             val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
@@ -393,9 +414,11 @@ object Bench {
         graft.queries.SharedArtifacts.drainEvents() // scope per-scale drains
         val touch01 = pretouch(sf01)
         val at01 = timed(sf01); val cc01 = ccSnapshot; val sem01 = semSnapshot
+        val jx01 = jxSnapshot
         val art01 = artJson()._1
         val touch1 = pretouch(sf1Dir)
         val at1 = timed(sf1Dir); val cc1 = ccSnapshot; val sem1 = semSnapshot
+        val jx1 = jxSnapshot
         val art1 = artJson()._1
         // restore the main-loop partition config (timed() raised it)
         spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
@@ -423,18 +446,43 @@ object Bench {
           for (a <- m1(n); b <- m01(n)) yield
             s"\"" + n + "\":" + (math.round(a / math.max(1e-9, b) * 100) / 100.0)
         }.mkString("{", ",", "}")
+        // core-normalized decade ratio: (cpu_ns sf1)/(cpu_ns sf0.1),
+        // cpu_ns ∝ cpu_share × wall (core count cancels). Separates "the
+        // work grew" from "the cores were busy elsewhere": a wall ratio
+        // of 30× with a cpu ratio of 10× is local-mode saturation, a cpu
+        // ratio of 90× is super-linear work (VERDICT r17 #1/#2).
+        val cpuM01 = at01.map(t => t._1 -> (t._2, t._5)).toMap
+        val cpuM1 = at1.map(t => t._1 -> (t._2, t._5)).toMap
+        val cpuRatios = probes.flatMap { n =>
+          (cpuM01(n), cpuM1(n)) match {
+            case ((Some(w0), c0), (Some(w1), c1)) if c0 > 0 && c1 > 0 =>
+              Some(s"\"" + n + "\":" +
+                (math.round(w1 * c1 / math.max(1e-9, w0 * c0) * 100) / 100.0))
+            case _ => None
+          }
+        }.mkString("{", ",", "}")
         // compact variant built from the SAME Scala values — re-parsing the
         // serialized line with a brace matcher silently truncated on any
         // brace inside a string value (ADVICE r11)
         val telemetry =
-          s""""ratio_vs_10x_data":$ratios,"dd06_cc":{"sf0.1":$cc01,"sf1":$cc1},"dd13_cells":{"sf0.1":$sem01,"sf1":$sem1}"""
+          s""""ratio_vs_10x_data":$ratios,"cpu_ratio_vs_10x_data":$cpuRatios,"dd06_cc":{"sf0.1":$cc01,"sf1":$cc1},"dd13_cells":{"sf0.1":$sem01,"sf1":$sem1},"dd20_rows":{"sf0.1":$jx01,"sf1":$jx1}"""
         (s""","sf1":{"build_sec":$buildSec,"protocol":"2-shot-isolated-keep-2nd-pretouched","pretouch_sec":{"sf0.1":${math.round(touch01 * 1000) / 1000.0},"sf1":${math.round(touch1 * 1000) / 1000.0}},"artifacts":{"sf0.1":$art01,"sf1":$art1},"sf0.1":${obj(at01)},"sf1":${obj(at1)},"cold_sec":{"sf0.1":${coldObj(at01)},"sf1":${coldObj(at1)}},"gc_ms":{"sf0.1":${gcObj(at01)},"sf1":${gcObj(at1)}},"peak_heap_mb":{"sf0.1":${peakObj(at01)},"sf1":${peakObj(at1)}},"cpu_share_milli":{"sf0.1":${cpuObj(at01)},"sf1":${cpuObj(at1)}},$telemetry}""",
          s""","sf1":{$telemetry}""")
       } else ("", "")
     def r3b(v: Double) = math.round(v * 1000) / 1000.0
-    // diagnostic-run provenance: a filtered/reordered artifact must say so
+    // diagnostic-run provenance: a filtered/reordered artifact must say so.
+    // The env value is user-controlled text landing inside a JSON string —
+    // escape backslashes/quotes/control chars or a stray quote corrupts the
+    // whole BENCH line (ADVICE r17).
+    def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      }
     val diagJson =
-      sys.env.get("SPARK_GRAFT_QUERIES").map(v => s""","filter":"$v"""").getOrElse("") +
+      sys.env.get("SPARK_GRAFT_QUERIES").map(v => s""","filter":"${jsonEscape(v)}"""").getOrElse("") +
         (if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) s""","order":"reverse"""" else "")
     // post-clear storage: everything SharedArtifacts + the cache manager
     // own must actually release (the lifetime audit's second half)
@@ -448,10 +496,14 @@ object Bench {
     // shot. The full line now ALSO lands in a timestamped file that no
     // later run touches; BENCH_full.json stays as the
     // latest-run convenience pointer (same bytes).
-    val stampedName = "BENCH_full_" + java.time.format.DateTimeFormatter
+    // Stamped shots archive under bench_artifacts/ (VERDICT r17 #5: 23 of
+    // them in the repo root made it unreadable); BENCH_full.json remains the
+    // root-level latest-run pointer.
+    val stampedName = "bench_artifacts/BENCH_full_" + java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now()) + ".json"
     try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_artifacts"))
       java.nio.file.Files.write(java.nio.file.Paths.get(stampedName),
         (line + "\n").getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),

@@ -261,7 +261,10 @@ object Extractors {
     val pane = byId(html, "fullLayterm").orElse(byId(html, "hcpcs_layterm"))
     val summary = pane.flatMap(p => find(p, "(?s)<p[^>]*>(.*?)</p>")).map(textOf).filter(_.nonEmpty)
     val lay = pane.map { p =>
-      val noReadToggle = p.replaceAll("""(?s)<a[^>]*>[^<]*[Rr]ead [LlMm](?:ess|ore)[^<]*</a>""", "")
+      // alternation is anchored per word — ([Ll]ess|[Mm]ore), NOT a
+      // [LlMm](ess|ore) cross-product that would also strip a legitimate
+      // "Read Lore" content link (ADVICE r17)
+      val noReadToggle = p.replaceAll("""(?s)<a[^>]*>[^<]*[Rr]ead (?:[Ll]ess|[Mm]ore)[^<]*</a>""", "")
       val t = textOf(noReadToggle)
       val lower = t.toLowerCase
       if (lower.endsWith("read less")) t.substring(0, t.length - "read less".length).trim

@@ -140,6 +140,12 @@ object SketchOps {
     // pre-existing `est` is rejected loudly instead of duplicated
     require(!queryKeys.columns.contains("est"),
       "cmsEstimate: queryKeys must not already carry an `est` column")
+    // the _cms_ working names get the same loud-rejection treatment as
+    // `est`: withColumn would silently clobber them (ADVICE r17)
+    Seq("_cms_d", "_cms_b", "_cms_c").foreach { c =>
+      require(!queryKeys.columns.contains(c),
+        s"cmsEstimate: queryKeys must not carry reserved working column `$c`")
+    }
     val probes = queryKeys
       .withColumn("_cms_d", explode(expr(s"sequence(0, ${depth - 1})")))
       .withColumn("_cms_b", cmsBucket(col("_cms_d"), col(keyCol), width))

@@ -590,9 +590,13 @@ private[queries] trait CatalogMultimodal extends CatalogShared {
       // near-identical images of different lengths never align and the
       // detector is structurally blind
       val pl = MultimodalOps.withBinaryPayload(T(s, d, "documents"), "text")
+      // project away the raw tile binary immediately: only tile_hex and
+      // doc_id feed the groupBy, and an explicit narrow select keeps the
+      // full payload bytes out of every downstream row regardless of what
+      // pruning decides (ADVICE r17)
       val tiles = MultimodalOps.patchGrid(pl, "payload", "doc_id",
           width = lit(64), patch = 8, maxGrid = 4)
-        .withColumn("tile_hex", hex(col("tile")))
+        .select(col("doc_id"), hex(col("tile")).as("tile_hex"))
       val sharedTiles = tiles.groupBy("tile_hex")
         .agg(countDistinct("doc_id").cast("long").as("n_images"),
           count(lit(1)).cast("long").as("n_occur"))

@@ -186,9 +186,24 @@ object Sf1Probe {
         spark.catalog.clearCache()
         graft.queries.SharedArtifacts.clear()
         graft.queries.DiskArtifacts.clear()
+        // size-scaled initial partitions, re-derived per scale — the
+        // same policy graft.Bench's sf1 section and GraftSession use
+        // (VERDICT r17 #3), so envelopes recorded here stay comparable
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          graft.GraftSession.initialPartitions(cpus.toInt,
+            graft.GraftSession.dirBytes(sf)).toString)
+        if (n == "dd20_jaccard_join")
+          graft.operators.DedupOps.lastJaccardObs = None
         val t0 = System.nanoTime()
         cat(n).fn(spark, sf).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // dd20 row-volume telemetry (VERDICT r17 #1): raw pre-distinct
+        // self-join rows vs distinct candidates vs verify rows, printed
+        // per scale so the decade slope of each stage is on record
+        if (n == "dd20_jaccard_join")
+          println(s"  dd20_rows[$sf] = ${graft.operators.DedupOps.jaccardStatsJson}")
+        sec
       }
       println(f"$n%-24s ${times(0)}%8.2fs ${times(1)}%8.2fs ${times(1) / times(0)}%6.1fx")
     }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke for the one-command launcher (VERDICT r17 #7): arg parsing and
+  * the resolve-and-execute core, driven on the sf0.001 corpus.
+  */
+class RunSpec extends AnyFunSuite {
+
+  test("parse: flags, defaults, and error cases") {
+    val ok = Run.parse(Array("q01_agg", "--data", "/d", "--show", "5"))
+    assert(ok == Right(Run.Args("q01_agg", "/d", None, 5)))
+    val out = Run.parse(Array("q01_agg", "--out", "/o"))
+    assert(out.exists(_.out.contains("/o")))
+    assert(Run.parse(Array()).isLeft)
+    assert(Run.parse(Array("q01_agg", "--bogus")).isLeft)
+    assert(Run.parse(Array("q01_agg", "--show", "five")).isLeft)
+    assert(Run.parse(Array("list", "dedup")) ==
+      Right(Run.Args("list:dedup", "/root/testdata/sf0.001", None, 20)))
+  }
+
+  test("execute: a named catalog query runs against --data and returns rows") {
+    val spark = TestSpark.spark
+    val df = Run.execute(spark,
+      Run.Args("q01_pricing_summary", "/root/testdata/sf0.001", None, 20))
+    assert(df.exists(_.count() > 0))
+  }
+
+  test("execute: entry (flagship) returns rows; list returns no frame") {
+    val spark = TestSpark.spark
+    assert(Run.execute(spark,
+      Run.Args("entry", "/root/testdata/sf0.001", None, 20))
+      .exists(_.count() > 0))
+    assert(Run.execute(spark,
+      Run.Args("list", "/root/testdata/sf0.001", None, 20)).isEmpty)
+  }
+
+  test("execute: unknown query fails with a close-match hint") {
+    val spark = TestSpark.spark
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark,
+        Run.Args("dd99_nope", "/root/testdata/sf0.001", None, 20))
+    }
+    assert(e.getMessage.contains("unknown query"))
+    assert(e.getMessage.contains("dd01"))
+  }
+}

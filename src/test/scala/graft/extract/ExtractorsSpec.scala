@@ -129,6 +129,14 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(summary.contains("A summary."))
     assert(lay.exists(_.endsWith("Truncated lay text")))
     assert(!lay.exists(_.toLowerCase.contains("read more")))
+    // the toggle strip is anchored to Less/More as whole words: a
+    // content-bearing link whose text merely pattern-matches the
+    // letter cross-product ("Read Lore") must SURVIVE (ADVICE r17)
+    val loreLink =
+      """<div id="fullLayterm"><p>A summary.</p>
+         See also <a href="/lore">Read Lore</a> for background</div>"""
+    val (_, layLore) = Extractors.getLayTerm(loreLink)
+    assert(layLore.exists(_.contains("Read Lore")))
   }
 
   test("E14: revenue lookup distinguishes null (unavailable) from rows") {
