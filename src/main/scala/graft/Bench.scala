@@ -33,10 +33,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // size-scaled initial partitions, the GraftSession default
       // promoted engine-wide (VERDICT r17 #3): derived from the measured
-      // corpus's bytes, AQE coalesces the small stages back down
+      // corpus's bytes, AQE coalesces the small stages back down.
+      // SPARK_GRAFT_INITPART overrides for config A/B adjudication runs
+      // (the same diagnostic family as SPARK_GRAFT_QUERIES/_ORDER).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        GraftSession.initialPartitions(cpus.toInt,
-          GraftSession.dirBytes(sfDir)).toString)
+        sys.env.get("SPARK_GRAFT_INITPART")
+          .filter(v => v.nonEmpty && v.forall(_.isDigit))
+          .getOrElse(GraftSession.initialPartitions(cpus.toInt,
+            GraftSession.dirBytes(sfDir)).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -363,8 +367,6 @@ object Bench {
             if (n == "dd06_dup_clusters") graft.operators.DedupOps.lastCcStats = None
             if (n == "dd13_semantic_dedup")
               graft.operators.SimilarityOps.lastSemanticStats = None
-            if (n == "dd20_jaccard_join")
-              graft.operators.DedupOps.lastJaccardObs = None
             heapPools.foreach(_.resetPeakUsage())
             val g0 = gcMillis()
             val c0 = procCpuNs()
@@ -375,9 +377,6 @@ object Bench {
               ccSnapshot = if (ok) ccJson() else "null"
             if (n == "dd13_semantic_dedup")
               semSnapshot = if (ok) semJson() else "null"
-            if (n == "dd20_jaccard_join")
-              jxSnapshot =
-                if (ok) graft.operators.DedupOps.jaccardStatsJson else "null"
             val wallNs = System.nanoTime() - t0
             val gcMs = gcMillis() - g0
             val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
@@ -385,6 +384,23 @@ object Bench {
             val cpuShareMilli =
               if (c0 < 0 || wallNs <= 0) -1L
               else (procCpuNs() - c0) * 1000L / (wallNs * nCores)
+            // dd20 row-volume telemetry (VERDICT r17 #1): exact counts
+            // via a dedicated execution AFTER the measured shot (warm
+            // shingle artifact reused) — never riding a timed pass.
+            // `Dataset.observe` was tried and rejected: CollectMetrics
+            // breaks whole-stage codegen on the operator's widest
+            // stages, and the catalog query's orderBy range-sampling
+            // pass double-counts every observed metric.
+            if (n == "dd20_jaccard_join")
+              jxSnapshot = if (!ok) "null" else try {
+                val (raw, cand, ver) =
+                  graft.operators.DedupOps.jaccardJoinStats(
+                    graft.sources.Tables.table(spark, dir, "documents"),
+                    "doc_id", "text", num = 1, den = 2,
+                    shingleTable =
+                      Some(graft.queries.SharedArtifacts.docShingles3(spark, dir)))
+                s"""{"raw_pairs":$raw,"cand_pairs":$cand,"verify_rows":$ver}"""
+              } catch { case _: Throwable => "null" }
             (n, if (ok) Some(wallNs / 1e9) else None,
               gcMs, peakMb, cpuShareMilli, coldSec)
           }
@@ -483,7 +499,8 @@ object Bench {
       }
     val diagJson =
       sys.env.get("SPARK_GRAFT_QUERIES").map(v => s""","filter":"${jsonEscape(v)}"""").getOrElse("") +
-        (if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) s""","order":"reverse"""" else "")
+        (if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) s""","order":"reverse"""" else "") +
+        s""","init_partitions":${spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "null")}"""
     // post-clear storage: everything SharedArtifacts + the cache manager
     // own must actually release (the lifetime audit's second half)
     graft.queries.SharedArtifacts.clear()

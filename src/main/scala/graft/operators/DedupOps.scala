@@ -1017,35 +1017,16 @@ object DedupOps {
     *
     * @return [id1, id2, n_common, jaccard] for pairs with J ≥ num/den
     */
-  /** Row-volume telemetry from the most recent [[jaccardJoinExact]]
-    * EXECUTION (VERDICT r17 #1: dd20's in-bench decade wall ran 25–35×
-    * against 10.0× measured distinct candidates and ~87× CPU — the
-    * suspect is the pre-`distinct()` output of the prefix self-join,
-    * whose per-shared-shingle multiplicity grows ~f²). Three
-    * `Dataset.observe` counters ride the normal action at zero extra
-    * passes: raw join output rows (pre-distinct), distinct candidate
-    * pairs, and verification-join rows (pre-groupBy). Non-blocking
-    * read; `null` until the query has actually executed.
+  /** The prefix-filtered candidate chain shared by [[jaccardJoinExact]]
+    * (the operator) and [[jaccardJoinStats]] (the scale-telemetry probe):
+    * returns (raw candidate pairs BEFORE distinct — one row per shared
+    * prefix shingle per pair — and the [id, sh] shingle table the
+    * verification join reads).
     */
-  @volatile var lastJaccardObs: Option[(org.apache.spark.sql.Observation,
-    org.apache.spark.sql.Observation, org.apache.spark.sql.Observation)] = None
-
-  def jaccardStatsJson: String = lastJaccardObs.map { case (r, c, v) =>
-    // future.value is the one PUBLIC non-blocking read on Observation
-    // (get() blocks; getOrEmpty is private[sql])
-    def n(o: org.apache.spark.sql.Observation) =
-      o.future.value.flatMap(_.toOption)
-        .map(row => String.valueOf(row.getAs[Any]("n"))).getOrElse("null")
-    s"""{"raw_pairs":${n(r)},"cand_pairs":${n(c)},"verify_rows":${n(v)}}"""
-  }.getOrElse("null")
-
-  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
-      num: Int, den: Int, shingleTable: Option[DataFrame] = None): DataFrame = {
+  private def jaccardCandidatesRaw(df: DataFrame, idCol: String,
+      textCol: String, num: Int, den: Int,
+      shingleTable: Option[DataFrame]): (DataFrame, DataFrame) = {
     require(num > 0 && den >= num, "need 0 < num/den <= 1")
-    val rawObs = org.apache.spark.sql.Observation("jx_raw")
-    val candObs = org.apache.spark.sql.Observation("jx_cand")
-    val verObs = org.apache.spark.sql.Observation("jx_verify")
-    lastJaccardObs = Some((rawObs, candObs, verObs))
     // `shingleTable`: an already-materialized [id, sh] distinct-3-shingle
     // table (the SharedArtifacts.docShingles3 kernel); the caller owns it
     val sh = shingleTable.getOrElse(Exec.materializeLarge(df
@@ -1077,24 +1058,65 @@ object DedupOps {
     // size filter (the AllPairs length bound): J ≥ τ forces
     // min(n1,n2) ≥ τ·max(n1,n2), so size-mismatched prefix collisions
     // are pruned INSIDE the join, before the distinct
-    val cand = pref.as("a").join(pref.as("b"),
+    val raw = pref.as("a").join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           least(col("a._n"), col("b._n")) * den >=
             greatest(col("a._n"), col("b._n")) * num)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a._n").as("n1"), col("b._n").as("n2"))
-      .observe(rawObs, count(lit(1)).as("n"))
-      .distinct()
-      .observe(candObs, count(lit(1)).as("n"))
+    (raw, sh)
+  }
+
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int, shingleTable: Option[DataFrame] = None): DataFrame = {
+    val (raw, sh) = jaccardCandidatesRaw(df, idCol, textCol, num, den,
+      shingleTable)
+    val cand = raw.distinct()
     val shA = sh.select(col("id").as("id1"), col("sh"))
     val shB = sh.select(col("id").as("id2"), col("sh"))
     cand.join(shA, Seq("id1")).join(shB, Seq("id2", "sh"))
-      .observe(verObs, count(lit(1)).as("n"))
       .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("_i"))
       .where(col("_i") * den >= lit(num) * (col("n1") + col("n2") - col("_i")))
       .select(col("id1"), col("id2"), col("_i").cast("long").as("n_common"),
         round(col("_i").cast("double") / (col("n1") + col("n2") - col("_i")), 6)
           .as("jaccard"))
+  }
+
+  /** Row-volume telemetry for [[jaccardJoinExact]]'s stages (VERDICT r17
+    * #1: dd20's in-bench decade wall read 25–35× against 10.0× measured
+    * distinct candidates — the open suspect was the pre-`distinct()`
+    * output of the prefix self-join, whose per-shared-shingle pair
+    * multiplicity can grow ~f²). Exact counts, NOT `Dataset.observe`:
+    * CollectMetrics nodes don't participate in whole-stage codegen (three
+    * of them on the operator's widest stages measurably slowed the thing
+    * they were measuring) and a downstream `orderBy`'s range-sampling
+    * pass re-executes the chain, double-counting every observed metric
+    * (620,322 observed vs 310,161 true candidates at sf0.1). This probe
+    * instead runs the candidate chain ONCE into a DISK_ONLY
+    * (id1,id2,n1,n2,multiplicity) table — raw = Σ multiplicity, cand =
+    * row count, verify = the candidate⋈shingle⋈shingle match count —
+    * so telemetry runs are a separate, honest execution that never rides
+    * (or distorts) a timed pass. O(candidates) state, never O(n²).
+    *
+    * @return (rawPairs, candPairs, verifyRows)
+    */
+  def jaccardJoinStats(df: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int,
+      shingleTable: Option[DataFrame] = None): (Long, Long, Long) = {
+    val (raw, sh) = jaccardCandidatesRaw(df, idCol, textCol, num, den,
+      shingleTable)
+    val withMult = Exec.materializeLarge(
+      raw.groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("_m")))
+    try {
+      val head = withMult
+        .agg(sum("_m").cast("long").as("raw"), count(lit(1)).as("cand"))
+        .head()
+      val shA = sh.select(col("id").as("id1"), col("sh"))
+      val shB = sh.select(col("id").as("id2"), col("sh"))
+      val verify = withMult.select("id1", "id2")
+        .join(shA, Seq("id1")).join(shB, Seq("id2", "sh")).count()
+      (head.getLong(0), head.getLong(1), verify)
+    } finally withMult.unpersist()
   }
 
   /** INCREMENTAL connected components — the dup-cluster-roster member

@@ -193,16 +193,22 @@ object Sf1Probe {
           "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
           graft.GraftSession.initialPartitions(cpus.toInt,
             graft.GraftSession.dirBytes(sf)).toString)
-        if (n == "dd20_jaccard_join")
-          graft.operators.DedupOps.lastJaccardObs = None
         val t0 = System.nanoTime()
         cat(n).fn(spark, sf).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         // dd20 row-volume telemetry (VERDICT r17 #1): raw pre-distinct
         // self-join rows vs distinct candidates vs verify rows, printed
-        // per scale so the decade slope of each stage is on record
-        if (n == "dd20_jaccard_join")
-          println(s"  dd20_rows[$sf] = ${graft.operators.DedupOps.jaccardStatsJson}")
+        // per scale so the decade slope of each stage is on record.
+        // Exact counts via a dedicated execution AFTER the timed pass
+        // (reusing the still-warm shingle artifact) — never riding or
+        // distorting the measurement itself.
+        if (n == "dd20_jaccard_join") {
+          val (raw, cand, ver) = graft.operators.DedupOps.jaccardJoinStats(
+            graft.sources.Tables.table(spark, sf, "documents"), "doc_id",
+            "text", num = 1, den = 2,
+            shingleTable = Some(graft.queries.SharedArtifacts.docShingles3(spark, sf)))
+          println(s"""  dd20_rows[$sf] = {"raw_pairs":$raw,"cand_pairs":$cand,"verify_rows":$ver}""")
+        }
         sec
       }
       println(f"$n%-24s ${times(0)}%8.2fs ${times(1)}%8.2fs ${times(1) / times(0)}%6.1fx")

@@ -547,6 +547,55 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got == expect, s"missing: ${expect -- got}; extra: ${got -- expect}")
   }
 
+  test("jaccardJoinStats: raw/cand/verify counts replicate the prefix-filter math exactly") {
+    import spark.implicits._
+    val docs = (0 until 18).map { i =>
+      (i.toLong, (0 until 10).map(j => s"w${i * 2 + j}").mkString(" "))
+    } ++ Seq((100L, "w0 w1"), (101L, "w0 w1"),
+      (102L, "zz yy xx ww vv uu tt ss"))
+    val df = docs.toDF("doc_id", "text")
+    def shingleSet(text: String): Set[String] = {
+      val t = text.trim.split("\\s+").toSeq
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t.mkString(" "))
+    }
+    val sets = docs.map { case (id, tx) => id -> shingleSet(tx) }.toMap
+    // replicate the operator's rarity-first order: (min(f, 2^23-1)*2^40
+    // + first-10-hex-of-md5, shingle-string tiebreak)
+    val freq = sets.values.toSeq.flatten.groupBy(identity).map { case (s, xs) =>
+      s -> xs.size.toLong
+    }
+    def h40(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString, 16)
+    def key(s: String): (Long, String) =
+      (math.min(freq(s), 8388607L) * 1099511627776L + h40(s), s)
+    // prefix = first n - ceil(tau*n) + 1 shingles, tau = 1/2
+    val prefixes = sets.map { case (id, ss) =>
+      val n = ss.size
+      id -> ss.toSeq.sortBy(key).take(n - (n + 1) / 2 + 1).toSet
+    }
+    // raw = one row per shared PREFIX shingle per length-bound-passing
+    // pair; cand = distinct pairs; verify = sum of FULL intersections
+    // over candidates
+    val ids = sets.keys.toSeq.sorted
+    var expRaw = 0L; var expCand = 0L; var expVer = 0L
+    for (a <- ids; b <- ids if a < b) {
+      val (n1, n2) = (sets(a).size.toLong, sets(b).size.toLong)
+      if (math.min(n1, n2) * 2 >= math.max(n1, n2) * 1) {
+        val shared = (prefixes(a) & prefixes(b)).size
+        expRaw += shared
+        if (shared > 0) { expCand += 1; expVer += (sets(a) & sets(b)).size }
+      }
+    }
+    val (raw, cand, ver) =
+      DedupOps.jaccardJoinStats(df, "doc_id", "text", num = 1, den = 2)
+    assert((raw, cand, ver) == ((expRaw, expCand, expVer)),
+      s"got ($raw,$cand,$ver) want ($expRaw,$expCand,$expVer)")
+    // and the invariant chain the telemetry relies on at scale
+    assert(raw >= cand && ver >= cand)
+  }
+
   test("fuzzyJoinBlocked links typos within the block and picks the best match") {
     val master = Seq((1L, "alphabet"), (2L, "alphabets"), (3L, "beta soup"))
       .toDF("mid", "mname")
