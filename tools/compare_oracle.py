@@ -2,7 +2,12 @@
 """Dev-only pre-flight check (NOT part of the library): replicate the
 driver's DuckDB-oracle comparison against a graft.Verify output dir.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/compare_oracle.py [--json OUT.json] <sfDir> <verifyOutDir> [query ...]
+
+--json writes a driver-format artifact (rows_match/schema_match/
+hash_match/spark_rows/oracle_rows/err per query) alongside the text
+report — used for the committed CORRECTNESS_sf1 evidence (VERDICT r17
+#4: hash-check the decade corpus, don't just time it).
 """
 import json, sys, math
 import duckdb
@@ -13,13 +18,26 @@ TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation",
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    report = {}
+
+    def rec(name, rows_match, schema_match, hash_match, spark_rows,
+            oracle_rows, err):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -27,22 +45,27 @@ def main():
             want = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec(name, False, False, False, None, None, f"oracle error: {e}")
             n_bad += 1
             continue
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            rec(name, False, False, False, None, len(want),
+                f"spark output missing: {e}")
             n_bad += 1
             continue
         w = want.reindex(sorted(want.columns), axis=1)
         g = got.reindex(sorted(got.columns), axis=1)
         if list(w.columns) != list(g.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            rec(name, len(w) == len(g), False, False, len(g), len(w), None)
             n_bad += 1
             continue
         if len(w) != len(g):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            rec(name, False, True, False, len(g), len(w), None)
             n_bad += 1
             continue
         # dtype-kind mismatch (int vs float) stringifies differently under
@@ -53,6 +76,8 @@ def main():
                     if w[c].dtype.kind != g[c].dtype.kind]
         if kind_bad:
             print(f"FAIL {name}: dtype kind mismatch (oracle, spark): {kind_bad}")
+            rec(name, True, False, False, len(g), len(w),
+                f"dtype kind mismatch: {kind_bad}")
             n_bad += 1
             continue
         # row-order-independent exact compare
@@ -70,10 +95,17 @@ def main():
                 bad_cols.append((c, a[i], b[i], int((~eq).sum())))
         if bad_cols:
             print(f"FAIL {name}: value diffs {bad_cols[:3]}")
+            rec(name, True, True, False, len(g), len(w),
+                f"value diffs: {bad_cols[:3]}")
             n_bad += 1
         else:
             print(f"ok   {name} ({len(w)} rows)")
+            rec(name, True, True, True, len(g), len(w), None)
             n_ok += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out}")
     print(f"\n{n_ok} ok, {n_bad} failing")
     sys.exit(1 if n_bad else 0)
 
