@@ -27,13 +27,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Run {
 
   final case class Args(command: String, data: String, out: Option[String],
-    show: Int)
+    show: Int, explain: Boolean = false)
 
   private[graft] def parse(argv: Array[String]): Either[String, Args] = {
     if (argv.isEmpty) return Left(usage)
     var data = "/root/testdata/sf0.001"
     var out: Option[String] = None
     var show = 20
+    var explain = false
     val positional = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < argv.length) {
@@ -43,24 +44,27 @@ object Run {
         case "--show" if i + 1 < argv.length =>
           show = try argv(i + 1).toInt catch { case _: Throwable => return Left(s"--show needs an int, got '${argv(i + 1)}'") }
           i += 2
+        case "--explain" => explain = true; i += 1
         case flag if flag.startsWith("--") => return Left(s"unknown flag $flag\n$usage")
         case p => positional += p; i += 1
       }
     }
     positional.toList match {
-      case cmd :: Nil => Right(Args(cmd, data, out, show))
-      case "list" :: pat :: Nil => Right(Args(s"list:$pat", data, out, show))
+      case cmd :: Nil => Right(Args(cmd, data, out, show, explain))
+      case "list" :: pat :: Nil => Right(Args(s"list:$pat", data, out, show, explain))
       case other => Left(s"expected one query name, got: ${other.mkString(" ")}\n$usage")
     }
   }
 
   private val usage =
-    """usage: graft.Run <query-name> [--data DIR] [--out DIR] [--show N]
+    """usage: graft.Run <query-name> [--data DIR] [--out DIR] [--show N] [--explain]
       |       graft.Run list [pattern]   — print catalog query names
       |       graft.Run entry            — flagship smoke query
-      |query names: see `graft.Run list`; data dir must hold the standard
-      |parquet tables (region nation customer supplier part orders
-      |lineitem events documents embeddings).""".stripMargin
+      |--explain prints the optimized physical plan (explain "formatted":
+      |scan pushdowns, join strategies, whole-stage codegen spans) instead
+      |of executing. Query names: see `graft.Run list`; data dir must hold
+      |the standard parquet tables (region nation customer supplier part
+      |orders lineitem events documents embeddings).""".stripMargin
 
   /** Testable core: resolves and executes, returns the result frame
     * (None for `list`). Session lifecycle stays in main.
@@ -102,11 +106,12 @@ object Run {
           SparkSession.builder().appName("graft").getOrCreate()
         else GraftSession.local(inputBytes = GraftSession.dirBytes(a.data))
       try execute(spark, a).foreach { df =>
-        a.out match {
-          case Some(dir) =>
+        (a.explain, a.out) match {
+          case (true, _) => df.explain("formatted")
+          case (_, Some(dir)) =>
             df.write.mode("overwrite").parquet(dir)
             println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
-          case None => df.show(a.show, truncate = false)
+          case _ => df.show(a.show, truncate = false)
         }
       } catch {
         case e: IllegalArgumentException =>

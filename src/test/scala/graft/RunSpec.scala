@@ -17,6 +17,25 @@ class RunSpec extends AnyFunSuite {
     assert(Run.parse(Array("q01_agg", "--show", "five")).isLeft)
     assert(Run.parse(Array("list", "dedup")) ==
       Right(Run.Args("list:dedup", "/root/testdata/sf0.001", None, 20)))
+    assert(Run.parse(Array("q01_agg", "--explain"))
+      .exists(a => a.explain && a.command == "q01_agg"))
+  }
+
+  test("explain: the resolved frame renders a formatted physical plan") {
+    val spark = TestSpark.spark
+    val df = Run.execute(spark,
+      Run.Args("q01_pricing_summary", "/root/testdata/sf0.001", None, 20,
+        explain = true)).get
+    // the same call main() makes — assert it produces a physical plan
+    // with scan + codegen structure rather than throwing
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("Scan parquet") || plan.contains("BatchScan"))
+    // pre-execution under AQE the plan root is adaptive (codegen spans
+    // only appear in the re-planned final plan) — assert the structure
+    // a reader needs: scan + shuffle boundaries visible
+    assert(plan.contains("AdaptiveSparkPlan") || plan.contains("WholeStageCodegen"))
+    assert(plan.contains("Exchange"))
   }
 
   test("execute: a named catalog query runs against --data and returns rows") {

@@ -26,8 +26,13 @@ def main():
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single-file parquet; Spark-written corpora
+        # (the synthetic sf1) are directories of part files — glob those
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     report = {}
