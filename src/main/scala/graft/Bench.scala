@@ -436,8 +436,15 @@ object Bench {
         val at1 = timed(sf1Dir); val cc1 = ccSnapshot; val sem1 = semSnapshot
         val jx1 = jxSnapshot
         val art1 = artJson()._1
-        // restore the main-loop partition config (timed() raised it)
-        spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        // restore the main-loop partition config (timed() raised it) —
+        // RESTORE, not unset: GraftSession set the size-scaled default at
+        // build time and the diag line reports it; unset dropped the key
+        // entirely and the Spark 4 typed-conf read of a "null" fallback
+        // then threw TYPE_MISMATCH after the whole run (r18 bench crash)
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          GraftSession.initialPartitions(nCores,
+            GraftSession.dirBytes(sfDir)).toString)
         type PT = (String, Option[Double], Long, Long, Long, Option[Double])
         def obj(ts: Seq[PT]) = ts.map {
           case (k, Some(v), _, _, _, _) => s"\"" + k + "\":" + v
@@ -500,7 +507,7 @@ object Bench {
     val diagJson =
       sys.env.get("SPARK_GRAFT_QUERIES").map(v => s""","filter":"${jsonEscape(v)}"""").getOrElse("") +
         (if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) s""","order":"reverse"""" else "") +
-        s""","init_partitions":${spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "null")}"""
+        s""","init_partitions":${spark.conf.getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum").getOrElse("null")}"""
     // post-clear storage: everything SharedArtifacts + the cache manager
     // own must actually release (the lifetime audit's second half)
     graft.queries.SharedArtifacts.clear()

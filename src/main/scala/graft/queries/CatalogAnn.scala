@@ -510,7 +510,7 @@ private[queries] trait CatalogAnn extends CatalogShared {
 
   private val ann08 = Q("ann08_kmeans_train", Some(s"""
     WITH ${kmeansCtes("", "64",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t WHERE rn <= 4)""")}
     SELECT cell, dim, n_vectors, mean FROM m2 ORDER BY cell, dim"""),
@@ -819,14 +819,14 @@ private[queries] trait CatalogAnn extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
@@ -878,14 +878,14 @@ private[queries] trait CatalogAnn extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
@@ -941,14 +941,14 @@ private[queries] trait CatalogAnn extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
@@ -996,14 +996,14 @@ private[queries] trait CatalogAnn extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
@@ -1062,14 +1062,14 @@ private[queries] trait CatalogAnn extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
@@ -1106,14 +1106,14 @@ private[queries] trait CatalogAnn extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
@@ -1141,7 +1141,7 @@ private[queries] trait CatalogAnn extends CatalogShared {
            * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
       FROM v q JOIN v n ON q.vec_id <> n.vec_id
       WHERE q.vec_id < 20),
-    t AS (SELECT query_id, neighbor_id FROM (
+    t AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
       SELECT query_id, neighbor_id,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       FROM tsc) x WHERE rank <= 5),
@@ -1210,19 +1210,19 @@ private[queries] trait CatalogAnn extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
     $graphSearchCtes,
-    p3sc AS (
+    p3sc AS MATERIALIZED (
       SELECT p.query_id, p.node AS neighbor_id,
         round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
@@ -1280,7 +1280,7 @@ private[queries] trait CatalogAnn extends CatalogShared {
            * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
       FROM v q JOIN v n ON q.vec_id <> n.vec_id
       WHERE q.vec_id < 20),
-    t AS (SELECT query_id, neighbor_id FROM (
+    t AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
       SELECT query_id, neighbor_id,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       FROM tsc) x WHERE rank <= 5),
@@ -1377,15 +1377,15 @@ private[queries] trait CatalogAnn extends CatalogShared {
              FROM hist),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""",
       trainSrc = "hist")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1)
@@ -1439,14 +1439,14 @@ private[queries] trait CatalogAnn extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
@@ -1485,7 +1485,7 @@ private[queries] trait CatalogAnn extends CatalogShared {
            * sqrt(list_sum(list_transform(generate_series(1, 16), i -> n.e[i] * n.e[i])))), 6) AS sim
       FROM v q JOIN v n ON q.vec_id <> n.vec_id
       WHERE q.vec_id < 20),
-    t AS (SELECT query_id, neighbor_id FROM (
+    t AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
       SELECT query_id, neighbor_id,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       FROM tsc) x WHERE rank <= 5),

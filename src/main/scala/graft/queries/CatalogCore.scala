@@ -1512,15 +1512,21 @@ private[queries] trait CatalogCore extends CatalogShared {
   // linear in lineitem); counting is degree-oriented wedge closure, so
   // the wedge fan-out is outdeg² ≤ O(m) total, never deg² (a celebrity
   // part cannot blow it up). No windows, no iteration — three shuffles.
+  // Oracle note: the multi-referenced CTEs are AS MATERIALIZED — purely an
+  // evaluation hint (identical semantics/rows). Without it DuckDB inlines
+  // each reference, and the `corners` 3-way union of `tri` re-expands the
+  // whole edge-derivation tree per branch: at the decade corpus that
+  // spilled >40 GB and never finished, where the materialized form runs in
+  // ~30 s (measured r18; same class of exponential-inline blowup as ann18).
   private val q77 = Q("q77_triangle_count", Some("""
-    WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    e0 AS (
+    WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS MATERIALIZED (
       SELECT a.pk AS u, b.pk AS v
       FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
       GROUP BY a.pk, b.pk HAVING count(*) >= 2),
-    deg AS (SELECT k, count(*) AS d FROM (
+    deg AS MATERIALIZED (SELECT k, count(*) AS d FROM (
         SELECT u AS k FROM e0 UNION ALL SELECT v AS k FROM e0) GROUP BY k),
-    ed AS (
+    ed AS MATERIALIZED (
       SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
                   THEN e0.u ELSE e0.v END AS s,
              CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
@@ -1528,7 +1534,7 @@ private[queries] trait CatalogCore extends CatalogShared {
              CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
                   THEN dv.d ELSE du.d END AS dt
       FROM e0 JOIN deg du ON du.k = e0.u JOIN deg dv ON dv.k = e0.v),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.s AS a, e1.t AS b, e2.t AS c
       FROM ed e1
       JOIN ed e2 ON e1.s = e2.s

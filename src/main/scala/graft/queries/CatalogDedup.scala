@@ -286,14 +286,14 @@ private[queries] trait CatalogDedup extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
-    a3 AS (SELECT vec_id, cell FROM (
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn = 1),
@@ -348,7 +348,7 @@ private[queries] trait CatalogDedup extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
@@ -416,7 +416,7 @@ private[queries] trait CatalogDedup extends CatalogShared {
     vn AS (SELECT vec_id, e FROM v WHERE vec_id % 8 = 5),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""",
       trainSrc = "vh")},
@@ -1221,11 +1221,11 @@ private[queries] trait CatalogDedup extends CatalogShared {
                  FROM embeddings),
     """,
       "(SELECT k * 16 FROM kp)",
-      """c0 AS (SELECT vec_id AS cell, e AS ce FROM (
+      """c0 AS MATERIALIZED (SELECT vec_id AS cell, e AS ce FROM (
              SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
              FROM smp) t, kp WHERE t.rn <= kp.k)""")},
     c2 AS (SELECT cell, list(mean ORDER BY dim) AS ce FROM m2 GROUP BY cell),
-    s3 AS (SELECT v.vec_id, c2.cell,
+    s3 AS MATERIALIZED (SELECT v.vec_id, c2.cell,
              ${km16Cos.format("v", "c2", "v", "v", "c2", "c2")} AS csim
            FROM v CROSS JOIN c2),
     truth AS (

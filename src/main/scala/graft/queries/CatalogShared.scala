@@ -330,9 +330,9 @@ private[queries] trait CatalogShared {
     */
   protected def kmeansCtes(preCtes: String, capExpr: String, seedCtes: String,
       trainSrc: String = "v") =
-    s"""v AS (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
+    s"""v AS MATERIALIZED (SELECT vec_id, list_slice(cast(embedding as double[]), 1, 16) AS e
                FROM embeddings),
-    ${preCtes}smp AS (SELECT vec_id, e FROM (
+    ${preCtes}smp AS MATERIALIZED (SELECT vec_id, e FROM (
              SELECT vec_id, e, row_number() OVER (
                ORDER BY md5('km:' || cast(vec_id as varchar)), vec_id) AS srn
              FROM $trainSrc) t WHERE srn <= $capExpr),
@@ -396,14 +396,14 @@ private[queries] trait CatalogShared {
     * operator's anti-join-pruned walk — expand distributes over union
     * and re-expanding a visited node only re-reaches visited nodes.
     */
-  protected val graphSearchCtes = s"""pr AS (SELECT vec_id AS query_id, cell FROM (
+  protected val graphSearchCtes = s"""pr AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3) t WHERE rn <= 2),
-    kcand AS (SELECT pr.query_id, a3.vec_id AS neighbor_id
+    kcand AS MATERIALIZED (SELECT pr.query_id, a3.vec_id AS neighbor_id
              FROM pr JOIN a3 USING (cell)
              WHERE a3.vec_id <> pr.query_id),
-    kscored AS (
+    kscored AS MATERIALIZED (
       SELECT c.query_id, c.neighbor_id,
         round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
@@ -411,34 +411,34 @@ private[queries] trait CatalogShared {
       FROM kcand c
       JOIN v q ON q.vec_id = c.query_id
       JOIN v n ON n.vec_id = c.neighbor_id),
-    knn AS (SELECT query_id, neighbor_id FROM (
+    knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
       SELECT query_id, neighbor_id,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       FROM kscored) t WHERE rank <= 5),
-    ep AS (SELECT cell, min(vec_id) AS node FROM a3 GROUP BY cell),
-    qpr AS (SELECT vec_id AS query_id, cell FROM (
+    ep AS MATERIALIZED (SELECT cell, min(vec_id) AS node FROM a3 GROUP BY cell),
+    qpr AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM (
              SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
              FROM s3 WHERE vec_id < 20) t WHERE rn <= 2),
-    seeds AS (SELECT q.query_id, e.node FROM qpr q JOIN ep e USING (cell)
+    seeds AS MATERIALIZED (SELECT q.query_id, e.node FROM qpr q JOIN ep e USING (cell)
               UNION SELECT vec_id, vec_id FROM v WHERE vec_id < 20),
-    gu AS (SELECT query_id AS src, neighbor_id AS dst FROM knn
+    gu AS MATERIALIZED (SELECT query_id AS src, neighbor_id AS dst FROM knn
            UNION SELECT neighbor_id, query_id FROM knn),
-    f1 AS (SELECT DISTINCT s.query_id, u.dst AS node
+    f1 AS MATERIALIZED (SELECT DISTINCT s.query_id, u.dst AS node
            FROM seeds s JOIN gu u ON u.src = s.node),
-    f2 AS (SELECT DISTINCT f.query_id, u.dst AS node
+    f2 AS MATERIALIZED (SELECT DISTINCT f.query_id, u.dst AS node
            FROM f1 f JOIN gu u ON u.src = f.node),
-    f3 AS (SELECT DISTINCT f.query_id, u.dst AS node
+    f3 AS MATERIALIZED (SELECT DISTINCT f.query_id, u.dst AS node
            FROM f2 f JOIN gu u ON u.src = f.node),
-    vis1 AS (SELECT query_id, node FROM seeds
+    vis1 AS MATERIALIZED (SELECT query_id, node FROM seeds
              UNION SELECT query_id, node FROM f1),
-    vis AS (SELECT query_id, node FROM seeds
+    vis AS MATERIALIZED (SELECT query_id, node FROM seeds
             UNION SELECT query_id, node FROM f1
             UNION SELECT query_id, node FROM f2),
-    vis3 AS (SELECT query_id, node FROM vis
+    vis3 AS MATERIALIZED (SELECT query_id, node FROM vis
              UNION SELECT query_id, node FROM f3),
-    gpool AS (SELECT query_id, node AS neighbor_id FROM vis WHERE node <> query_id),
-    gsc AS (
+    gpool AS MATERIALIZED (SELECT query_id, node AS neighbor_id FROM vis WHERE node <> query_id),
+    gsc AS MATERIALIZED (
       SELECT p.query_id, p.neighbor_id,
         round(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * n.e[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i])))
@@ -446,18 +446,18 @@ private[queries] trait CatalogShared {
       FROM gpool p
       JOIN v q ON q.vec_id = p.query_id
       JOIN v n ON n.vec_id = p.neighbor_id),
-    granked AS (
+    granked AS MATERIALIZED (
       SELECT query_id, neighbor_id, sim,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       FROM gsc),
-    seeds_c AS (SELECT DISTINCT q.query_id, e.node FROM qpr q JOIN ep e USING (cell)),
-    f1c AS (SELECT DISTINCT s.query_id, u.dst AS node
+    seeds_c AS MATERIALIZED (SELECT DISTINCT q.query_id, e.node FROM qpr q JOIN ep e USING (cell)),
+    f1c AS MATERIALIZED (SELECT DISTINCT s.query_id, u.dst AS node
             FROM seeds_c s JOIN gu u ON u.src = s.node),
-    f2c AS (SELECT DISTINCT f.query_id, u.dst AS node
+    f2c AS MATERIALIZED (SELECT DISTINCT f.query_id, u.dst AS node
             FROM f1c f JOIN gu u ON u.src = f.node),
-    f3c AS (SELECT DISTINCT f.query_id, u.dst AS node
+    f3c AS MATERIALIZED (SELECT DISTINCT f.query_id, u.dst AS node
             FROM f2c f JOIN gu u ON u.src = f.node),
-    vis3c AS (SELECT query_id, node FROM seeds_c
+    vis3c AS MATERIALIZED (SELECT query_id, node FROM seeds_c
               UNION SELECT query_id, node FROM f1c
               UNION SELECT query_id, node FROM f2c
               UNION SELECT query_id, node FROM f3c)"""

@@ -27,6 +27,19 @@ def main():
     only = set(args[2:])
     con = duckdb.connect()
     import os
+    # resource bounds for decade-corpus oracle replays (DUCKDB_MEM e.g.
+    # "48GB", DUCKDB_THREADS e.g. "8"): DuckDB's default 80%-of-RAM limit
+    # over-commits when Spark JVMs share the box, and heavy CTE chains
+    # then die on bad_alloc instead of spilling. A bounded limit + a
+    # temp_directory with space makes them spill and finish.
+    if os.environ.get("DUCKDB_MEM"):
+        con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        con.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    tmp = os.environ.get("DUCKDB_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # driver testdata ships single-file parquet; Spark-written corpora
