@@ -1743,25 +1743,25 @@ private[queries] trait CatalogCore extends CatalogShared {
   // discipline); per round one degree hash-agg + two semi-joins, edge
   // keys only.
   private val q97 = Q("q97_kcore", Some("""
-    WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    e0 AS (
+    WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS MATERIALIZED (
       SELECT a.pk AS u, b.pk AS v
       FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
       GROUP BY a.pk, b.pk HAVING count(*) >= 2),
-    d1 AS (SELECT k, count(*) AS d FROM (
+    d1 AS MATERIALIZED (SELECT k, count(*) AS d FROM (
         SELECT u AS k FROM e0 UNION ALL SELECT v AS k FROM e0) GROUP BY k),
-    k1 AS (SELECT k FROM d1 WHERE d >= 2),
-    e1 AS (SELECT u, v FROM e0
+    k1 AS MATERIALIZED (SELECT k FROM d1 WHERE d >= 2),
+    e1 AS MATERIALIZED (SELECT u, v FROM e0
            WHERE u IN (SELECT k FROM k1) AND v IN (SELECT k FROM k1)),
-    d2 AS (SELECT k, count(*) AS d FROM (
+    d2 AS MATERIALIZED (SELECT k, count(*) AS d FROM (
         SELECT u AS k FROM e1 UNION ALL SELECT v AS k FROM e1) GROUP BY k),
-    k2 AS (SELECT k FROM d2 WHERE d >= 2),
-    e2 AS (SELECT u, v FROM e1
+    k2 AS MATERIALIZED (SELECT k FROM d2 WHERE d >= 2),
+    e2 AS MATERIALIZED (SELECT u, v FROM e1
            WHERE u IN (SELECT k FROM k2) AND v IN (SELECT k FROM k2)),
-    d3 AS (SELECT k, count(*) AS d FROM (
+    d3 AS MATERIALIZED (SELECT k, count(*) AS d FROM (
         SELECT u AS k FROM e2 UNION ALL SELECT v AS k FROM e2) GROUP BY k),
-    k3 AS (SELECT k FROM d3 WHERE d >= 2),
-    e3 AS (SELECT u, v FROM e2
+    k3 AS MATERIALIZED (SELECT k FROM d3 WHERE d >= 2),
+    e3 AS MATERIALIZED (SELECT u, v FROM e2
            WHERE u IN (SELECT k FROM k3) AND v IN (SELECT k FROM k3))
     SELECT node, cast(count(*) as bigint) AS degree FROM (
       SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
@@ -2893,12 +2893,12 @@ private[queries] trait CatalogCore extends CatalogShared {
   // top-k (a bare PARTITION BY side window would sort each whole side
   // in one task at scale).
   private val q101 = Q("q101_hits", Some(s"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    hubs AS (SELECT DISTINCT src AS node FROM e),
+    hubs AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
     meta AS (SELECT 1000000000000 // greatest(1, count(*)) AS init FROM hubs),
-    h0 AS (SELECT node, (SELECT init FROM meta) AS score FROM hubs),
+    h0 AS MATERIALIZED (SELECT node, (SELECT init FROM meta) AS score FROM hubs),
     ${hitsRoundCtes(1)},
     ${hitsRoundCtes(2)},
     ${hitsRoundCtes(3)}
@@ -2933,13 +2933,13 @@ private[queries] trait CatalogCore extends CatalogShared {
   // signal), so per-customer work is ≤ C(50,2) forever. Top-20 by
   // (weight, pair) is a LIMIT over the aggregated pair table.
   private val q102 = Q("q102_cooccur_projection", Some("""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    deg AS (SELECT c, count(*) AS d FROM e GROUP BY c),
-    ek AS (SELECT e.c, e.s FROM e JOIN deg USING (c)
+    deg AS MATERIALIZED (SELECT c, count(*) AS d FROM e GROUP BY c),
+    ek AS MATERIALIZED (SELECT e.c, e.s FROM e JOIN deg USING (c)
            WHERE deg.d BETWEEN 2 AND 50),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.s AS s1, b.s AS s2, count(*) AS w
       FROM ek a JOIN ek b ON a.c = b.c AND a.s < b.s
       GROUP BY 1, 2)
@@ -2974,13 +2974,13 @@ private[queries] trait CatalogCore extends CatalogShared {
   // one float step, mirrored op-for-op), and the q102 degree cap bounds
   // the pair join. deg(z) ≥ 2 by the cap, so ln is never 0.
   private val q103 = Q("q103_adamic_adar", Some("""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    deg AS (SELECT c, count(*) AS d FROM e GROUP BY c),
-    ek AS (SELECT e.c, e.s, deg.d FROM e JOIN deg USING (c)
+    deg AS MATERIALIZED (SELECT c, count(*) AS d FROM e GROUP BY c),
+    ek AS MATERIALIZED (SELECT e.c, e.s, deg.d FROM e JOIN deg USING (c)
            WHERE deg.d BETWEEN 2 AND 50),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.s AS s1, b.s AS s2,
         cast(sum(cast(round(1000000000.0 / ln(cast(a.d as double))) as bigint))
           as bigint) AS aa_nano,

@@ -747,17 +747,17 @@ private[queries] trait CatalogShared {
   protected def hitsRoundCtes(j: Int): String = {
     val hp = if (j == 1) "h0" else s"h${j - 1}"
     s"""
-    ar$j AS (SELECT e.dst AS node, cast(sum(h.score) as bigint) AS raw
+    ar$j AS MATERIALIZED (SELECT e.dst AS node, cast(sum(h.score) as bigint) AS raw
              FROM e JOIN $hp h ON h.node = e.src GROUP BY e.dst),
     am$j AS (SELECT cast(greatest(1, sum(raw) // 1000000000000) as bigint) AS q
              FROM ar$j),
-    a$j AS (SELECT node, cast(raw // (SELECT q FROM am$j) as bigint) AS score
+    a$j AS MATERIALIZED (SELECT node, cast(raw // (SELECT q FROM am$j) as bigint) AS score
             FROM ar$j),
-    hr$j AS (SELECT e.src AS node, cast(sum(a.score) as bigint) AS raw
+    hr$j AS MATERIALIZED (SELECT e.src AS node, cast(sum(a.score) as bigint) AS raw
              FROM e JOIN a$j a ON a.node = e.dst GROUP BY e.src),
     hm$j AS (SELECT cast(greatest(1, sum(raw) // 1000000000000) as bigint) AS q
              FROM hr$j),
-    h$j AS (SELECT node, cast(raw // (SELECT q FROM hm$j) as bigint) AS score
+    h$j AS MATERIALIZED (SELECT node, cast(raw // (SELECT q FROM hm$j) as bigint) AS score
             FROM hr$j)"""
   }
 
