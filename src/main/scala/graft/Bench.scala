@@ -340,7 +340,7 @@ object Bench {
           // back down), i.e. the partition policy a real deployment uses
           // at growing scale; dd20's sf1 pass drops 156 -> 99 s under
           // it. Since r18 the policy is the GraftSession default
-          // (input-bytes/128 MB, floor max(2×cores, 64)); here it is
+          // (input-bytes/2 MB, floor = cores); here it is
           // re-derived PER SCALE from the probed dir's actual bytes so
           // the sf1 pass runs the partitioning a deployment at that
           // size would use.

@@ -21,20 +21,34 @@ object GraftSession {
     * join in 4 oversized spilling partitions, reading 1.6–1.8× slower
     * than the same plan with AQE `initialPartitionNum = 64` on the same
     * cores. The deployment-correct policy is initial partitions
-    * PROPORTIONAL TO INPUT BYTES (one per 128 MB — the parquet split
-    * heuristic), floored at max(2×cores, 64) so small inputs still get
-    * enough initial parallelism for AQE to coalesce FROM rather than
-    * split INTO. Over-provisioning is cheap (AQE merges small reducers
-    * before they run; the residual cost is map-side shuffle-block
-    * count), under-provisioning is a spill cliff that no runtime
-    * re-plan can undo.
+    * PROPORTIONAL TO INPUT BYTES, floored at the core count so every
+    * core has work, with AQE coalescing everything smaller back down.
+    *
+    * The bytes term divides by 2 MB of COMPRESSED input per initial
+    * partition, not the 128 MB parquet split heuristic, because the
+    * inputs are compressed columnar text and the shuffled intermediates
+    * are their EXPANSIONS: dd20's verification join materializes 185M
+    * rows from a 17.5 MB input (sf0.1) — 10–50× file bytes in flight.
+    * One initial partition per 2 MB compressed targets ~64 MB of
+    * post-expansion shuffle data per partition at the measured ~30×
+    * mid-band, and reproduces the committed decade-corpus fix (175 MB
+    * sf1 dir → 88 initial partitions ≥ the 64 that recovered dd20's
+    * 1.6–1.8× cliff) without a flat floor.
+    *
+    * Round-18 A/B (this round, alternating fresh JVMs, local[32],
+    * sf0.1): the previous max(2×cores, 64) floor cost 27–50% on
+    * dp19/dd28/tx36 vs `cores` initial partitions (dp19 4.4→8.0–9.6 s,
+    * dd28 4.0→5.7–6.0 s, tx36 6.3→7.9–8.1 s) — over-provisioning is NOT
+    * free at small per-stage data even under AQE coalescing, so the
+    * floor is the core count and the headroom lives in the bytes term
+    * where it scales with the data instead of taxing every small stage.
     */
   def initialPartitions(cores: Int, inputBytes: Long): Int = {
-    val byBytes = (inputBytes + (128L << 20) - 1) / (128L << 20)
-    // cap at 1M: 100 TB dictates 819,200 — the design target must fit
-    // under the cap, which exists only to bound scheduler metadata on
-    // degenerate inputs (PB-scale single queries shard by pipeline stage)
-    math.max(math.max(2L * cores, 64L), byBytes).min(1000000L).toInt
+    val byBytes = (inputBytes + (2L << 20) - 1) / (2L << 20)
+    // cap at 1M to bound scheduler metadata: at the cap each initial
+    // partition holds ≥ 2 MB compressed (≈ 100 MB+ expanded) — past
+    // that, PB-scale single queries shard by pipeline stage instead
+    math.max(cores.toLong, byBytes).min(1000000L).toInt
   }
 
   /** Total bytes under `path` (recursive) — the input-size probe feeding

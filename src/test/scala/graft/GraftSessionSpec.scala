@@ -3,47 +3,56 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the engine-wide size-scaled initial-partition policy
-  * (VERDICT r17 #3 — the round-17 dd20 under-partitioning lesson
-  * promoted from a bench-section override to a GraftSession default).
-  * The contract: no input is ever planned with fewer initial shuffle
-  * partitions than its bytes / 128 MB would dictate, and small inputs
-  * keep a max(2×cores, 64) parallelism floor for AQE to coalesce FROM.
+  * (VERDICT r17 #3, re-derived round 18): initial shuffle partitions =
+  * max(cores, inputBytes / 2 MB), capped at 1M. The floor is the core
+  * count — the round-18 alternating A/B measured the old
+  * max(2×cores, 64) floor at a 27–50% tax on dp19/dd28/tx36 at the
+  * local[32]/sf0.1 gate config — and the intermediate-explosion
+  * headroom lives in the bytes term (one initial partition per 2 MB of
+  * compressed input ≈ 64 MB of post-expansion shuffle data at the
+  * measured ~30× text-parquet expansion), which reproduces the
+  * committed dd20 decade-corpus fix (175 MB → 88 ≥ 64) without taxing
+  * small stages.
   */
 class GraftSessionSpec extends AnyFunSuite {
 
-  private val MB128 = 128L << 20
+  private val MB2 = 2L << 20
 
-  test("floor: small inputs get max(2*cores, 64) initial partitions") {
-    assert(GraftSession.initialPartitions(4, 0L) == 64)
-    assert(GraftSession.initialPartitions(32, 0L) == 64)
-    assert(GraftSession.initialPartitions(48, 0L) == 96)
-    // the floor holds for any input below 64 * 128 MB
-    assert(GraftSession.initialPartitions(4, 63 * MB128) == 64)
+  test("floor: small inputs get one initial partition per core") {
+    assert(GraftSession.initialPartitions(4, 0L) == 4)
+    assert(GraftSession.initialPartitions(32, 0L) == 32)
+    assert(GraftSession.initialPartitions(48, 0L) == 48)
+    // the floor holds for any input below cores * 2 MB
+    assert(GraftSession.initialPartitions(32, 31 * MB2) == 32)
   }
 
-  test("scale: never fewer initial partitions than inputBytes / 128 MB") {
-    // a 100 GB input dictates ceil(100 GiB / 128 MiB) = 800 partitions
-    assert(GraftSession.initialPartitions(4, 100L << 30) == 800)
-    // 100 TB -> 819200: the policy holds at the design target
-    assert(GraftSession.initialPartitions(4, 100L << 40) == 819200)
+  test("scale: never fewer initial partitions than inputBytes / 2 MB") {
+    // the sf0.1 gate corpus (17.5 MB) stays at the core floor on 32 cores
+    assert(GraftSession.initialPartitions(32, 17508506L) == 32)
+    // the decade corpus (~175 MB) dictates >= 64 — the committed dd20
+    // under-partitioning fix — at any bench core count
+    assert(GraftSession.initialPartitions(4, 175L << 20) == 88)
+    assert(GraftSession.initialPartitions(32, 175L << 20) == 88)
     // partial trailing block rounds UP (ceil, not div)
-    assert(GraftSession.initialPartitions(4, 64 * MB128 + 1) == 65)
+    assert(GraftSession.initialPartitions(4, 64 * MB2 + 1) == 65)
     // monotone in bytes across the floor boundary
-    val seq = Seq(0L, MB128, 64 * MB128, 65 * MB128, 1L << 40)
+    val seq = Seq(0L, MB2, 64 * MB2, 65 * MB2, 1L << 40)
       .map(GraftSession.initialPartitions(4, _))
     assert(seq == seq.sorted)
+    // the 1M cap bounds scheduler metadata on degenerate inputs
+    assert(GraftSession.initialPartitions(4, 100L << 40) == 1000000)
   }
 
   test("heavy-list invariant: the bench sf1 probe scales never run " +
-      "under-partitioned vs the bytes/128MB dictate") {
+      "under-partitioned vs the bytes/2MB dictate") {
     // the exact derivation graft.Bench's timed() and Sf1Probe apply per
     // scale dir — for every dir size and core count the policy may be
-    // invoked with, the dictate holds
-    for (cores <- Seq(4, 32); bytes <- Seq(0L, 200L << 20, 2L << 30, 2L << 40)) {
+    // invoked with, the dictate holds (up to the 1M cap)
+    for (cores <- Seq(4, 32); bytes <- Seq(0L, 200L << 20, 2L << 30)) {
       val p = GraftSession.initialPartitions(cores, bytes)
-      assert(p >= ((bytes + MB128 - 1) / MB128),
+      assert(p >= ((bytes + MB2 - 1) / MB2).min(1000000L),
         s"cores=$cores bytes=$bytes under-partitioned: $p")
-      assert(p >= math.max(2 * cores, 64))
+      assert(p >= cores)
     }
   }
 
@@ -64,7 +73,7 @@ class GraftSessionSpec extends AnyFunSuite {
     val before = s.conf.getOption(key)
     try {
       val applied = GraftSession.local(cores = 4, inputBytes = 100L << 30)
-      assert(applied.conf.get(key) == "800")
+      assert(applied.conf.get(key) == "51200")
     } finally {
       before match {
         case Some(v) => s.conf.set(key, v)
