@@ -27,7 +27,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // shuffle/DISK_ONLY scratch on the fastest local medium (tmpfs when
+    // available — round-18 thread dumps showed shuffle-commit file I/O
+    // on ext4 /tmp blocking 19/32 executor threads; see
+    // GraftSession.scratchDir)
+    val spark = GraftSession.withScratchDir(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

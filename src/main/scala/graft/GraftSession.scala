@@ -51,6 +51,42 @@ object GraftSession {
     math.max(cores.toLong, byBytes).min(1000000L).toInt
   }
 
+  /** Fastest available scratch directory for shuffle files and
+    * DISK_ONLY blocks (`spark.local.dir`) — round-18 finding: with the
+    * default /tmp (ext4 on a virtual disk) thread dumps of a loaded
+    * local[32] bench showed 19 of 32 executor threads BLOCKED in
+    * `IndexShuffleBlockResolver.writeMetadataFileAndCommit` and 8 more
+    * in `FileOutputStream.open` — shuffle-commit file I/O, not compute,
+    * bounded the box (cpu_share 84–350‰ across the heavy queries).
+    * Pointing spark.local.dir at tmpfs removed the lock (tx36 task time
+    * 89 s → 34 s, wall 6.3 → 4.1–5.2 s; dp19/dp32/dd28/dp25 −20–30%).
+    *
+    * This mirrors what a production cluster does with NVMe-local
+    * shuffle dirs — the shuffle scratch space must be the fastest local
+    * medium, and on this sandbox that is RAM-backed /dev/shm (126 GB —
+    * bench-scale shuffle + DISK_ONLY footprints are ≤ a few GB; a real
+    * deployment sets spark.local.dir to its fast disks explicitly and
+    * this default never applies under spark-submit). Override with
+    * SPARK_GRAFT_LOCAL_DIR; empty value disables the tmpfs default.
+    */
+  def scratchDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").map(_.trim) match {
+      case Some("") => None // explicit opt-out: Spark's own default
+      case Some(d)  => Some(d)
+      case None =>
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm)
+            && java.nio.file.Files.isWritable(shm))
+          Some("/dev/shm/graft-spark-local")
+        else None
+    }
+
+  /** Apply [[scratchDir]] to a session builder (no-op when unset or
+    * when a cluster manager already owns local dirs).
+    */
+  def withScratchDir(b: SparkSession.Builder): SparkSession.Builder =
+    scratchDir.fold(b)(d => b.config("spark.local.dir", d))
+
   /** Total bytes under `path` (recursive) — the input-size probe feeding
     * [[initialPartitions]]. Cheap: a file-metadata walk, no reads.
     */
@@ -67,8 +103,8 @@ object GraftSession {
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
       inputBytes: Long = 0L): SparkSession = {
-    val spark = SparkSession
-      .builder()
+    val spark = withScratchDir(SparkSession
+      .builder())
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)

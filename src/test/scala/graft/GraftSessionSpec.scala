@@ -56,6 +56,22 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("scratchDir: env override wins, empty opts out, tmpfs default") {
+    // cannot mutate env in-process: assert the no-env branch against the
+    // host's real /dev/shm state (writable on every sandbox this runs on)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val expected =
+      if (java.nio.file.Files.isDirectory(shm)
+          && java.nio.file.Files.isWritable(shm))
+        Some("/dev/shm/graft-spark-local")
+      else None
+    assert(GraftSession.scratchDir == expected)
+    // withScratchDir is a no-op builder pass-through when unset — pinned
+    // indirectly: the session this suite runs on was built through it
+    assert(TestSpark.spark.sparkContext.getConf
+      .getOption("spark.local.dir") == expected)
+  }
+
   test("dirBytes sums regular files recursively; missing dir is 0") {
     val d = java.nio.file.Files.createTempDirectory("graftsess")
     java.nio.file.Files.write(d.resolve("a.bin"), new Array[Byte](1000))
