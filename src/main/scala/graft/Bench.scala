@@ -31,7 +31,7 @@ object Bench {
     // available — round-18 thread dumps showed shuffle-commit file I/O
     // on ext4 /tmp blocking 19/32 executor threads; see
     // GraftSession.scratchDir)
-    val spark = GraftSession.withScratchDir(SparkSession.builder())
+    val spark = GraftSession.withEngineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

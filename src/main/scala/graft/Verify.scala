@@ -11,7 +11,7 @@ object Verify {
     // driver always calls with exactly two args -> full dump)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.GraftSession.withScratchDir(SparkSession.builder())
+    val spark = graft.GraftSession.withEngineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

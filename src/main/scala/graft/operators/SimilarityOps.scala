@@ -178,23 +178,56 @@ object SimilarityOps {
       .drop("qsum")
   }
 
+  /** Order-isomorphic single-long encoding of the assignment ordering
+    * `struct(sim, −cell)` — round 18: a struct ordering key puts an
+    * immutable field in the aggregation buffer, which demotes the whole
+    * aggregate from HashAggregate to **SortAggregate** (a full sort of
+    * the n×k scored rows per aggregation — dd28's plan carried 15 of
+    * them, ann07's 6). Packing the key into one long restores the
+    * mutable-buffer HashAggregate with identical ordering semantics:
+    *
+    *   key = round(sim·10⁶)·2⁴² + (2⁴² − 1 − cell)
+    *
+    *  - `sim` is always `round(cosine, roundSim)` with roundSim ≤ 6
+    *    (every call site; CatalogDedup's one roundSim=4 is a subset of
+    *    the 10⁻⁶ grid), so sim·10⁶ recovers the exact integer in
+    *    [−10⁶, 10⁶] — 21 bits; the 2⁴² shift keeps the product ≤
+    *    4.4·10¹⁸ < Long.Max.
+    *  - higher sim ⇒ higher key (the 2⁴² steps dominate the cell term);
+    *    equal sim ⇒ SMALLER cell has the larger key — exactly
+    *    max(struct(sim, −cell)).
+    *  - contract: 0 ≤ cell < 2⁴² (4.4·10¹²) — cells are kmeans cell
+    *    ranks or seed vector ids, below that bound at the 100 TB design
+    *    target (~4·10¹¹ vectors).
+    */
+  private[operators] def simCellKey(sim: Column, cell: Column): Column =
+    round(sim * lit(1000000.0)).cast("long") * lit(1L << 42) +
+      (lit((1L << 42) - 1) - cell.cast("long"))
+
+  /** Decode the cell id back out of a [[simCellKey]] (pmod keeps the
+    * low 42 bits non-negative for negative-sim keys too).
+    */
+  private[operators] def simCellKeyCell(key: Column): Column =
+    lit((1L << 42) - 1) - pmod(key, lit(1L << 42))
+
   /** Map-side-combinable nearest-centroid argmax: `max_by(cell,
-    * struct(sim, -cell))` picks the highest rounded cosine with the
-    * SMALLEST cell id on ties (max of −cell = min cell) — the exact
-    * ordering the previous `row_number()` window encoded, but as a
-    * declarative aggregate Spark partial-aggregates before the exchange.
-    * The window shipped all k scored copies of every vector through the
-    * shuffle and discarded k−1 after; this shuffles one partially-reduced
-    * row per vector per map partition — a k× shuffle-volume cut that
-    * matters at 100 TB where assignment runs once per Lloyd's round.
-    * Deterministic under any partitioning: the ordering struct is unique
-    * per centroid (cell ids are distinct), so there is no tie for max_by
-    * to break arbitrarily.
+    * simCellKey(sim, cell))` picks the highest rounded cosine with the
+    * SMALLEST cell id on ties — the exact ordering the previous
+    * `row_number()` window encoded, but as a declarative aggregate Spark
+    * partial-aggregates before the exchange. The window shipped all k
+    * scored copies of every vector through the shuffle and discarded k−1
+    * after; this shuffles one partially-reduced row per vector per map
+    * partition — a k× shuffle-volume cut that matters at 100 TB where
+    * assignment runs once per Lloyd's round. Deterministic under any
+    * partitioning: the ordering key is unique per centroid (cell ids are
+    * distinct), so there is no tie for max_by to break arbitrarily.
+    * The single-long key (vs the struct it encodes) keeps the aggregate
+    * a HashAggregate — see [[simCellKey]].
     */
   private def nearestCell(scored: DataFrame, idCol: String, simCol: String,
       cellCol: String): DataFrame =
     scored.groupBy(col(idCol))
-      .agg(max_by(col(cellCol), struct(col(simCol), -col(cellCol))).as(cellCol))
+      .agg(max_by(col(cellCol), simCellKey(col(simCol), col(cellCol))).as(cellCol))
 
   /** Nearest-centroid assignment for a trained/seeded centroid table
     * (`cell`, `cvec array<double>`): the ranking half of one Lloyd's
@@ -232,7 +265,9 @@ object SimilarityOps {
     * n×k table must not exist) plus nProbe − 1 O(n) joins; shuffles
     * stay O(n) throughout.
     *
-    * Ordering key = struct(rounded sim, −cell): max = highest sim,
+    * Ordering key = [[simCellKey]] (the single-long encoding of
+    * struct(rounded sim, −cell) — struct keys demote the per-probe
+    * aggregations to SortAggregate, round 18): max = highest sim,
     * smallest cell on ties — exactly `row_number() OVER (ORDER BY sim
     * DESC, cell ASC)`, which the oracle states directly with `rn <=
     * nProbe`. Keys are unique per (vector, cell), so "strictly below"
@@ -247,9 +282,8 @@ object SimilarityOps {
       col(vecCol).cast("array<double>").as("_mp_vec"))
     def scored(b: DataFrame): DataFrame = b
       .crossJoin(broadcast(centroids))
-      .withColumn("_mp_key", struct(
-        round(cosine(col("_mp_vec"), col("cvec")), roundSim).as("s"),
-        (-col("cell")).as("nc")))
+      .withColumn("_mp_key", simCellKey(
+        round(cosine(col("_mp_vec"), col("cvec")), roundSim), col("cell")))
     var out: DataFrame = null
     var bound: DataFrame = null // (_mp_id, _mp_bk) = previous probe's key
     for (p <- 1 to nProbe) {
@@ -257,7 +291,7 @@ object SimilarityOps {
         if (bound == null) scored(base)
         else scored(base.join(bound, "_mp_id")).where(col("_mp_key") < col("_mp_bk"))
       val top = sc.groupBy("_mp_id").agg(max(col("_mp_key")).as("_mp_bk"))
-      val picked = top.select(col("_mp_id"), (-col("_mp_bk.nc")).as("cell"),
+      val picked = top.select(col("_mp_id"), simCellKeyCell(col("_mp_bk")).as("cell"),
         lit(p).as("probe"))
       out = if (out == null) picked else out.unionByName(picked)
       bound = top

@@ -24,7 +24,7 @@ object PlanDump {
       if (args.length < 3 || args(2) == "all")
         graft.SparkEntry.queries.keys.toSeq.sorted
       else args(2).split(",").filter(_.nonEmpty).toSeq
-    val spark = graft.GraftSession.withScratchDir(SparkSession.builder())
+    val spark = graft.GraftSession.withEngineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -66,10 +66,14 @@ class GraftSessionSpec extends AnyFunSuite {
         Some("/dev/shm/graft-spark-local")
       else None
     assert(GraftSession.scratchDir == expected)
-    // withScratchDir is a no-op builder pass-through when unset — pinned
+    // withEngineDefaults is a no-op builder pass-through when unset — pinned
     // indirectly: the session this suite runs on was built through it
     assert(TestSpark.spark.sparkContext.getConf
       .getOption("spark.local.dir") == expected)
+    // the sort-based shuffle writer is pinned engine-wide (the bypass
+    // writer's per-reducer file concat was the measured round-18 lock)
+    assert(TestSpark.spark.sparkContext.getConf
+      .get("spark.shuffle.sort.bypassMergeThreshold") == "0")
   }
 
   test("dirBytes sums regular files recursively; missing dir is 0") {

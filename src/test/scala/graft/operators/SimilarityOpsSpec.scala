@@ -321,4 +321,40 @@ class SimilarityOpsSpec extends AnyFunSuite {
       (1L, 2L, c1 + c1, 1),  // dup in arm1 collapsed to rank 1, not summed
       (2L, 1L, c2, 2)))
   }
+
+  test("simCellKey: order-isomorphic to struct(sim, -cell), decode exact " +
+      "(round-18 HashAggregate rewrite)") {
+    // the full 10^-6 sim grid boundaries + adversarial cells incl. the
+    // 2^42-1 contract bound; struct order == long-key order pairwise
+    val sims = Seq(-1.0, -0.999999, -0.5, -1e-6, 0.0, 1e-6, 0.25, 0.999999, 1.0)
+    val cells = Seq(0L, 1L, 2L, 1000L, (1L << 41) - 1, (1L << 42) - 1)
+    val rows = for (s0 <- sims; c <- cells) yield (s0, c)
+    val df = rows.toDF("sim", "cell")
+      .select(col("sim"), col("cell"),
+        SimilarityOps.simCellKey(col("sim"), col("cell")).as("key"))
+    val got = df.select("sim", "cell", "key")
+      .as[(Double, Long, Long)].collect().toSeq
+    // decode round-trips every cell exactly
+    val dec = df.select(col("cell"),
+        SimilarityOps.simCellKeyCell(col("key")).as("back"))
+      .as[(Long, Long)].collect()
+    assert(dec.forall { case (c, b) => c == b })
+    // pairwise: struct(sim, -cell) lexicographic order == key order
+    for (a <- got; b <- got) {
+      val structLt = a._1 < b._1 || (a._1 == b._1 && -a._2 < -b._2)
+      assert(structLt == (a._3 < b._3),
+        s"order mismatch: $a vs $b (structLt=$structLt)")
+    }
+    // argmax through an actual aggregation matches the struct form
+    val data = Seq((1L, 0.5, 3L), (1L, 0.5, 1L), (1L, 0.25, 0L),
+      (2L, -0.75, 7L), (2L, -0.75, 2L), (2L, -1.0, 0L))
+      .toDF("id", "sim", "cell")
+    val viaKey = data.groupBy("id")
+      .agg(max_by(col("cell"), SimilarityOps.simCellKey(col("sim"), col("cell"))).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val viaStruct = data.groupBy("id")
+      .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaKey == viaStruct && viaKey == Map(1L -> 1L, 2L -> 2L))
+  }
 }
