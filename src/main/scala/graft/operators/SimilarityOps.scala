@@ -210,6 +210,30 @@ object SimilarityOps {
   private[operators] def simCellKeyCell(key: Column): Column =
     lit((1L << 42) - 1) - pmod(key, lit(1L << 42))
 
+  /** [[simCellKey]]'s sibling for the PQ argmin ordering
+    * `struct(dist, code)` (same round-18 SortAggregate→HashAggregate
+    * rewrite): key = round(dist·10⁶)·2²⁰ + rank-of-code-within-block.
+    * Distances are `round(·, roundDist ≤ 6)` so dist·10⁶ is exact; the
+    * code RANK (dense, per block, ascending — strictly monotone in the
+    * code id) replaces the raw code id in the key because codes are
+    * seed VECTOR IDS of unbounded magnitude while ranks are bounded by
+    * codesPerBlock < 2²⁰; min key = min dist, then min code. Contract:
+    * dist < 2⁴³/10⁶ ≈ 8.8·10⁶ (squared L2 of two sub-vectors — holds
+    * for any |coordinate| below ~10³).
+    */
+  private def distRankKey(dist: Column, crank: Column): Column =
+    round(dist * lit(1000000.0)).cast("long") * lit(1L << 20) + crank
+
+  /** Attach the per-block ascending code rank the [[distRankKey]]
+    * ordering uses — a window over the bounded (blocks × codes)
+    * broadcast side, never the corpus.
+    */
+  private def withCodeRank(codebook: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    codebook.withColumn("_crank", row_number()
+      .over(Window.partitionBy("blk").orderBy("code")).cast("long"))
+  }
+
   /** Map-side-combinable nearest-centroid argmax: `max_by(cell,
     * simCellKey(sim, cell))` picks the highest rounded cosine with the
     * SMALLEST cell id on ties — the exact ordering the previous
@@ -523,7 +547,9 @@ object SimilarityOps {
   def pqFit(df: DataFrame, idCol: String, vecCol: String, blocks: Int,
       subDim: Int, codesPerBlock: Int, iters: Int, shift: Int = 20,
       roundDist: Int = 6, samplePerCode: Int = 16): DataFrame = {
-    require(blocks > 0 && subDim > 0 && codesPerBlock > 0 && iters > 0)
+    require(blocks > 0 && subDim > 0 && iters > 0
+      && codesPerBlock > 0 && codesPerBlock < (1 << 20),
+      "codesPerBlock must fit the distRankKey rank budget")
     val all = df.select(col(idCol).as("_pq_id"),
       col(vecCol).cast("array<double>").as("_pq_vec"))
     val smp = Exec.materializeForSelfJoin(
@@ -546,12 +572,14 @@ object SimilarityOps {
     val scale = (1L << shift).toDouble
     var lastM: DataFrame = null
     for (_ <- 1 to iters) {
-      val scored = rows.join(broadcast(codebook), Seq("blk"))
+      val scored = rows.join(broadcast(withCodeRank(codebook)), Seq("blk"))
         .withColumn("_pq_d", round(expr(
           "aggregate(zip_with(_pq_sv, _pq_cv, (a, b) -> (a - b) * (a - b)), " +
             "0D, (acc, x) -> acc + x)"), roundDist))
       val assigned = scored.groupBy(col("_pq_id"), col("blk"))
-        .agg(min(struct(col("_pq_d"), col("code"))).getField("code").as("code"))
+        // min_by on the single-long key ≡ min(struct(d, code)): keeps
+        // the per-round argmin a HashAggregate (round 18)
+        .agg(min_by(col("code"), distRankKey(col("_pq_d"), col("_crank"))).as("code"))
       val prevM = lastM
       lastM = Exec.materializeForSelfJoin(
         rows.join(assigned, Seq("_pq_id", "blk"))
@@ -605,12 +633,14 @@ object SimilarityOps {
           s"transform(sequence(0, $blocks - 1), " +
             s"b -> slice(_pe_vec, b * $subDim + 1, $subDim))"))
         .as(Seq("blk", "_pe_sv")))
-    rows.join(broadcast(pqCodebookVectors(codebook)), Seq("blk"))
+    rows.join(broadcast(withCodeRank(pqCodebookVectors(codebook))), Seq("blk"))
       .withColumn("_pe_d", round(expr(
         "aggregate(zip_with(_pe_sv, cv, (a, b) -> (a - b) * (a - b)), " +
           "0D, (acc, x) -> acc + x)"), roundDist))
       .groupBy(col("_pe_id"), col("blk"))
-      .agg(min(struct(col("_pe_d"), col("code"))).getField("code").as("code"))
+      // min_by on the single-long [[distRankKey]] ≡ min(struct(d, code))
+      // but keeps the aggregate a HashAggregate (round 18)
+      .agg(min_by(col("code"), distRankKey(col("_pe_d"), col("_crank"))).as("code"))
       .select(col("_pe_id").as(idCol), col("blk"), col("code"))
   }
 
